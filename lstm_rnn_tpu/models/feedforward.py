@@ -1,0 +1,50 @@
+"""Feedforward and softmax layers (TPU-native).
+
+Reference: `currennt_lib/src/layers/FeedForwardLayer.cu` computes one GEMM
+over all timesteps (`outputs = W^T . prevOutputs`, FeedForwardLayer.cu:144-153)
+then adds `bias_multiplier * bias_weights` and applies the activation.  We do
+the same with a single time-batched matmul that XLA tiles onto the MXU, with
+the bias add + activation fused in.
+
+`SoftmaxLayer` (SoftmaxLayer.cu) is a feedforward-identity layer followed by
+a numerically quirky softmax: the exponent is centered by
+`offset = 0.5 * (min + max)` per pattern (SoftmaxLayer.cu:45-78) — NOT by the
+max — and exponentiation uses `safeExp`. We reproduce both quirks. Padding
+(PATTYPE_NONE) slots are skipped by the reference; their outputs are never
+consumed downstream (the post-output losses mask them), so we compute them
+unconditionally and let XLA fuse the whole thing.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from lstm_rnn_tpu.ops.activations import ACTIVATIONS, safe_exp
+
+
+def feedforward_forward(params, x, activation: str, bias_mult: float):
+    """x: [T, B, P] -> [T, B, L].
+
+    params: {"W": [P, L], "b": [L]}.
+    `bias_mult` is the layer's JSON "bias" value (a multiplier, usually 1.0;
+    the TIMIT subsample layers use 0.0).
+    """
+    act = ACTIVATIONS[activation]
+    a = jnp.einsum("tbp,pl->tbl", x, params["W"], preferred_element_type=x.dtype)
+    a = a + bias_mult * params["b"]
+    return act(a)
+
+
+def softmax_forward(params, x, bias_mult: float):
+    """Feedforward-identity + CURRENNT softmax. x: [T, B, P] -> [T, B, L]."""
+    a = feedforward_forward(params, x, "identity", bias_mult)
+    # offset = 0.5*(min+max) per pattern (SoftmaxLayer.cu:74). Softmax is
+    # analytically invariant to the offset, and the reference backward pass
+    # (SoftmaxLayer.cu:317-353) is the plain softmax Jacobian, so we stop the
+    # gradient through the offset to match it exactly.
+    offset = jax.lax.stop_gradient(
+        0.5 * (jnp.min(a, axis=-1, keepdims=True) + jnp.max(a, axis=-1, keepdims=True))
+    )
+    e = safe_exp(a - offset)
+    return e / jnp.sum(e, axis=-1, keepdims=True)

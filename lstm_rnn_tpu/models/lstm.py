@@ -1,0 +1,151 @@
+"""LSTM / bidirectional LSTM with forget gates and peepholes (TPU-native).
+
+Semantics reproduced from `currennt_lib/src/layers/LstmLayer.cu`:
+
+- Cell (ComputeBlockOutputFn, LstmLayer.cu:47-138), per timestep t:
+    ni = tanh2(x.Wni + h.Rni + bias*bni)
+    ig = sigma(x.Wig + h.Rig + bias*big + c_prev * p_ig)
+    fg = sigma(x.Wfg + h.Rfg + bias*bfg + c_prev * p_fg)
+    c  = ni*ig + fg*c_prev
+    og = sigma(x.Wog + h.Rog + bias*bog + c * p_og)     # peephole from NEW cell state
+    h  = tanh2(c) * og
+  Padding (PATTYPE_NONE) slots force h = c = 0.
+
+- The input projections for ALL timesteps are computed up front as big GEMMs
+  (LstmLayer.cu:772-786); only the recurrent h.R term is inside the scan
+  (LstmLayer.cu:812-829). We mirror that: one [T*B, P] x [P, 4H] MXU matmul
+  outside `lax.scan`, a [B, H] x [H, 4H] matmul per step inside.
+
+- Backward pass: the reference BPTT (ComputeBlockErrorsFn,
+  LstmLayer.cu:190-287) clips each gate delta (the gradient w.r.t. the gate
+  PREACTIVATION) to [-1, 1] via limitedError. We wrap each complete
+  preactivation in `grad_clip` (identity fwd / clamp bwd), after which jax
+  autodiff through the scan computes exactly the same deltas, weight
+  gradients (ComputeWeightUpdateFn, LstmLayer.cu:289-512) and
+  preceding-layer errors (LstmLayer.cu:990-1009).
+
+- Bidirectional: the layer of size L is split into two independent halves of
+  H = L/2 cells; the forward half scans t=0..T-1, the backward half
+  t=T-1..0, and outputs are re-interleaved as [fw | bw] per frame
+  (ResortOutputsFn, LstmLayer.cu:140-161). Because padding is a suffix of
+  every sequence and the reference zeroes h/c at NONE slots, a *global* time
+  reversal plus the same masking is exactly equivalent to its backward
+  iteration. We stack both directions into ONE `lax.scan` with a leading
+  direction axis so the per-step recurrent matmul is a single batched GEMM
+  of shape [2, B, H] x [2, H, 4H].
+
+Parameter pytree (H = size for lstm, size/2 per direction for blstm,
+D = 1 or 2 directions, P = input size; gate order [ni, ig, fg, og]):
+    {"W_in": [D, P, 4, H], "W_rec": [D, H, 4, H],
+     "b": [D, 4, H], "peep": [D, 3, H]}           # peep order [ig, fg, og]
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from lstm_rnn_tpu.ops.activations import grad_clip, logistic, tanh2
+
+
+def _lstm_scan(acts, w_rec, peep, mask, clip_gradients: bool):
+    """Scan both (or one) directions at once.
+
+    acts: [T, D, B, 4, H] input projections + bias (already added)
+    w_rec: [D, H, 4, H]; peep: [D, 3, H]; mask: [T, D, B, 1] (1.0 valid / 0.0 pad)
+    Returns outputs [T, D, B, H].
+    """
+    gclip = grad_clip if clip_gradients else (lambda x: x)
+
+    def step(carry, inp):
+        h, c = carry  # [D, B, H] each
+        a, m = inp  # a: [D, B, 4, H], m: [D, B, 1]
+        a = a + jnp.einsum("dbh,dhgj->dbgj", h, w_rec, preferred_element_type=h.dtype)
+        ni = tanh2(gclip(a[:, :, 0]))
+        ig = logistic(gclip(a[:, :, 1] + c * peep[:, None, 0]))
+        fg = logistic(gclip(a[:, :, 2] + c * peep[:, None, 1]))
+        c_new = ni * ig + fg * c
+        # Output-gate preactivation: the reference clips the og delta before
+        # it reaches the weight/recurrent/peephole-WEIGHT gradients, but uses
+        # the UNCLIPPED og delta for the same-timestep cell-state error term
+        # `cellStateErr += ogPeepWeight * ogDelta` (LstmLayer.cu:246-250 vs
+        # the clipped store at :284). Split the peephole path so autodiff
+        # reproduces both: the gclip'd branch carries the gradient to a_og
+        # and p_og (clipped), the residual branch carries it to c_new
+        # (unclipped).
+        p_og = peep[:, None, 2]
+        c_sg = jax.lax.stop_gradient(c_new)
+        og_pre = gclip(a[:, :, 3] + c_sg * p_og) + (c_new - c_sg) * jax.lax.stop_gradient(p_og)
+        og = logistic(og_pre)
+        h_new = tanh2(c_new) * og
+        h_new = h_new * m
+        c_new = c_new * m
+        return (h_new, c_new), h_new
+
+    d, b, h = acts.shape[1], acts.shape[2], acts.shape[4]
+    init = (
+        jnp.zeros((d, b, h), dtype=acts.dtype),
+        jnp.zeros((d, b, h), dtype=acts.dtype),
+    )
+    _, ys = jax.lax.scan(step, init, (acts, mask))
+    return ys
+
+
+def lstm_forward(params, x, pattypes, bias_mult: float, bidirectional: bool,
+                 clip_gradients: bool = True):
+    """x: [T, B, P], pattypes: [T, B] int8 -> outputs [T, B, L].
+
+    L = H for unidirectional, 2H for bidirectional ([fw | bw] per frame).
+    """
+    w_in, w_rec, b, peep = params["W_in"], params["W_rec"], params["b"], params["peep"]
+    t, bsz, _ = x.shape
+    d = w_in.shape[0]
+    hdim = w_in.shape[-1]
+
+    # Input projections for all timesteps at once: [T, B, P] x [D, P, 4H].
+    acts = jnp.einsum("tbp,dpgh->tdbgh", x, w_in, preferred_element_type=x.dtype)
+    acts = acts + bias_mult * b[None, :, None]  # bias multiplier, TrainableLayer bias()
+
+    valid = (pattypes != 0).astype(x.dtype)[:, None, :, None]  # [T, 1, B, 1]
+    if bidirectional:
+        assert d == 2
+        acts = jnp.concatenate([acts[:, 0:1], acts[::-1, 1:2]], axis=1)
+        mask = jnp.concatenate([valid, valid[::-1]], axis=1)
+    else:
+        assert d == 1
+        mask = valid
+
+    ys = _lstm_scan(acts, w_rec, peep, mask, clip_gradients)  # [T, D, B, H]
+
+    if bidirectional:
+        fw = ys[:, 0]
+        bw = ys[::-1, 1]
+        return jnp.concatenate([fw, bw], axis=-1)  # [T, B, 2H]
+    return ys[:, 0]
+
+
+def init_lstm_params(rng, in_size: int, size: int, bidirectional: bool,
+                     dist: str = "uniform", lo: float = -0.1, hi: float = 0.1,
+                     mean: float = 0.0, sigma: float = 0.1, dtype=jnp.float32):
+    """Random init matching the reference's distributions (TrainableLayer.cu:103-125).
+
+    Note the reference draws ALL weights of a layer from one flat stream in
+    CURRENNT's storage order; we do not replicate the stream order (tests pin
+    initial weights explicitly), only the distribution.
+    """
+    d = 2 if bidirectional else 1
+    h = size // d
+    shapes = {
+        "W_in": (d, in_size, 4, h),
+        "W_rec": (d, h, 4, h),
+        "b": (d, 4, h),
+        "peep": (d, 3, h),
+    }
+    params = {}
+    for k, shp in shapes.items():
+        rng, sub = jax.random.split(rng)
+        if dist == "uniform":
+            params[k] = jax.random.uniform(sub, shp, dtype=dtype, minval=lo, maxval=hi)
+        else:
+            params[k] = mean + sigma * jax.random.normal(sub, shp, dtype=dtype)
+    return params

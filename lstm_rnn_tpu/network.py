@@ -1,0 +1,218 @@
+"""Network container: JSON topology -> jit-compilable functional model.
+
+Mirrors `currennt_lib/src/NeuralNetwork.cpp`: builds the layer list from the
+JSON "layers" array, validates the topology (input first, exactly one
+post-output last, >= 3 layers, unique names, NeuralNetwork.cpp:96-125), and
+loads/initializes weights. Unlike the reference's stateful Layer objects, the
+network here is a pure function of (params, batch) — the TPU-native design:
+everything under one `jax.jit`, parameters as a pytree, batch as padded
+[T, B, ...] arrays plus a patTypes mask.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lstm_rnn_tpu import io_currennt as ioc
+from lstm_rnn_tpu.models import losses as losses_mod
+from lstm_rnn_tpu.models.feedforward import feedforward_forward, softmax_forward
+from lstm_rnn_tpu.models.lstm import lstm_forward
+
+
+@dataclasses.dataclass
+class LayerSpec:
+    name: str
+    type: str
+    size: int
+    bias: float = 0.0
+    learning_rate: float = -1.0  # per-layer override; -1 = use global
+
+    def to_json(self) -> Dict[str, Any]:
+        # Matches Layer::exportLayer + TrainableLayer::exportLayer
+        # (Layer.cpp:144-157, TrainableLayer.cu:251-255): only name/type/size,
+        # plus bias on trainable layers. learningRate is NOT exported (the
+        # reference drops it too). Post-output types are exported under the
+        # layer's canonical type() string ("weightedsse", "wf").
+        canonical = {"weighted_sse": "weightedsse", "sse_mask": "wf"}.get(self.type, self.type)
+        d: Dict[str, Any] = {"name": self.name, "type": canonical, "size": self.size}
+        if self.type != "input" and self.type not in ioc.POSTOUTPUT_TYPES:
+            d["bias"] = self.bias
+        return d
+
+
+class Network:
+    """Functional network with CURRENNT JSON interop."""
+
+    def __init__(self, layers_json: List[Dict[str, Any]],
+                 weights_json: Optional[Dict[str, Any]] = None,
+                 input_size_override: Optional[int] = None,
+                 clip_gradients: bool = True):
+        specs: List[LayerSpec] = []
+        for lc in layers_json:
+            if "type" not in lc:
+                raise ValueError("Missing value 'type' in layer description")
+            ltype = lc["type"]
+            size = int(lc["size"])
+            if ltype == "input" and input_size_override and input_size_override > 0:
+                size = input_size_override
+            known = (
+                ltype == "input"
+                or ltype == "softmax"
+                or ltype in ioc.FEEDFORWARD_TYPES
+                or ltype in ioc.LSTM_TYPES
+                or ltype in ioc.POSTOUTPUT_TYPES
+            )
+            if not known:
+                raise ValueError(f"Unknown layer type '{ltype}'")
+            trainable = ltype not in ioc.POSTOUTPUT_TYPES and ltype != "input"
+            if trainable and "bias" not in lc:
+                raise ValueError(f"Missing value 'bias' in layer '{lc.get('name')}'")
+            if ltype == "blstm" and size % 2 != 0:
+                raise ValueError("Cannot create a bidirectional layer with an odd layer size")
+            specs.append(LayerSpec(
+                name=lc["name"], type=ltype, size=size,
+                bias=float(lc.get("bias", 0.0)),
+                learning_rate=float(lc.get("learningRate", -1.0)),
+            ))
+
+        # topology validation (NeuralNetwork.cpp:96-125)
+        if len(specs) < 3:
+            raise ValueError("Not enough layers defined")
+        if specs[0].type != "input":
+            raise ValueError("The first layer is not an input layer")
+        if any(s.type == "input" for s in specs[1:]):
+            raise ValueError("Multiple input layers defined")
+        if specs[-1].type not in ioc.POSTOUTPUT_TYPES:
+            raise ValueError("The last layer is not a post output layer")
+        if any(s.type in ioc.POSTOUTPUT_TYPES for s in specs[:-1]):
+            raise ValueError("Multiple post output layers defined")
+        names = [s.name for s in specs]
+        if len(set(names)) != len(names):
+            raise ValueError("Different layers have the same name")
+
+        # post-output size check (PostOutputLayer.cpp:50-79): must match the
+        # preceding (output) layer size, x2 for the interleaved-target losses.
+        po, ol = specs[-1], specs[-2]
+        mult = 2 if po.type in ("weighted_sse", "weightedsse", "sse_mask", "wf") else 1
+        if po.type == "binary_classification" and po.size != 1:
+            raise ValueError("The binary classification post output layer "
+                             "cannot be used for an output layer size != 1")
+        if po.type == "multiclass_classification" and po.size == 1:
+            raise ValueError("The multiclass classification post output layer "
+                             "cannot be used for an output layer size of 1")
+        if po.size != ol.size * mult and not (po.type == "multiclass_classification"):
+            # reference checks target size == size of preceding layer (x mult)
+            if po.size != ol.size * mult:
+                raise ValueError("Post output layer size mismatch")
+
+        self.specs = specs
+        self.clip_gradients = clip_gradients
+        self.loss_fn, self.task_kind = losses_mod.LOSSES[specs[-1].type]
+        self.is_classification = self.task_kind == "classification"
+
+        # parameters: from JSON weights section or random init
+        self.params: Dict[str, Any] = {}
+        if weights_json:
+            layers_dicts = [s.to_json() for s in specs]
+            self.params = ioc.params_from_weights_section(layers_dicts, weights_json)
+        # layers without stored weights get random init on demand (init_params)
+
+    # ------------------------------------------------------------------ sizes
+    @property
+    def input_size(self) -> int:
+        return self.specs[0].size
+
+    @property
+    def output_size(self) -> int:
+        return self.specs[-2].size
+
+    @property
+    def target_size(self) -> int:
+        """Size of the target vectors the post-output layer consumes."""
+        return self.specs[-1].size
+
+    def trainable_specs(self) -> List[LayerSpec]:
+        return [s for s in self.specs[1:-1]]
+
+    # ------------------------------------------------------------------- init
+    def init_params(self, seed: int, dist: str = "uniform",
+                    uniform_min: float = -0.1, uniform_max: float = 0.1,
+                    normal_mean: float = 0.0, normal_sigma: float = 0.1) -> None:
+        """Randomly initialize any layer missing from the weights section
+        (TrainableLayer.cu:103-125 semantics; RNG stream differs)."""
+        rng = np.random.RandomState(seed & 0x7FFFFFFF)
+
+        def draw(shape):
+            if dist == "uniform":
+                return rng.uniform(uniform_min, uniform_max, size=shape).astype(np.float32)
+            return rng.normal(normal_mean, normal_sigma, size=shape).astype(np.float32)
+
+        prev = self.specs[0].size
+        for s in self.specs[1:-1]:
+            if s.name not in self.params:
+                if s.type in ioc.LSTM_TYPES:
+                    d = 2 if ioc.LSTM_TYPES[s.type] else 1
+                    h = s.size // d
+                    self.params[s.name] = {
+                        "W_in": draw((d, prev, 4, h)),
+                        "W_rec": draw((d, h, 4, h)),
+                        "b": draw((d, 4, h)),
+                        "peep": draw((d, 3, h)),
+                    }
+                else:
+                    self.params[s.name] = {"W": draw((prev, s.size)), "b": draw((s.size,))}
+            prev = s.size
+
+    # ---------------------------------------------------------------- forward
+    def apply(self, params, inputs, pattypes):
+        """Forward pass to the output layer's activations.
+
+        inputs: [T, B, input_size]; pattypes: [T, B] int8.
+        Returns [T, B, output_size].
+        """
+        x = inputs
+        for s in self.specs[1:-1]:
+            p = params[s.name]
+            if s.type in ioc.LSTM_TYPES:
+                x = lstm_forward(p, x, pattypes, s.bias, ioc.LSTM_TYPES[s.type],
+                                 clip_gradients=self.clip_gradients)
+            elif s.type == "softmax":
+                x = softmax_forward(p, x, s.bias)
+            else:
+                x = feedforward_forward(p, x, ioc.FEEDFORWARD_TYPES[s.type], s.bias)
+        return x
+
+    def loss(self, params, inputs, targets, pattypes):
+        """Total error over the fraction (reference calculateError sum)."""
+        y = self.apply(params, inputs, pattypes)
+        return self.loss_fn(y, targets, pattypes)
+
+    def correct_count(self, y, targets, pattypes):
+        if self.specs[-1].type == "binary_classification":
+            return losses_mod.binary_correct_count(y, targets, pattypes)
+        if self.specs[-1].type == "multiclass_classification":
+            return losses_mod.multiclass_correct_count(y, targets, pattypes)
+        return jnp.zeros((), dtype=jnp.int32)
+
+    # ------------------------------------------------------------------- JSON
+    @classmethod
+    def from_json_file(cls, path: str, input_size_override: Optional[int] = None,
+                       clip_gradients: bool = True) -> "Network":
+        doc = ioc.load_network_json(path)
+        if "layers" not in doc:
+            raise ValueError("Missing section 'layers'")
+        return cls(doc["layers"], doc.get("weights"),
+                   input_size_override=input_size_override,
+                   clip_gradients=clip_gradients)
+
+    def layers_json(self) -> List[Dict[str, Any]]:
+        return [s.to_json() for s in self.specs]
+
+    def save(self, path: str, extra: Optional[Dict[str, Any]] = None) -> None:
+        params_np = jax.tree_util.tree_map(np.asarray, self.params)
+        ioc.save_network_json(path, self.layers_json(), params_np, extra=extra)
