@@ -1,0 +1,272 @@
+"""CLI driver: `python -m lstm_rnn_tpu.cli [options] [options-file]`.
+
+Reproduces the `currennt` binary's behavior (`currennt/src/main.cpp`):
+train mode with the epoch table, autosave/continue, best-network saving and
+final trained-network export; forward-pass mode with single_csv / csv / htk
+writers. Device selection replaces CUDA device picking: jax backend chosen
+by --device (auto = TPU when available).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from lstm_rnn_tpu import io_currennt as ioc
+from lstm_rnn_tpu.config import Config, parse_config
+from lstm_rnn_tpu.data.dataset import DataSet
+from lstm_rnn_tpu.network import Network
+from lstm_rnn_tpu.trainer import Trainer
+from lstm_rnn_tpu import writers
+
+
+def _select_device(cfg: Config):
+    import jax
+    if cfg.device == "cpu" or (cfg.device == "auto" and not cfg.cuda):
+        jax.config.update("jax_platforms", "cpu")
+    devs = jax.devices()
+    print(f"Using device #0 ({devs[0].device_kind}), {len(devs)} available")
+    return devs
+
+
+def _load_dataset(cfg: Config, which: str) -> Optional[DataSet]:
+    if which == "train":
+        files, frac = cfg.training_files, cfg.train_fraction
+        frac_shuf, seq_shuf = cfg.shuffle_fractions, cfg.shuffle_sequences
+        noise, trunc, sort = cfg.input_noise_sigma, cfg.truncate_seq, True
+    elif which == "val":
+        files, frac = cfg.validation_files, cfg.val_fraction
+        frac_shuf = seq_shuf = False
+        noise, trunc, sort = 0.0, 0, True
+    elif which == "test":
+        files, frac = cfg.test_files, cfg.test_fraction
+        frac_shuf = seq_shuf = False
+        noise, trunc, sort = 0.0, 0, True
+    else:  # feedforward; input noise applies if sigma > 0 (README:169-171)
+        files, frac = cfg.feedforward_input_files, 1.0
+        frac_shuf = seq_shuf = False
+        noise, trunc, sort = cfg.input_noise_sigma, 0, False
+    if not files:
+        return None
+    print(f"Loading {which} set " + " ".join(f"'{f}'" for f in files) + " ...")
+    ds = DataSet(files, parallel_sequences=cfg.parallel_sequences, fraction=frac,
+                 trunc_seq_length=trunc, fraction_shuffling=frac_shuf,
+                 sequence_shuffling=seq_shuf, noise_deviation=noise,
+                 input_left_context=cfg.input_left_context,
+                 input_right_context=cfg.input_right_context,
+                 output_time_lag=cfg.output_time_lag, sort_by_length=sort,
+                 seed=cfg.random_seed, bucket_lengths=cfg.bucket_lengths)
+    print(f"Loaded fraction:  {int(frac*100)}%")
+    print(f"Sequences:        {ds.total_sequences}")
+    print(f"Sequence lengths: {ds.min_seq_length}..{ds.max_seq_length}")
+    print(f"Total timesteps:  {ds.total_timesteps}")
+    print()
+    return ds
+
+
+def _print_layers(net: Network):
+    print("Layers:")
+    total = 0
+    prev = None
+    for i, s in enumerate(net.specs):
+        n_weights = 0
+        if s.name in net.params:
+            import jax
+            n_weights = sum(int(np.prod(p.shape))
+                            for p in jax.tree_util.tree_leaves(net.params[s.name]))
+        line = f"({i}) {s.type} [size: {s.size}"
+        if s.name in net.params:
+            line += f", bias: {s.bias:.1f}, weights: {n_weights}"
+        print(line + "]")
+        total += n_weights
+        prev = s.size
+    print(f"Total weights: {total}\n")
+
+
+def _save_autosave(cfg: Config, net: Network, trainer: Trainer, info_rows: str):
+    extra = {
+        "configuration": cfg.serialized_options,
+        "info_rows": info_rows.replace("\n", ";;;"),
+    }
+    extra.update(trainer.export_state())
+    prefix = cfg.autosave_prefix
+    name = (prefix + "_" if prefix else "") + f"epoch{trainer.cur_epoch:03d}.autosave"
+    net.params = trainer.params
+    net.save(name, extra=extra)
+
+
+def train_mode(cfg: Config) -> int:
+    network_file = cfg.continue_file or cfg.network
+    print(f"Reading network from '{network_file}'... ", end="")
+    net_doc = ioc.load_network_json(network_file)
+    print("done.\n")
+
+    train_set = _load_dataset(cfg, "train")
+    val_set = _load_dataset(cfg, "val")
+    test_set = _load_dataset(cfg, "test")
+
+    net = Network(net_doc["layers"], net_doc.get("weights"),
+                  input_size_override=train_set.input_pattern_size)
+    if train_set.output_pattern_size != net.target_size:
+        raise RuntimeError("Post output layer size != target pattern size of the training set")
+    net.init_params(cfg.random_seed, dist=cfg.weights_dist,
+                    uniform_min=cfg.weights_uniform_min,
+                    uniform_max=cfg.weights_uniform_max,
+                    normal_mean=cfg.weights_normal_mean,
+                    normal_sigma=cfg.weights_normal_sigma)
+    _print_layers(net)
+
+    if cfg.optimizer != "steepest_descent":
+        raise RuntimeError("Unknown optimizer type")
+
+    max_epochs = cfg.max_epochs if cfg.max_epochs != 2**32 - 1 else -1
+    trainer = Trainer(
+        net, train_set, val_set, test_set,
+        learning_rate=cfg.learning_rate, momentum=cfg.momentum,
+        max_epochs=max_epochs, max_epochs_no_best=cfg.max_epochs_no_best,
+        validate_every=cfg.validate_every, test_every=cfg.test_every,
+        hybrid_online_batch=cfg.hybrid_online_batch,
+        weight_noise_sigma=cfg.weight_noise_sigma, seed=cfg.random_seed)
+
+    info_rows = ""
+    if cfg.continue_file:
+        print(f"Restoring state from '{cfg.continue_file}'...")
+        doc = json.load(open(cfg.continue_file))
+        info_rows = doc.get("info_rows", "").replace(";;;", "\n")
+        trainer.import_state(doc)
+
+    classification = net.is_classification
+    print("Starting training...\n")
+    print(" Epoch | Duration |  Training error  | Validation error |    Test error    | New best ")
+    print("-------+----------+------------------+------------------+------------------+----------")
+    sys.stdout.write(info_rows)
+
+    err_space = "                  |"
+
+    def fmt_err(err, cls_err):
+        if classification:
+            return f"{cls_err*100:6.2f}%{err:10.3f} |"
+        return f"{err:17.3f} |"
+
+    finished = False
+    while not finished:
+        row = f" {trainer.cur_epoch + 1:5d} | "
+        t0 = time.time()
+        finished = trainer.train_epoch()
+        row += f"{time.time() - t0:8.1f} |"
+        row += fmt_err(trainer.cur_training_error, trainer.cur_training_class_error)
+
+        did_val = val_set is not None and trainer.cur_epoch % cfg.validate_every == 0
+        row += (fmt_err(trainer.cur_validation_error, trainer.cur_validation_class_error)
+                if did_val else err_space)
+        did_test = test_set is not None and trainer.cur_epoch % cfg.test_every == 0
+        row += (fmt_err(trainer.cur_test_error, trainer.cur_test_class_error)
+                if did_test else err_space)
+
+        if did_val:
+            if trainer.epochs_since_lowest == 0:
+                row += "  yes   \n"
+                if cfg.autosave_best:
+                    base = cfg.autosave_prefix or os.path.splitext(cfg.network)[0]
+                    net.params = trainer.best_params
+                    net.save(base + ".best.jsn")
+            else:
+                row += "  no    \n"
+        else:
+            row += "        \n"
+        sys.stdout.write(row)
+        sys.stdout.flush()
+        info_rows += row
+
+        if cfg.autosave:
+            _save_autosave(cfg, net, trainer, info_rows)
+
+    print()
+    if trainer.epochs_since_lowest >= cfg.max_epochs_no_best:
+        print(f"No new lowest error since {cfg.max_epochs_no_best} epochs. Training stopped.")
+    else:
+        print("Maximum number of training epochs reached. Training stopped.")
+    if val_set is not None:
+        print(f"Lowest validation error: {trainer.lowest_validation_error}")
+    else:
+        print(f"Final training set error: {trainer.cur_training_error}")
+    print()
+    print(f"Storing the trained network in '{cfg.save_network}'... ", end="")
+    net.params = trainer.params
+    net.save(cfg.save_network)
+    print("done.")
+    return 0
+
+
+def forward_mode(cfg: Config) -> int:
+    print(f"Reading network from '{cfg.network}'... ", end="")
+    net_doc = ioc.load_network_json(cfg.network)
+    print("done.\n")
+    ff_set = _load_dataset(cfg, "ff")
+    if ff_set is None:
+        raise RuntimeError("no ff_input_file given")
+    net = Network(net_doc["layers"], net_doc.get("weights"),
+                  input_size_override=ff_set.input_pattern_size)
+    net.init_params(cfg.random_seed)
+    _print_layers(net)
+
+    import jax
+    apply_fn = jax.jit(net.apply)
+
+    means = stdevs = None
+    if cfg.revert_std and not ff_set.is_classification:
+        means, stdevs = ff_set.output_means, ff_set.output_stdevs
+        print("Outputs will be scaled by mean and standard deviation specified in NC file.")
+
+    lag = cfg.output_time_lag
+    fmt = cfg.ff_output_format
+    first = True
+    frac_idx = 0
+    for frac in ff_set.fractions():
+        frac_idx += 1
+        print(f"Computing outputs for data fraction {frac_idx}...", end="", flush=True)
+        y = np.asarray(apply_fn(net.params, frac.inputs, frac.pattypes))
+        tags, outs = [], []
+        for i, info in enumerate(frac.seq_info):
+            tags.append(info["tag"])
+            outs.append(y[: info["length"], i, :])
+        if fmt == "single_csv":
+            writers.write_single_csv(cfg.ff_output_file, tags, outs, lag,
+                                     means, stdevs, append=not first)
+        elif fmt == "csv":
+            writers.write_csv(cfg.ff_output_file, tags, outs, lag, means, stdevs)
+        else:
+            writers.write_htk(cfg.ff_output_file, tags, outs, lag, means, stdevs,
+                              feature_period=cfg.feature_period,
+                              kind=cfg.ff_output_kind)
+        first = False
+        print(" done.")
+    return 0
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    cfg = parse_config(argv)
+    if cfg.list_devices:
+        import jax
+        devs = jax.devices()
+        print(f"{len(devs)} devices found")
+        for i, d in enumerate(devs):
+            print(f"{i}: {d.device_kind}")
+        return 0
+    _select_device(cfg)
+    try:
+        if cfg.train:
+            return train_mode(cfg)
+        return forward_mode(cfg)
+    except Exception as e:
+        print(f"FAILED: {e}")
+        return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

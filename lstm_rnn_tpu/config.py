@@ -1,0 +1,228 @@
+"""Configuration: the CURRENNT flag surface on argparse.
+
+Reproduces the reference option set (`currennt_lib/src/Configuration.cpp:119-190`,
+full list in `README:104-458`): same names, same defaults, same semantics,
+including the `option = value` options file usable as positional argument #1
+with CLI flags taking priority, and `--continue <autosave>` re-parsing the
+configuration stored in the autosave file instead of the command line
+(Configuration.cpp:236-250).
+
+Unlike the reference's global singleton, the parsed `Config` is an immutable
+dataclass threaded explicitly through the framework.
+
+TPU-specific additions (not in the reference, all optional):
+  --device            cpu|tpu|auto (replaces --cuda device selection)
+  --num_devices       data-parallel shard count over a jax Mesh (0 = all)
+  --bucket_lengths    pad fraction lengths up to a bucket inventory to bound
+                      XLA recompilation (numerically inert)
+  --compute_dtype     float32|bfloat16 matmul inputs (parity mode: float32)
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import shlex
+import sys
+from typing import List, Optional
+
+
+def _str2bool(v: str) -> bool:
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("true", "1", "yes"):
+        return True
+    if v.lower() in ("false", "0", "no"):
+        return False
+    raise argparse.ArgumentTypeError(f"boolean expected, got '{v}'")
+
+
+DEFAULT_UINT_MAX = 2**32 - 1
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="currennt",
+        description="lstm_rnn_tpu - TPU-native CURRENNT-compatible RNN trainer",
+        add_help=True)
+    p.add_argument("options_file", nargs="?", default=None,
+                   help="reads the command line options from the file")
+
+    g = p.add_argument_group("Common options")
+    g.add_argument("--options_file", dest="options_file_flag", default=None)
+    g.add_argument("--network", default="network.jsn")
+    g.add_argument("--cuda", type=_str2bool, default=True,
+                   help="accepted for compatibility; selects the accelerator")
+    g.add_argument("--list_devices", type=_str2bool, default=False)
+    g.add_argument("--parallel_sequences", type=int, default=1)
+    g.add_argument("--random_seed", type=int, default=0)
+
+    g = p.add_argument_group("Forward pass options")
+    g.add_argument("--ff_output_format", default="single_csv",
+                   choices=["single_csv", "csv", "htk"])
+    g.add_argument("--ff_output_file", default="ff_output.csv")
+    g.add_argument("--ff_output_kind", type=int, default=9)
+    g.add_argument("--feature_period", type=float, default=10)
+    g.add_argument("--ff_input_file", default="")
+    g.add_argument("--revert_std", type=_str2bool, default=True)
+
+    g = p.add_argument_group("Training options")
+    g.add_argument("--train", type=_str2bool, default=False)
+    g.add_argument("--stochastic", type=_str2bool, default=False)
+    g.add_argument("--hybrid_online_batch", type=_str2bool, default=None,
+                   help="same as --stochastic (for compatibility)")
+    g.add_argument("--shuffle_fractions", type=_str2bool, default=False)
+    g.add_argument("--shuffle_sequences", type=_str2bool, default=False)
+    g.add_argument("--max_epochs", type=int, default=DEFAULT_UINT_MAX)
+    g.add_argument("--max_epochs_no_best", type=int, default=20)
+    g.add_argument("--validate_every", type=int, default=1)
+    g.add_argument("--test_every", type=int, default=1)
+    g.add_argument("--optimizer", default="steepest_descent",
+                   choices=["steepest_descent", "rprop"])
+    g.add_argument("--learning_rate", type=float, default=1e-5)
+    g.add_argument("--momentum", type=float, default=0.9)
+    g.add_argument("--weight_noise_sigma", type=float, default=0.0)
+    g.add_argument("--save_network", default="trained_network.jsn")
+
+    g = p.add_argument_group("Autosave options")
+    g.add_argument("--autosave", type=_str2bool, default=False)
+    g.add_argument("--autosave_best", type=_str2bool, default=False)
+    g.add_argument("--autosave_prefix", default="")
+    g.add_argument("--continue", dest="continue_file", default="")
+
+    g = p.add_argument_group("Data file options")
+    g.add_argument("--train_file", default="")
+    g.add_argument("--val_file", default="")
+    g.add_argument("--test_file", default="")
+    g.add_argument("--train_fraction", type=float, default=1.0)
+    g.add_argument("--val_fraction", type=float, default=1.0)
+    g.add_argument("--test_fraction", type=float, default=1.0)
+    g.add_argument("--truncate_seq", type=int, default=0)
+    g.add_argument("--input_noise_sigma", type=float, default=0.0)
+    g.add_argument("--input_left_context", type=int, default=0)
+    g.add_argument("--input_right_context", type=int, default=0)
+    g.add_argument("--output_time_lag", type=int, default=0)
+    g.add_argument("--cache_path", default="")
+
+    g = p.add_argument_group("Weight initialization options")
+    g.add_argument("--weights_dist", default="uniform", choices=["uniform", "normal"])
+    g.add_argument("--weights_uniform_min", type=float, default=-0.1)
+    g.add_argument("--weights_uniform_max", type=float, default=0.1)
+    g.add_argument("--weights_normal_sigma", type=float, default=0.1)
+    g.add_argument("--weights_normal_mean", type=float, default=0.0)
+
+    g = p.add_argument_group("TPU options (extensions)")
+    g.add_argument("--device", default="auto", choices=["auto", "cpu", "tpu"])
+    g.add_argument("--num_devices", type=int, default=1,
+                   help="data-parallel devices (0 = all available)")
+    g.add_argument("--bucket_lengths", type=_str2bool, default=False)
+    g.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    return p
+
+
+def _split_files(s: str) -> List[str]:
+    return [f for f in s.replace(";", ",").split(",") if f]
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Immutable parsed configuration."""
+    args: argparse.Namespace
+    serialized_options: str
+
+    def __getattr__(self, name):
+        return getattr(object.__getattribute__(self, "args"), name)
+
+    @property
+    def hybrid_online_batch(self) -> bool:
+        a = self.args
+        if a.hybrid_online_batch is not None:
+            return a.hybrid_online_batch
+        return a.stochastic
+
+    @property
+    def training_files(self) -> List[str]:
+        return _split_files(self.args.train_file)
+
+    @property
+    def validation_files(self) -> List[str]:
+        return _split_files(self.args.val_file)
+
+    @property
+    def test_files(self) -> List[str]:
+        return _split_files(self.args.test_file)
+
+    @property
+    def feedforward_input_files(self) -> List[str]:
+        return _split_files(self.args.ff_input_file)
+
+
+def _read_options_file(path: str) -> List[str]:
+    """`option = value` per line; '#' comments (Configuration.cpp options-file
+    format via boost program_options parse_config_file)."""
+    argv = []
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if not line:
+                continue
+            if "=" not in line:
+                raise ValueError(f"bad options file line: {line!r}")
+            k, v = line.split("=", 1)
+            argv += [f"--{k.strip()}", v.strip()]
+    return argv
+
+
+def parse_config(argv: Optional[List[str]] = None) -> Config:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    parser = build_parser()
+    ns = parser.parse_args(argv)
+    opts_file = ns.options_file or ns.options_file_flag
+    if opts_file:
+        # CLI takes priority over the options file (README:110-117): parse
+        # file first, then re-apply the CLI on top.
+        file_argv = _read_options_file(opts_file)
+        ns = parser.parse_args(file_argv)
+        ns = parser.parse_args([a for a in argv if a != opts_file], namespace=ns)
+
+    if ns.continue_file:
+        # --continue ignores all other flags: re-parse the configuration
+        # stored in the autosave file (Configuration.cpp:236-250).
+        import json
+        with open(ns.continue_file) as f:
+            doc = json.load(f)
+        stored = doc.get("configuration", "")
+        cont = ns.continue_file
+        ns = parser.parse_args(shlex.split(stored))
+        ns.continue_file = cont
+
+    # validation (Configuration.cpp:264-310)
+    for frac, nm in ((ns.train_fraction, "training"), (ns.val_fraction, "validation"),
+                     (ns.test_fraction, "test")):
+        if not (0 < frac <= 1):
+            raise ValueError(f"Invalid {nm} set fraction. Should be 0 < x <= 1")
+
+    # random seed auto-generation (Configuration.cpp:272-274)
+    if ns.random_seed == 0:
+        import random
+        ns.random_seed = random.SystemRandom().randrange(1, 2**32)
+
+    serialized = serialize_options(ns)
+    return Config(args=ns, serialized_options=serialized)
+
+
+_SERIALIZE_SKIP = {"options_file", "options_file_flag", "continue_file", "list_devices"}
+
+
+def serialize_options(ns: argparse.Namespace) -> str:
+    """Flatten the effective options to a flag string stored in autosaves
+    (Configuration.cpp:47-67)."""
+    parts = []
+    for k, v in sorted(vars(ns).items()):
+        if k in _SERIALIZE_SKIP or v is None:
+            continue
+        if isinstance(v, bool):
+            v = "true" if v else "false"
+        parts.append(f"--{k} {shlex.quote(str(v))}")
+    return " ".join(parts)

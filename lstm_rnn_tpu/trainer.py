@@ -1,0 +1,327 @@
+"""Training loop: momentum SGD, epoch driver, best-weight tracking, autosave.
+
+Reproduces `currennt_lib/src/optimizers/`:
+
+- SteepestDescentOptimizer (SteepestDescentOptimizer.cu:39-94):
+  delta <- momentum*delta - lr*grad;  w <- w + delta, with the per-layer
+  `learningRate` JSON override (>= 0 replaces the global lr);
+- epoch driver (Optimizer.cu:284-324): train pass with updates -> validation
+  every `validate_every` (track lowest, snapshot best weights) -> test every
+  `test_every` -> stop on max_epochs_no_best/max_epochs, restoring the best
+  weights at the end; when no validation set exists the reference snapshots
+  best weights every epoch (Optimizer.cu:306-309);
+- _processDataSet (Optimizer.cu:38-104): per-fraction forward + error sum;
+  classification-error counting; optional Gaussian weight noise injected
+  before the backward pass and restored after (gradients taken at the noisy
+  point, update applied to the clean weights); stochastic
+  (hybrid_online_batch) mode updates after every fraction, batch mode
+  accumulates gradients across fractions and updates once per epoch;
+  epoch error = sum of fraction errors / totalSequences; classification
+  error = 1 - correct/totalTimesteps.
+
+TPU design: the whole fraction step (forward, loss, backward, SGD update) is
+ONE jitted function with donated params/velocity buffers — no host round
+trips inside an epoch except the scalar error accumulators. Data parallelism
+shards the fraction's batch axis over a jax Mesh (see parallel/).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lstm_rnn_tpu.data.dataset import DataSet, Fraction
+from lstm_rnn_tpu.network import Network
+
+
+def tree_zeros_like(tree):
+    return jax.tree_util.tree_map(jnp.zeros_like, tree)
+
+
+class Trainer:
+    def __init__(self, net: Network, train_set: DataSet,
+                 validation_set: Optional[DataSet] = None,
+                 test_set: Optional[DataSet] = None, *,
+                 learning_rate: float = 1e-5, momentum: float = 0.9,
+                 max_epochs: int = -1, max_epochs_no_best: int = 20,
+                 validate_every: int = 1, test_every: int = 1,
+                 hybrid_online_batch: bool = False,
+                 weight_noise_sigma: float = 0.0,
+                 seed: int = 1, mesh=None):
+        self.net = net
+        self.train_set = train_set
+        self.validation_set = validation_set
+        self.test_set = test_set
+        self.learning_rate = learning_rate
+        self.momentum = momentum
+        self.max_epochs = max_epochs
+        self.max_epochs_no_best = max_epochs_no_best
+        self.validate_every = validate_every
+        self.test_every = test_every
+        self.hybrid_online_batch = hybrid_online_batch
+        self.weight_noise_sigma = weight_noise_sigma
+        self.mesh = mesh
+        self._noise_rng = np.random.RandomState(seed & 0x7FFFFFFF)
+
+        # per-layer learning rates (>=0 overrides global,
+        # SteepestDescentOptimizer.cu:78-80)
+        self.layer_lr: Dict[str, float] = {
+            s.name: (s.learning_rate if s.learning_rate >= 0 else learning_rate)
+            for s in net.trainable_specs()
+        }
+
+        self.params = jax.tree_util.tree_map(jnp.asarray, net.params)
+        self.velocity = tree_zeros_like(self.params)
+        self.best_params = self.params
+
+        # optimizer state (Optimizer.cu ctor)
+        self.finished = False
+        self.cur_epoch = 0
+        self.epochs_since_lowest = 0
+        self.lowest_validation_error = float("inf")
+        self.cur_training_error = float("inf")
+        self.cur_validation_error = float("inf")
+        self.cur_test_error = float("inf")
+        self.cur_training_class_error = 0.0
+        self.cur_validation_class_error = 0.0
+        self.cur_test_class_error = 0.0
+
+        self._build_steps()
+
+    # ----------------------------------------------------------------- jitted
+    def _build_steps(self):
+        net = self.net
+        lrs = self.layer_lr
+        momentum = self.momentum
+
+        def loss_and_metrics(params, inputs, targets, pattypes):
+            y = net.apply(params, inputs, pattypes)
+            err = net.loss_fn(y, targets, pattypes)
+            correct = net.correct_count(y, targets, pattypes)
+            return err, correct
+
+        def grad_fraction(params, inputs, targets, pattypes):
+            (err, correct), grads = jax.value_and_grad(
+                lambda p: loss_and_metrics(p, inputs, targets, pattypes),
+                has_aux=True)(params)
+            return err, correct, grads
+
+        def sgd_update(params, velocity, grads):
+            new_v = {}
+            new_p = {}
+            for name, g in grads.items():
+                lr = lrs[name]
+                new_v[name] = jax.tree_util.tree_map(
+                    lambda v, gg: momentum * v - lr * gg, velocity[name], g)
+                new_p[name] = jax.tree_util.tree_map(
+                    lambda p, v: p + v, params[name], new_v[name])
+            return new_p, new_v
+
+        def train_step(params, velocity, inputs, targets, pattypes):
+            """Stochastic-mode fused step: grads at `params`, update applied."""
+            err, correct, grads = grad_fraction(params, inputs, targets, pattypes)
+            params, velocity = sgd_update(params, velocity, grads)
+            return params, velocity, err, correct
+
+        def train_step_noisy(params, velocity, noise, inputs, targets, pattypes):
+            """Weight noise: gradient at params+noise, update applied to the
+            clean params (Optimizer.cu:58-84)."""
+            noisy = jax.tree_util.tree_map(lambda p, n: p + n, params, noise)
+            err, correct, grads = grad_fraction(noisy, inputs, targets, pattypes)
+            params, velocity = sgd_update(params, velocity, grads)
+            return params, velocity, err, correct
+
+        def eval_step(params, inputs, targets, pattypes):
+            return loss_and_metrics(params, inputs, targets, pattypes)
+
+        def accum_step(params, grad_acc, noise, inputs, targets, pattypes):
+            """Batch-mode step: accumulate gradients, no update."""
+            noisy = jax.tree_util.tree_map(lambda p, n: p + n, params, noise)
+            err, correct, grads = grad_fraction(noisy, inputs, targets, pattypes)
+            grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, grads)
+            return grad_acc, err, correct
+
+        donate = dict(donate_argnums=(0, 1))
+        self._train_step = jax.jit(train_step, **donate)
+        self._train_step_noisy = jax.jit(train_step_noisy, **donate)
+        self._eval_step = jax.jit(eval_step)
+        self._accum_step = jax.jit(accum_step, donate_argnums=(1,))
+        self._sgd_update = jax.jit(sgd_update, **donate)
+
+    # ------------------------------------------------------------------ noise
+    def _draw_noise(self):
+        sig = self.weight_noise_sigma
+        return jax.tree_util.tree_map(
+            lambda p: jnp.asarray(
+                self._noise_rng.normal(0.0, sig, p.shape).astype(np.float32)),
+            self.params)
+
+    # ------------------------------------------------------------------ epoch
+    def _device_batch(self, frac: Fraction):
+        """Place a fraction on device, sharded over the mesh batch axis."""
+        if self.mesh is None:
+            return frac.inputs, frac.targets, frac.pattypes
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(self.mesh, P(None, "data"))
+        inputs = jax.device_put(frac.inputs, sh)
+        pattypes = jax.device_put(frac.pattypes, sh)
+        tsh = sh if frac.targets.ndim == 3 else NamedSharding(self.mesh, P(None, "data"))
+        targets = jax.device_put(frac.targets, tsh)
+        return inputs, targets, pattypes
+
+    def _process_dataset(self, ds: DataSet, update: bool):
+        total_err = 0.0
+        correct = 0
+        use_noise = update and self.weight_noise_sigma > 0
+        grad_acc = None
+        if update and not self.hybrid_online_batch:
+            grad_acc = tree_zeros_like(self.params)
+
+        for frac in ds.fractions():
+            inputs, targets, pattypes = self._device_batch(frac)
+            if not update:
+                err, corr = self._eval_step(self.params, inputs, targets, pattypes)
+            elif self.hybrid_online_batch:
+                if use_noise:
+                    noise = self._draw_noise()
+                    self.params, self.velocity, err, corr = self._train_step_noisy(
+                        self.params, self.velocity, noise, inputs, targets, pattypes)
+                else:
+                    self.params, self.velocity, err, corr = self._train_step(
+                        self.params, self.velocity, inputs, targets, pattypes)
+            else:
+                noise = self._draw_noise() if use_noise else tree_zeros_like(self.params)
+                grad_acc, err, corr = self._accum_step(
+                    self.params, grad_acc, noise, inputs, targets, pattypes)
+            total_err += float(err)
+            correct += int(corr)
+
+        if update and not self.hybrid_online_batch:
+            self.params, self.velocity = self._sgd_update(
+                self.params, self.velocity, grad_acc)
+
+        total_err /= ds.total_sequences
+        class_err = 1.0 - correct / ds.total_timesteps
+        return total_err, class_err
+
+    def train_epoch(self) -> bool:
+        """One epoch; returns True when training is finished
+        (Optimizer::train, Optimizer.cu:284-324)."""
+        if self.finished:
+            return True
+        self.cur_epoch += 1
+
+        self.cur_training_error, self.cur_training_class_error = \
+            self._process_dataset(self.train_set, update=True)
+
+        has_val = self.validation_set is not None and not self.validation_set.empty
+        if has_val and self.cur_epoch % self.validate_every == 0:
+            self.cur_validation_error, self.cur_validation_class_error = \
+                self._process_dataset(self.validation_set, update=False)
+            if self.cur_validation_error < self.lowest_validation_error:
+                self.lowest_validation_error = self.cur_validation_error
+                self.epochs_since_lowest = 0
+                self.best_params = self.params
+            else:
+                self.epochs_since_lowest += self.validate_every
+        elif not has_val:
+            self.epochs_since_lowest = 0
+            self.best_params = self.params
+
+        has_test = self.test_set is not None and not self.test_set.empty
+        if has_test and self.cur_epoch % self.test_every == 0:
+            self.cur_test_error, self.cur_test_class_error = \
+                self._process_dataset(self.test_set, update=False)
+
+        if (self.epochs_since_lowest >= self.max_epochs_no_best
+                or (self.max_epochs >= 0 and self.cur_epoch >= self.max_epochs)):
+            self.params = self.best_params
+            self.finished = True
+        return self.finished
+
+    # ------------------------------------------------------ state (autosave)
+    def _params_to_layer_arrays(self, params) -> List[List[float]]:
+        """Reference autosave layout for optimizer weight vectors: one flat
+        [input|bias|internal] array per layer position; empty arrays for the
+        input and post-output layers (Optimizer.cu:326-341 exports
+        m_bestWeights indexed by layer)."""
+        from lstm_rnn_tpu import io_currennt as ioc
+        out: List[List[float]] = []
+        for s in self.specs_all():
+            if s.name not in params:
+                out.append([])
+                continue
+            p = jax.tree_util.tree_map(np.asarray, params[s.name])
+            if s.type in ioc.LSTM_TYPES:
+                inp, bias, internal = ioc.lstm_to_flat(p)
+            else:
+                inp, bias, internal = ioc.ff_to_flat(p)
+            out.append([float(v) for v in np.concatenate([inp, bias, internal])])
+        return out
+
+    def _params_from_layer_arrays(self, arrays: List[List[float]]):
+        from lstm_rnn_tpu import io_currennt as ioc
+        params = {}
+        prev = None
+        for s, arr in zip(self.specs_all(), arrays):
+            if s.type == "input" or s.type in ioc.POSTOUTPUT_TYPES:
+                prev = s.size
+                continue
+            flat = np.asarray(arr, dtype=np.float32)
+            if s.type in ioc.LSTM_TYPES:
+                n_in = 4 * s.size * prev
+                n_b = 4 * s.size
+                params[s.name] = ioc.lstm_from_flat(
+                    flat[:n_in], flat[n_in:n_in + n_b], flat[n_in + n_b:],
+                    prev, s.size, ioc.LSTM_TYPES[s.type])
+            else:
+                n_in = s.size * prev
+                params[s.name] = ioc.ff_from_flat(
+                    flat[:n_in], flat[n_in:n_in + s.size], prev, s.size)
+            prev = s.size
+        return params
+
+    def specs_all(self):
+        return self.net.specs
+
+    def export_state(self) -> Dict[str, Any]:
+        """Optimizer state for the autosave JSON (Optimizer.cu:326-341,
+        SteepestDescentOptimizer.cu:118-123), format-compatible with
+        reference autosave files."""
+        return {
+            "optimizer_finished": self.finished,
+            "optimizer_cur_epoch": self.cur_epoch,
+            "optimizer_epochs_since_lowest_error": self.epochs_since_lowest,
+            "optimizer_lowest_validation_error": self.lowest_validation_error,
+            "optimizer_cur_training_error": self.cur_training_error,
+            "optimizer_cur_validation_error": self.cur_validation_error,
+            "optimizer_cur_test_error": self.cur_test_error,
+            "optimizer_cur_training_class_error": self.cur_training_class_error,
+            "optimizer_cur_validation_class_error": self.cur_validation_class_error,
+            "optimizer_cur_test_class_error": self.cur_test_class_error,
+            "optimizer_best_weights": self._params_to_layer_arrays(self.best_params),
+            "steepest_descent_optimizer_weight_deltas":
+                self._params_to_layer_arrays(self.velocity),
+        }
+
+    def import_state(self, doc: Dict[str, Any]) -> None:
+        self.finished = bool(doc["optimizer_finished"])
+        self.cur_epoch = int(doc["optimizer_cur_epoch"])
+        self.epochs_since_lowest = int(doc["optimizer_epochs_since_lowest_error"])
+        self.lowest_validation_error = float(doc["optimizer_lowest_validation_error"])
+        self.cur_training_error = float(doc["optimizer_cur_training_error"])
+        self.cur_validation_error = float(doc["optimizer_cur_validation_error"])
+        self.cur_test_error = float(doc["optimizer_cur_test_error"])
+        self.cur_training_class_error = float(doc["optimizer_cur_training_class_error"])
+        self.cur_validation_class_error = float(doc["optimizer_cur_validation_class_error"])
+        self.cur_test_class_error = float(doc["optimizer_cur_test_class_error"])
+        bw = self._params_from_layer_arrays(doc["optimizer_best_weights"])
+        self.best_params = jax.tree_util.tree_map(jnp.asarray, bw)
+        vd = self._params_from_layer_arrays(
+            doc["steepest_descent_optimizer_weight_deltas"])
+        self.velocity = jax.tree_util.tree_map(jnp.asarray, vd)

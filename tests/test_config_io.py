@@ -1,0 +1,104 @@
+"""Config flag-surface, options files, JSON weight layout round-trips, writers."""
+
+import json
+
+import numpy as np
+import pytest
+
+from lstm_rnn_tpu import io_currennt as ioc
+from lstm_rnn_tpu.config import parse_config
+from lstm_rnn_tpu.writers import read_htk, write_htk, write_single_csv
+
+from .conftest import requires_reference
+
+
+def test_defaults():
+    cfg = parse_config([])
+    assert cfg.network == "network.jsn"
+    assert cfg.parallel_sequences == 1
+    assert cfg.learning_rate == 1e-5
+    assert cfg.momentum == 0.9
+    assert cfg.max_epochs_no_best == 20
+    assert cfg.hybrid_online_batch is False
+    assert cfg.ff_output_format == "single_csv"
+    assert cfg.revert_std is True
+    assert cfg.random_seed != 0  # auto-generated
+
+
+def test_options_file_with_cli_priority(tmp_path):
+    p = tmp_path / "opt.cfg"
+    p.write_text("learning_rate = 1e-3\nmomentum = 0.5\n# comment\nmax_epochs = 7\n")
+    cfg = parse_config([str(p), "--momentum", "0.7"])
+    assert cfg.learning_rate == 1e-3
+    assert cfg.momentum == 0.7  # CLI wins
+    assert cfg.max_epochs == 7
+
+
+def test_stochastic_alias():
+    assert parse_config(["--stochastic", "true"]).hybrid_online_batch is True
+    assert parse_config(["--hybrid_online_batch", "true"]).hybrid_online_batch is True
+
+
+def test_invalid_fraction():
+    with pytest.raises(ValueError):
+        parse_config(["--train_fraction", "0"])
+
+
+def test_lstm_flat_roundtrip(rng):
+    for bidi in (False, True):
+        P, L = 7, 6
+        d = 2 if bidi else 1
+        h = L // d
+        params = {
+            "W_in": rng.randn(d, P, 4, h).astype(np.float32),
+            "W_rec": rng.randn(d, h, 4, h).astype(np.float32),
+            "b": rng.randn(d, 4, h).astype(np.float32),
+            "peep": rng.randn(d, 3, h).astype(np.float32),
+        }
+        inp, bias, internal = ioc.lstm_to_flat(params)
+        assert inp.size == 4 * L * P and bias.size == 4 * L
+        assert internal.size == 4 * L * h + 3 * L
+        back = ioc.lstm_from_flat(inp, bias, internal, P, L, bidi)
+        for k in params:
+            np.testing.assert_array_equal(params[k], back[k])
+
+
+@requires_reference
+def test_reference_network_weight_counts():
+    """Weight-section sizes must match the reference formulas
+    (TrainableLayer.cu:68-101): blstm input=4LP, bias=4L, internal=4LH+3L."""
+    doc = json.load(open("/root/reference/tests/test1/network.jsn"))
+    params = ioc.params_from_weights_section(doc["layers"], doc["weights"])
+    w = doc["weights"]["blstm_level_0"]
+    assert len(w["input"]) == 4 * 10 * 39
+    assert len(w["bias"]) == 4 * 10
+    assert len(w["internal"]) == 4 * 10 * 5 + 3 * 10
+    # round-trip back to flat: exact up to float32 representation of the
+    # JSON decimals (the reference stores real_t = float32 too)
+    for layer in doc["weights"]:
+        out = ioc.weights_section_from_params(doc["layers"], params)
+        for sec in doc["weights"][layer]:
+            a = np.asarray(out[layer][sec])
+            b = np.float64(np.asarray(doc["weights"][layer][sec], np.float32))
+            np.testing.assert_array_equal(a, b)
+
+
+def test_htk_roundtrip(tmp_path):
+    rng = np.random.RandomState(0)
+    out = rng.randn(13, 5).astype(np.float32)
+    write_htk(str(tmp_path), ["x/y/tag1"], [out], feature_period=10, kind=9)
+    data, period, kind = read_htk(str(tmp_path / "x/y/tag1.htk"))
+    np.testing.assert_array_equal(data, out)
+    assert period == 100000 and kind == 9
+
+
+def test_single_csv_lag(tmp_path):
+    out = np.arange(8, dtype=np.float32).reshape(4, 2)
+    p = tmp_path / "o.csv"
+    write_single_csv(str(p), ["t1"], [out], lag=1)
+    line = p.read_text().strip()
+    vals = line.split(";")
+    assert vals[0] == "t1"
+    # lag=1: frame i reads i+1; last frame repeats
+    got = np.array([float(v) for v in vals[1:]]).reshape(4, 2)
+    np.testing.assert_array_equal(got, np.array([[2, 3], [4, 5], [6, 7], [6, 7]]))

@@ -1,0 +1,76 @@
+"""End-to-end golden test: one training epoch on real CHiME data.
+
+The reference's own golden fixture (tests/test1/expected_network.jsn) is
+byte-identical to the initial network.jsn — vacuous, since real training
+changes output-layer weights by ~4e-2 at lr=1e-5 (the fork committed a stale
+fixture; its own binary could not pass the 1e-10 check either). The
+meaningful equivalent: train the SAME pinned test1 network for one epoch
+with the jax trainer (float32, TPU semantics) AND with the float64 NumPy
+oracle implementing the reference math, and require the weight UPDATES to
+agree to float32 round-off.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from lstm_rnn_tpu.data.dataset import DataSet
+from lstm_rnn_tpu.network import Network
+from lstm_rnn_tpu.trainer import Trainer
+
+from . import oracle_net
+from .conftest import requires_reference
+
+NC = "/root/reference/examples/speech_recognition_chime/val_1_speaker.nc"
+NET = "/root/reference/tests/test1/network.jsn"
+
+
+@requires_reference
+@pytest.mark.parametrize("stochastic", [True, False])
+def test_one_epoch_matches_oracle(stochastic):
+    # small subset: 20 sequences in fractions of 10 for speed
+    ds = DataSet([NC], parallel_sequences=10, fraction=0.2,
+                 sort_by_length=True, prefetch=False)
+    assert ds.total_sequences == 20
+    net = Network.from_json_file(NET)
+
+    trainer = Trainer(net, ds, learning_rate=1e-5, momentum=0.9, max_epochs=1,
+                      hybrid_online_batch=stochastic)
+    trainer.train_epoch()
+
+    fracs = [(f.inputs, f.targets, f.pattypes) for f in ds.fractions()]
+    params0 = {k: {kk: np.asarray(vv, np.float64) for kk, vv in v.items()}
+               for k, v in net.params.items()}
+    p_ref, _, err_ref, correct_ref = oracle_net.train_epoch(
+        net.specs, params0, fracs, lr=1e-5, momentum=0.9, stochastic=stochastic)
+
+    # training error: sum over fractions / totalSequences (Optimizer.cu:100)
+    err_jax = trainer.cur_training_error
+    assert abs(err_jax - err_ref / ds.total_sequences) < 5e-3 * abs(err_jax)
+    # classification error counting
+    cls_ref = 1.0 - correct_ref / ds.total_timesteps
+    assert abs(trainer.cur_training_class_error - cls_ref) < 1e-12
+
+    # weight updates must match to float32 round-off
+    import jax
+    for name in p_ref:
+        for kk in p_ref[name]:
+            upd_ref = p_ref[name][kk] - params0[name][kk]
+            upd_jax = np.asarray(trainer.params[name][kk], np.float64) - params0[name][kk]
+            scale = np.abs(upd_ref).max() + 1e-12
+            err = np.abs(upd_jax - upd_ref).max()
+            # float64-vs-oracle agreement is exact (0.0); in float32 the
+            # deep layers' ~1e-8 updates carry ~1e-8 absolute round-off.
+            assert err < 2e-3 * scale + 5e-8, (
+                f"{name}.{kk}: max update err {err:.3e} vs scale {scale:.3e}")
+
+
+@requires_reference
+def test_reference_fixture_is_vacuous():
+    """Documents why we do not compare against expected_network.jsn."""
+    exp = json.load(open("/root/reference/tests/test1/expected_network.jsn"))
+    init = json.load(open(NET))
+    for layer in exp["weights"]:
+        for sec in exp["weights"][layer]:
+            assert exp["weights"][layer][sec] == init["weights"][layer][sec]
