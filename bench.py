@@ -1,0 +1,80 @@
+"""Benchmark: TIMIT DBLSTM training throughput (frames/sec) on one chip.
+
+The flagship recipe (BASELINE.md): 117-dim input -> 5 x BLSTM(250) ->
+softmax(183) -> multiclass CE, parallel_sequences 50, truncate_seq 500.
+The reference publishes no absolute numbers (BASELINE.md documents this), so
+`vs_baseline` reports against a recorded CURRENNT-GPU estimate baseline of
+BASELINE_FPS frames/sec; the north star is >= 10x.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+# Estimated CURRENNT frames/sec for the TIMIT recipe on a period GPU.
+# The repo ships no numbers (BASELINE.json: published={}); this constant is
+# our recorded reference point for vs_baseline and is revisited when a real
+# CURRENNT measurement lands.
+BASELINE_FPS = 10_000.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from lstm_rnn_tpu.models.flagship import build_timit_network
+    from lstm_rnn_tpu.ops.masking import pattypes_from_lengths
+
+    t, b = 500, 50  # truncate_seq x parallel_sequences from the recipe
+    states = 183
+    net = build_timit_network(seed=3)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(t, b, 117).astype(np.float32))
+    pt = jnp.asarray(pattypes_from_lengths([t] * b, t, b))
+    tc = jnp.asarray(rng.randint(0, states, (t, b)).astype(np.int32))
+
+    params = jax.tree_util.tree_map(jnp.asarray, net.params)
+    velocity = jax.tree_util.tree_map(jnp.zeros_like, params)
+    lr, momentum = 1e-4, 0.9
+
+    def train_step(params, velocity, x, tc, pt):
+        def loss(p):
+            y = net.apply(p, x, pt)
+            return net.loss_fn(y, tc, pt)
+
+        err, grads = jax.value_and_grad(loss)(params)
+        velocity = jax.tree_util.tree_map(lambda v, g: momentum * v - lr * g,
+                                          velocity, grads)
+        params = jax.tree_util.tree_map(lambda p, v: p + v, params, velocity)
+        return params, velocity, err
+
+    step = jax.jit(train_step, donate_argnums=(0, 1))
+
+    # warmup / compile
+    params, velocity, err = step(params, velocity, x, tc, pt)
+    jax.block_until_ready(err)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, velocity, err = step(params, velocity, x, tc, pt)
+    jax.block_until_ready(err)
+    dt = time.perf_counter() - t0
+
+    frames = t * b * iters
+    fps = frames / dt
+    print(json.dumps({
+        "metric": "timit_dblstm_train_frames_per_sec",
+        "value": round(fps, 1),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -47,12 +47,13 @@ def _pad4(n: int) -> int:
 
 
 class Var:
-    def __init__(self, name, dims, nc_type, begin, shape):
+    def __init__(self, name, dims, nc_type, begin, shape, dim_names=()):
         self.name = name
         self.dims = dims
         self.nc_type = nc_type
         self.begin = begin
         self.shape = shape
+        self.dim_names = tuple(dim_names)
 
     @property
     def dtype(self):
@@ -145,7 +146,8 @@ class NetCDF3File:
             else:
                 begin = self._u4()
             shape = tuple(self._dim_sizes[d] for d in dimids)
-            self.variables[name] = Var(name, dimids, nc_type, begin, shape)
+            dim_names = tuple(list(self.dimensions)[d] for d in dimids)
+            self.variables[name] = Var(name, dimids, nc_type, begin, shape, dim_names)
 
     # ------------------------------------------------------------------- read
     def read(self, name: str, start: int = 0, count: Optional[int] = None) -> np.ndarray:

@@ -1,0 +1,6 @@
+from lstm_rnn_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    replicate,
+    shard_batch,
+    shard_fraction,
+)

@@ -76,6 +76,9 @@ class Trainer:
         }
 
         self.params = jax.tree_util.tree_map(jnp.asarray, net.params)
+        if mesh is not None:
+            from lstm_rnn_tpu.parallel.mesh import replicate
+            self.params = replicate(mesh, self.params)
         self.velocity = tree_zeros_like(self.params)
         self.best_params = self.params
 
@@ -163,16 +166,11 @@ class Trainer:
 
     # ------------------------------------------------------------------ epoch
     def _device_batch(self, frac: Fraction):
-        """Place a fraction on device, sharded over the mesh batch axis."""
+        """Place a fraction on device, batch axis sharded over the mesh."""
         if self.mesh is None:
             return frac.inputs, frac.targets, frac.pattypes
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        sh = NamedSharding(self.mesh, P(None, "data"))
-        inputs = jax.device_put(frac.inputs, sh)
-        pattypes = jax.device_put(frac.pattypes, sh)
-        tsh = sh if frac.targets.ndim == 3 else NamedSharding(self.mesh, P(None, "data"))
-        targets = jax.device_put(frac.targets, tsh)
-        return inputs, targets, pattypes
+        from lstm_rnn_tpu.parallel.mesh import shard_fraction
+        return shard_fraction(self.mesh, frac.inputs, frac.targets, frac.pattypes)
 
     def _process_dataset(self, ds: DataSet, update: bool):
         total_err = 0.0

@@ -1,0 +1,63 @@
+"""Multi-chip data parallelism: sharded training equals single-device training."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lstm_rnn_tpu.data.dataset import DataSet
+from lstm_rnn_tpu.network import Network
+from lstm_rnn_tpu.parallel.mesh import make_mesh, replicate, shard_fraction
+from lstm_rnn_tpu.trainer import Trainer
+
+from .conftest import requires_reference
+
+NC = "/root/reference/examples/speech_recognition_chime/val_1_speaker.nc"
+NET = "/root/reference/tests/test1/network.jsn"
+
+
+def test_mesh_devices():
+    assert len(jax.devices()) == 8, "conftest must fake 8 CPU devices"
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+@requires_reference
+def test_sharded_training_matches_single_device():
+    """One stochastic epoch with B=8 sharded over 8 devices must produce the
+    same updates as unsharded training (the psum is the same pattern sum)."""
+    ds = DataSet([NC], parallel_sequences=8, fraction=0.16,
+                 sort_by_length=True, prefetch=False)
+    net = Network.from_json_file(NET)
+
+    t1 = Trainer(net, ds, learning_rate=1e-5, momentum=0.9, max_epochs=1,
+                 hybrid_online_batch=True)
+    t1.train_epoch()
+
+    net2 = Network.from_json_file(NET)
+    mesh = make_mesh()
+    t2 = Trainer(net2, ds, learning_rate=1e-5, momentum=0.9, max_epochs=1,
+                 hybrid_online_batch=True, mesh=mesh)
+    t2.train_epoch()
+
+    assert abs(t1.cur_training_error - t2.cur_training_error) < 1e-5 * abs(
+        t1.cur_training_error) + 1e-8
+    for name in t1.params:
+        for kk in t1.params[name]:
+            a = np.asarray(t1.params[name][kk])
+            b = np.asarray(t2.params[name][kk])
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7,
+                                       err_msg=f"{name}.{kk}")
+
+
+def test_graft_dryrun():
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
+
+
+def test_graft_entry_compiles():
+    import __graft_entry__ as g
+    fn, args = g.entry()
+    y = jax.jit(fn)(*args)
+    assert y.shape == (64, 8, 183)
+    assert bool(jnp.isfinite(y).all())
