@@ -93,7 +93,7 @@ class DataSet:
                  input_left_context: int = 0, input_right_context: int = 0,
                  output_time_lag: int = 0, sort_by_length: bool = False,
                  seed: int = 0, bucket_lengths: bool = False,
-                 prefetch: bool = True):
+                 prefetch: bool = True, use_native: Optional[bool] = None):
         if not (0 < fraction <= 1):
             raise ValueError("Invalid fraction")
         self.parallel_sequences = parallel_sequences
@@ -106,6 +106,15 @@ class DataSet:
         self.bucket_lengths = bucket_lengths
         self.prefetch = prefetch
         self._rng = np.random.RandomState(seed & 0x7FFFFFFF if seed else None)
+        # native C++ assembly (lstm_rnn_tpu/runtime): auto-enabled when the
+        # shared library is available and no noise is requested (the noise
+        # RNG streams differ between the native and NumPy paths)
+        if use_native is None:
+            use_native = noise_deviation == 0.0
+        self._native = None
+        if use_native:
+            from lstm_rnn_tpu import runtime as _rt
+            self._native = _rt if _rt.load() is not None else None
 
         self.sequences: List[SequenceRef] = []
         self.total_sequences = 0
@@ -231,6 +240,24 @@ class DataSet:
         ctx_len = self.left_context + self.right_context + 1
         in_size = self.input_pattern_size * ctx_len
         lag = self.output_time_lag
+
+        if self._native is not None and self.noise_deviation == 0.0:
+            inputs_cat = np.concatenate([s.inputs for s in seqs], axis=0)
+            if self.is_classification:
+                targets_cat = np.concatenate([s.targets for s in seqs])
+            else:
+                targets_cat = np.concatenate([s.targets for s in seqs], axis=0)
+            lengths = np.asarray([s.length for s in seqs], np.int32)
+            offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]]).astype(np.int32)
+            inputs, targets, pattypes = self._native.assemble_fraction(
+                inputs_cat, targets_cat, offsets, lengths,
+                self.is_classification, t_pad, b, self.input_pattern_size,
+                self.output_pattern_size, self.left_context, self.right_context,
+                lag, 0.0, 0)
+            info = [{"tag": s.tag, "length": s.length,
+                     "originalSeqIdx": s.original_idx} for s in seqs]
+            return Fraction(inputs=inputs, pattypes=pattypes, targets=targets,
+                            seq_info=info)
 
         inputs = np.zeros((t_pad, b, in_size), np.float32)
         pattypes = np.full((t_pad, b), PATTYPE_NONE, np.int8)
