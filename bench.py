@@ -24,6 +24,8 @@ BASELINE_FPS = 10_000.0
 
 
 def main():
+    from lstm_rnn_tpu.utils.device import ensure_backend
+    ensure_backend()
     import jax
     import jax.numpy as jnp
 
@@ -57,13 +59,16 @@ def main():
 
     # warmup / compile
     params, velocity, err = step(params, velocity, x, tc, pt)
-    jax.block_until_ready(err)
+    float(err)
 
+    # per-step host sync: the remote-TPU tunnel's block_until_ready is not a
+    # reliable fence across a chain of donated-buffer steps; float(err)
+    # forces each step's result before the next timing tick
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         params, velocity, err = step(params, velocity, x, tc, pt)
-    jax.block_until_ready(err)
+        float(err)
     dt = time.perf_counter() - t0
 
     frames = t * b * iters

@@ -91,28 +91,72 @@ def _lstm_scan(acts, w_rec, peep, mask, clip_gradients: bool):
     return ys
 
 
+def _pad_axis(a, axis, target):
+    pad = target - a.shape[axis]
+    if pad == 0:
+        return a
+    widths = [(0, 0)] * a.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(a, widths)
+
+
 def lstm_forward(params, x, pattypes, bias_mult: float, bidirectional: bool,
-                 clip_gradients: bool = True):
+                 clip_gradients: bool = True, backend: str = "auto"):
     """x: [T, B, P], pattypes: [T, B] int8 -> outputs [T, B, L].
 
     L = H for unidirectional, 2H for bidirectional ([fw | bw] per frame).
+    backend: "scan" (lax.scan), "pallas" (fused Mosaic kernel),
+    "pallas_interpret" (kernel in interpreter mode, for CPU tests), or
+    "auto" (pallas on TPU, scan elsewhere).
     """
     w_in, w_rec, b, peep = params["W_in"], params["W_rec"], params["b"], params["peep"]
     t, bsz, _ = x.shape
     d = w_in.shape[0]
     hdim = w_in.shape[-1]
+    assert d == (2 if bidirectional else 1)
 
-    # Input projections for all timesteps at once: [T, B, P] x [D, P, 4H].
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "scan"
+
+    if backend in ("pallas", "pallas_interpret"):
+        from lstm_rnn_tpu.ops.lstm_cell import lstm_scan_fused, round_up
+
+        hp = round_up(hdim, 128)
+        bp = round_up(bsz, 8)
+        # zero-padding cells/batch rows is numerically exact: padded cells
+        # output exactly 0 and receive exactly 0 gradient
+        w_in_p = _pad_axis(w_in, 3, hp)
+        b_p = _pad_axis(b, 2, hp)
+        peep_p = _pad_axis(peep, 2, hp)
+        w_rec_p = _pad_axis(_pad_axis(w_rec, 3, hp), 1, hp)
+
+        acts = jnp.einsum("tbp,dpgh->dtbgh", x, w_in_p,
+                          preferred_element_type=jnp.float32)
+        acts = acts + bias_mult * b_p[:, None, None]
+        acts = acts.reshape(d, t, bsz, 4 * hp)
+        if bidirectional:
+            acts = jnp.concatenate([acts[0:1], acts[1:2, ::-1]], axis=0)
+        acts = _pad_axis(acts, 2, bp)
+        lengths = jnp.sum((pattypes != 0).astype(jnp.int32), axis=0)
+        lengths = _pad_axis(lengths, 0, bp)
+
+        ys = lstm_scan_fused(acts, w_rec_p.reshape(d, hp, 4 * hp), peep_p,
+                             lengths, clip_gradients,
+                             backend == "pallas_interpret")
+        ys = ys[:, :, :bsz, :hdim]  # strip padding
+        if bidirectional:
+            return jnp.concatenate([ys[0], ys[1, ::-1]], axis=-1)
+        return ys[0]
+
+    # lax.scan path
     acts = jnp.einsum("tbp,dpgh->tdbgh", x, w_in, preferred_element_type=x.dtype)
     acts = acts + bias_mult * b[None, :, None]  # bias multiplier, TrainableLayer bias()
 
     valid = (pattypes != 0).astype(x.dtype)[:, None, :, None]  # [T, 1, B, 1]
     if bidirectional:
-        assert d == 2
         acts = jnp.concatenate([acts[:, 0:1], acts[::-1, 1:2]], axis=1)
         mask = jnp.concatenate([valid, valid[::-1]], axis=1)
     else:
-        assert d == 1
         mask = valid
 
     ys = _lstm_scan(acts, w_rec, peep, mask, clip_gradients)  # [T, D, B, H]

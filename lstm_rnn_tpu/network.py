@@ -51,7 +51,7 @@ class Network:
     def __init__(self, layers_json: List[Dict[str, Any]],
                  weights_json: Optional[Dict[str, Any]] = None,
                  input_size_override: Optional[int] = None,
-                 clip_gradients: bool = True):
+                 clip_gradients: bool = True, backend: str = "auto"):
         specs: List[LayerSpec] = []
         for lc in layers_json:
             if "type" not in lc:
@@ -112,6 +112,7 @@ class Network:
 
         self.specs = specs
         self.clip_gradients = clip_gradients
+        self.backend = backend  # LSTM scan backend: auto|scan|pallas
         self.loss_fn, self.task_kind = losses_mod.LOSSES[specs[-1].type]
         self.is_classification = self.task_kind == "classification"
 
@@ -180,7 +181,8 @@ class Network:
             p = params[s.name]
             if s.type in ioc.LSTM_TYPES:
                 x = lstm_forward(p, x, pattypes, s.bias, ioc.LSTM_TYPES[s.type],
-                                 clip_gradients=self.clip_gradients)
+                                 clip_gradients=self.clip_gradients,
+                                 backend=self.backend)
             elif s.type == "softmax":
                 x = softmax_forward(p, x, s.bias)
             else:

@@ -1,0 +1,287 @@
+"""Fused Pallas LSTM scan kernel (TPU fast path).
+
+The sequential recurrence is the only part of the LSTM that cannot be one
+big MXU matmul (input projections are batched outside, like the reference's
+time-batched GEMMs, LstmLayer.cu:772-786). `jax.lax.scan` compiles fine but
+leaves per-step fusion/scheduling to XLA; this kernel instead runs the WHOLE
+scan as one Mosaic program per direction:
+
+- grid (D, T): the Mosaic pipeline streams each step's input projections
+  acts[d, t] (HBM -> VMEM, double-buffered automatically) while the previous
+  step computes — the same overlap the reference gets from cuBLAS streams;
+- h/c live in VMEM scratch across the entire sequence (never round-trip to
+  HBM between steps); the recurrent weights stay resident in VMEM;
+- the cell's elementwise math (CURRENNT-exact: tanh2 = 2*sigma(2x)-1,
+  peepholes incl. the og peephole from the NEW cell state) fuses with the
+  [B, H] x [H, 4H] MXU matmul;
+- variable-length masking is computed in-kernel from per-sequence lengths
+  (padding is a suffix, DataSet.cpp fraction assembly), so no mask tensor is
+  streamed;
+- backward is a second Pallas kernel running the reference BPTT
+  (ComputeBlockErrorsFn, LstmLayer.cu:190-287) in reverse grid order,
+  recomputing gate activations from the stored h/c instead of saving four
+  gate tensors (4x less HBM traffic), with the +-1 delta clipping and the
+  unclipped-og-delta cell-state-error quirk reproduced exactly. Weight
+  gradients then become big MXU einsums over the kernel's delta output
+  (dW_in = x^T dA etc.), mirroring ComputeWeightUpdateFn's reductions.
+
+Shapes: acts [D, T, B, 4H] (bias already added; backward direction already
+time-reversed), w_rec [D, H, 4H], peep [D, 3, H], lengths [B] int32.
+Requires H % 128 == 0 and B % 8 == 0 — callers pad (zero-padding cells and
+batch rows is numerically exact: padded cells output exactly 0 and receive
+exactly 0 gradient).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lstm_rnn_tpu.ops.activations import logistic, tanh2
+
+
+def _valid_mask(lengths_ref, d, t, T, b):
+    """[B, 1] float mask for scan step t of direction d (0=fw, 1=bw).
+
+    Arithmetic blend instead of a vector select on i1 (Mosaic cannot
+    legalize arith.select on vector<...xi1>)."""
+    lens = lengths_ref[:, 0:1]  # [B, 1] int32
+    fw = (lens > t).astype(jnp.float32)
+    bw = ((lens + t) >= T).astype(jnp.float32)
+    is_fw = (d == 0).astype(jnp.float32)
+    return is_fw * fw + (1.0 - is_fw) * bw
+
+
+def _fwd_kernel(lengths_ref, acts_ref, w_rec_ref, peep_ref,
+                h_out_ref, c_out_ref, h_scr, c_scr, *, T):
+    d = pl.program_id(0)
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[...] = jnp.zeros_like(h_scr)
+        c_scr[...] = jnp.zeros_like(c_scr)
+
+    h = h_scr[...]
+    c = c_scr[...]
+    H = h.shape[-1]
+
+    a = acts_ref[0, 0] + jnp.dot(h, w_rec_ref[0],
+                                 preferred_element_type=jnp.float32)
+    p_ig = peep_ref[0, 0:1, :]
+    p_fg = peep_ref[0, 1:2, :]
+    p_og = peep_ref[0, 2:3, :]
+
+    ni = tanh2(a[:, 0 * H:1 * H])
+    ig = logistic(a[:, 1 * H:2 * H] + c * p_ig)
+    fg = logistic(a[:, 2 * H:3 * H] + c * p_fg)
+    c_new = ni * ig + fg * c
+    og = logistic(a[:, 3 * H:4 * H] + c_new * p_og)
+    h_new = tanh2(c_new) * og
+
+    m = _valid_mask(lengths_ref, d, t, T, h.shape[0])
+    h_new = h_new * m
+    c_new = c_new * m
+
+    h_scr[...] = h_new
+    c_scr[...] = c_new
+    h_out_ref[0, 0] = h_new
+    c_out_ref[0, 0] = c_new
+
+
+def _bwd_kernel(lengths_ref, acts_ref, dh_ref, h_prev_ref, c_ref, c_prev_ref,
+                w_rec_ref, peep_ref, da_ref,
+                da_scr, cse_scr, fg_scr, *, T, clip):
+    d = pl.program_id(0)
+    j = pl.program_id(1)
+    t = T - 1 - j  # reverse scan order
+
+    @pl.when(j == 0)
+    def _():
+        da_scr[...] = jnp.zeros_like(da_scr)
+        cse_scr[...] = jnp.zeros_like(cse_scr)
+        fg_scr[...] = jnp.zeros_like(fg_scr)
+
+    B, H = cse_scr.shape
+    # first step of the forward scan (no h_prev/c_prev); arithmetic mask to
+    # avoid vector selects Mosaic cannot legalize
+    not_first = (t > 0).astype(jnp.float32)
+    m = _valid_mask(lengths_ref, d, t, T, B)
+
+    h_prev = h_prev_ref[0, 0] * not_first
+    c_prev = c_prev_ref[0, 0] * not_first
+    c = c_ref[0, 0]
+
+    # recompute gate activations (bit-identical to the forward kernel)
+    a = acts_ref[0, 0] + jnp.dot(h_prev, w_rec_ref[0],
+                                 preferred_element_type=jnp.float32)
+    p_ig = peep_ref[0, 0:1, :]
+    p_fg = peep_ref[0, 1:2, :]
+    p_og = peep_ref[0, 2:3, :]
+    ni = tanh2(a[:, 0 * H:1 * H])
+    ig = logistic(a[:, 1 * H:2 * H] + c_prev * p_ig)
+    fg = logistic(a[:, 2 * H:3 * H] + c_prev * p_fg)
+    og = logistic(a[:, 3 * H:4 * H] + c * p_og)
+
+    # incoming dE/dh plus the recurrent term from the next scan step
+    da_next = da_scr[...]
+    e = dh_ref[0, 0] + jnp.dot(da_next, w_rec_ref[0].T,
+                               preferred_element_type=jnp.float32)
+
+    tanh_c = tanh2(c)
+    og_delta = og * (1.0 - og) * tanh_c * e
+    # NB: UNCLIPPED og delta here (LstmLayer.cu:246-250); next-step ig/fg
+    # deltas are the CLIPPED stored ones (da_next), csErr is unclipped.
+    cs_err = (og * (1.0 - tanh_c * tanh_c) * e + p_og * og_delta
+              + fg_scr[...] * cse_scr[...]
+              + p_ig * da_next[:, 1 * H:2 * H]
+              + p_fg * da_next[:, 2 * H:3 * H])
+
+    ni_delta = ig * (1.0 - ni * ni) * cs_err
+    fg_delta = fg * (1.0 - fg) * c_prev * cs_err * not_first
+    ig_delta = ig * (1.0 - ig) * ni * cs_err
+
+    if clip:
+        ni_delta = jnp.clip(ni_delta, -1.0, 1.0)
+        ig_delta = jnp.clip(ig_delta, -1.0, 1.0)
+        fg_delta = jnp.clip(fg_delta, -1.0, 1.0)
+        og_delta_st = jnp.clip(og_delta, -1.0, 1.0)
+    else:
+        og_delta_st = og_delta
+
+    da = jnp.concatenate([ni_delta, ig_delta, fg_delta, og_delta_st],
+                         axis=-1) * m
+    da_scr[...] = da
+    cse_scr[...] = cs_err * m
+    fg_scr[...] = fg * m
+    da_ref[0, 0] = da
+
+
+def _block(shape, index_map):
+    return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def lstm_scan_fused(acts, w_rec, peep, lengths, clip: bool = True,
+                    interpret: bool = False):
+    """Fused LSTM scan. acts [D,T,B,4H] -> h [D,T,B,H]."""
+    h, _ = _fwd_impl(acts, w_rec, peep, lengths, interpret)
+    return h
+
+
+def _fwd_impl(acts, w_rec, peep, lengths, interpret):
+    D, T, B, H4 = acts.shape
+    H = H4 // 4
+    lengths_2d = jnp.broadcast_to(lengths.astype(jnp.int32)[:, None], (B, 128))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(D, T),
+        in_specs=[
+            _block((B, 128), lambda d, t: (0, 0)),
+            _block((1, 1, B, H4), lambda d, t: (d, t, 0, 0)),
+            _block((1, H, H4), lambda d, t: (d, 0, 0)),
+            _block((1, 3, H), lambda d, t: (d, 0, 0)),
+        ],
+        out_specs=[
+            _block((1, 1, B, H), lambda d, t: (d, t, 0, 0)),
+            _block((1, 1, B, H), lambda d, t: (d, t, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+        ],
+    )
+    h, c = pl.pallas_call(
+        functools.partial(_fwd_kernel, T=T),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((D, T, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((D, T, B, H), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * D * T * B * H * H4 + 14 * D * T * B * H,
+            bytes_accessed=4 * D * T * B * (H4 + 2 * H),
+            transcendentals=4 * D * T * B * H,
+        ),
+    )(lengths_2d, acts, w_rec, peep)
+    return h, c
+
+
+def _fused_fwd(acts, w_rec, peep, lengths, clip, interpret):
+    h, c = _fwd_impl(acts, w_rec, peep, lengths, interpret)
+    return h, (acts, w_rec, peep, lengths, h, c)
+
+
+def _fused_bwd(clip, interpret, residuals, dh):
+    acts, w_rec, peep, lengths, h, c = residuals
+    D, T, B, H4 = acts.shape
+    H = H4 // 4
+    lengths_2d = jnp.broadcast_to(lengths.astype(jnp.int32)[:, None], (B, 128))
+
+    # shifted views: scan-previous h / c (zeros handled in-kernel at t==0)
+    def prev_index(d, j):
+        t = T - 1 - j
+        return (d, jnp.maximum(t - 1, 0), 0, 0)
+
+    def cur_index(d, j):
+        return (d, T - 1 - j, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(D, T),
+        in_specs=[
+            _block((B, 128), lambda d, j: (0, 0)),
+            _block((1, 1, B, H4), cur_index),   # acts[t]
+            _block((1, 1, B, H), cur_index),    # dh[t]
+            _block((1, 1, B, H), prev_index),   # h[t-1]
+            _block((1, 1, B, H), cur_index),    # c[t]
+            _block((1, 1, B, H), prev_index),   # c[t-1]
+            _block((1, H, H4), lambda d, j: (d, 0, 0)),
+            _block((1, 3, H), lambda d, j: (d, 0, 0)),
+        ],
+        out_specs=[
+            _block((1, 1, B, H4), cur_index),   # dA[t]
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, H4), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+        ],
+    )
+    (da,) = pl.pallas_call(
+        functools.partial(_bwd_kernel, T=T, clip=clip),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((D, T, B, H4), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * D * T * B * H * H4 + 30 * D * T * B * H,
+            bytes_accessed=4 * D * T * B * (2 * H4 + 4 * H),
+            transcendentals=4 * D * T * B * H,
+        ),
+    )(lengths_2d, acts, dh, h, c, c, w_rec, peep)
+
+    # weight gradients as big MXU reductions over the stored deltas
+    # (ComputeWeightUpdateFn semantics):
+    h_prev = jnp.concatenate([jnp.zeros_like(h[:, :1]), h[:, :-1]], axis=1)
+    c_prev = jnp.concatenate([jnp.zeros_like(c[:, :1]), c[:, :-1]], axis=1)
+    dw_rec = jnp.einsum("dtbh,dtbg->dhg", h_prev, da,
+                        preferred_element_type=jnp.float32)
+    dpeep = jnp.stack([
+        jnp.einsum("dtbh,dtbh->dh", c_prev, da[..., 1 * H:2 * H]),
+        jnp.einsum("dtbh,dtbh->dh", c_prev, da[..., 2 * H:3 * H]),
+        jnp.einsum("dtbh,dtbh->dh", c, da[..., 3 * H:4 * H]),
+    ], axis=1)
+    return da, dw_rec, dpeep, None
+
+
+lstm_scan_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
