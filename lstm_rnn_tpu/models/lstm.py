@@ -119,10 +119,12 @@ def lstm_forward(params, x, pattypes, bias_mult: float, bidirectional: bool,
         backend = "pallas" if jax.default_backend() == "tpu" else "scan"
 
     if backend in ("pallas", "pallas_interpret"):
-        from lstm_rnn_tpu.ops.lstm_cell import lstm_scan_fused, round_up
+        from lstm_rnn_tpu.ops.lstm_cell import (DEFAULT_CHUNK,
+                                                lstm_scan_fused, round_up)
 
         hp = round_up(hdim, 128)
         bp = round_up(bsz, 8)
+        tp = round_up(t, DEFAULT_CHUNK)
         # zero-padding cells/batch rows is numerically exact: padded cells
         # output exactly 0 and receive exactly 0 gradient
         w_in_p = _pad_axis(w_in, 3, hp)
@@ -135,7 +137,15 @@ def lstm_forward(params, x, pattypes, bias_mult: float, bidirectional: bool,
         acts = acts + bias_mult * b_p[:, None, None]
         acts = acts.reshape(d, t, bsz, 4 * hp)
         if bidirectional:
-            acts = jnp.concatenate([acts[0:1], acts[1:2, ::-1]], axis=0)
+            # time-pad: fw at the END (t >= length is masked invalid); the
+            # reversed bw direction at the START, so its validity stays a
+            # single comparison lengths + t >= Tp
+            fw = _pad_axis(acts[0:1], 1, tp)
+            bw = acts[1:2, ::-1]
+            bw = jnp.pad(bw, ((0, 0), (tp - t, 0), (0, 0), (0, 0)))
+            acts = jnp.concatenate([fw, bw], axis=0)
+        else:
+            acts = _pad_axis(acts, 1, tp)
         acts = _pad_axis(acts, 2, bp)
         lengths = jnp.sum((pattypes != 0).astype(jnp.int32), axis=0)
         lengths = _pad_axis(lengths, 0, bp)
@@ -143,10 +153,10 @@ def lstm_forward(params, x, pattypes, bias_mult: float, bidirectional: bool,
         ys = lstm_scan_fused(acts, w_rec_p.reshape(d, hp, 4 * hp), peep_p,
                              lengths, clip_gradients,
                              backend == "pallas_interpret")
-        ys = ys[:, :, :bsz, :hdim]  # strip padding
+        ys = ys[:, :, :bsz, :hdim]  # strip batch/cell padding
         if bidirectional:
-            return jnp.concatenate([ys[0], ys[1, ::-1]], axis=-1)
-        return ys[0]
+            return jnp.concatenate([ys[0, :t], ys[1, ::-1][:t]], axis=-1)
+        return ys[0, :t]
 
     # lax.scan path
     acts = jnp.einsum("tbp,dpgh->tdbgh", x, w_in, preferred_element_type=x.dtype)

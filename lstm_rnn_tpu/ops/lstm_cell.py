@@ -57,11 +57,13 @@ def _valid_mask(lengths_ref, d, t, T, b):
 
 
 def _fwd_kernel(lengths_ref, acts_ref, w_rec_ref, peep_ref,
-                h_out_ref, c_out_ref, h_scr, c_scr, *, T):
+                h_out_ref, c_out_ref, h_scr, c_scr, *, T, CH):
+    """Processes CH timesteps per grid step (unrolled) to amortize pipeline
+    overhead; h/c carry across chunks in VMEM scratch."""
     d = pl.program_id(0)
-    t = pl.program_id(1)
+    k = pl.program_id(1)
 
-    @pl.when(t == 0)
+    @pl.when(k == 0)
     def _():
         h_scr[...] = jnp.zeros_like(h_scr)
         c_scr[...] = jnp.zeros_like(c_scr)
@@ -69,96 +71,112 @@ def _fwd_kernel(lengths_ref, acts_ref, w_rec_ref, peep_ref,
     h = h_scr[...]
     c = c_scr[...]
     H = h.shape[-1]
-
-    a = acts_ref[0, 0] + jnp.dot(h, w_rec_ref[0],
-                                 preferred_element_type=jnp.float32)
     p_ig = peep_ref[0, 0:1, :]
     p_fg = peep_ref[0, 1:2, :]
     p_og = peep_ref[0, 2:3, :]
 
-    ni = tanh2(a[:, 0 * H:1 * H])
-    ig = logistic(a[:, 1 * H:2 * H] + c * p_ig)
-    fg = logistic(a[:, 2 * H:3 * H] + c * p_fg)
-    c_new = ni * ig + fg * c
-    og = logistic(a[:, 3 * H:4 * H] + c_new * p_og)
-    h_new = tanh2(c_new) * og
+    for j in range(CH):
+        t = k * CH + j
+        a = acts_ref[0, j] + jnp.dot(h, w_rec_ref[0],
+                                     preferred_element_type=jnp.float32)
+        ni = tanh2(a[:, 0 * H:1 * H])
+        ig = logistic(a[:, 1 * H:2 * H] + c * p_ig)
+        fg = logistic(a[:, 2 * H:3 * H] + c * p_fg)
+        c_new = ni * ig + fg * c
+        og = logistic(a[:, 3 * H:4 * H] + c_new * p_og)
+        h_new = tanh2(c_new) * og
 
-    m = _valid_mask(lengths_ref, d, t, T, h.shape[0])
-    h_new = h_new * m
-    c_new = c_new * m
+        m = _valid_mask(lengths_ref, d, t, T, h.shape[0])
+        h = h_new * m
+        c = c_new * m
+        h_out_ref[0, j] = h
+        c_out_ref[0, j] = c
 
-    h_scr[...] = h_new
-    c_scr[...] = c_new
-    h_out_ref[0, 0] = h_new
-    c_out_ref[0, 0] = c_new
+    h_scr[...] = h
+    c_scr[...] = c
 
 
-def _bwd_kernel(lengths_ref, acts_ref, dh_ref, h_prev_ref, c_ref, c_prev_ref,
-                w_rec_ref, peep_ref, da_ref,
-                da_scr, cse_scr, fg_scr, *, T, clip):
+def _bwd_kernel(lengths_ref, acts_ref, dh_ref, h_ref, h_prevchunk_ref,
+                c_ref, c_prevchunk_ref, w_rec_ref, peep_ref, da_ref,
+                da_scr, cse_scr, fg_scr, *, T, CH, clip):
+    """Reverse-order BPTT, CH timesteps per grid step (unrolled)."""
     d = pl.program_id(0)
-    j = pl.program_id(1)
-    t = T - 1 - j  # reverse scan order
+    kg = pl.program_id(1)
+    nc = pl.num_programs(1)
+    k = nc - 1 - kg  # reversed chunk order
 
-    @pl.when(j == 0)
+    @pl.when(kg == 0)
     def _():
         da_scr[...] = jnp.zeros_like(da_scr)
         cse_scr[...] = jnp.zeros_like(cse_scr)
         fg_scr[...] = jnp.zeros_like(fg_scr)
 
     B, H = cse_scr.shape
-    # first step of the forward scan (no h_prev/c_prev); arithmetic mask to
-    # avoid vector selects Mosaic cannot legalize
-    not_first = (t > 0).astype(jnp.float32)
-    m = _valid_mask(lengths_ref, d, t, T, B)
-
-    h_prev = h_prev_ref[0, 0] * not_first
-    c_prev = c_prev_ref[0, 0] * not_first
-    c = c_ref[0, 0]
-
-    # recompute gate activations (bit-identical to the forward kernel)
-    a = acts_ref[0, 0] + jnp.dot(h_prev, w_rec_ref[0],
-                                 preferred_element_type=jnp.float32)
     p_ig = peep_ref[0, 0:1, :]
     p_fg = peep_ref[0, 1:2, :]
     p_og = peep_ref[0, 2:3, :]
-    ni = tanh2(a[:, 0 * H:1 * H])
-    ig = logistic(a[:, 1 * H:2 * H] + c_prev * p_ig)
-    fg = logistic(a[:, 2 * H:3 * H] + c_prev * p_fg)
-    og = logistic(a[:, 3 * H:4 * H] + c * p_og)
 
-    # incoming dE/dh plus the recurrent term from the next scan step
     da_next = da_scr[...]
-    e = dh_ref[0, 0] + jnp.dot(da_next, w_rec_ref[0].T,
-                               preferred_element_type=jnp.float32)
+    cse_next = cse_scr[...]
+    fg_next = fg_scr[...]
 
-    tanh_c = tanh2(c)
-    og_delta = og * (1.0 - og) * tanh_c * e
-    # NB: UNCLIPPED og delta here (LstmLayer.cu:246-250); next-step ig/fg
-    # deltas are the CLIPPED stored ones (da_next), csErr is unclipped.
-    cs_err = (og * (1.0 - tanh_c * tanh_c) * e + p_og * og_delta
-              + fg_scr[...] * cse_scr[...]
-              + p_ig * da_next[:, 1 * H:2 * H]
-              + p_fg * da_next[:, 2 * H:3 * H])
+    for j in range(CH - 1, -1, -1):
+        t = k * CH + j
+        # arithmetic first-step mask: avoids vector selects Mosaic cannot
+        # legalize; at t==0 there is no previous output/cell state
+        not_first = (t > 0).astype(jnp.float32)
+        m = _valid_mask(lengths_ref, d, t, T, B)
+        if j > 0:
+            h_prev = h_ref[0, j - 1]
+            c_prev = c_ref[0, j - 1]
+        else:
+            h_prev = h_prevchunk_ref[0, CH - 1] * not_first
+            c_prev = c_prevchunk_ref[0, CH - 1] * not_first
+        c = c_ref[0, j]
 
-    ni_delta = ig * (1.0 - ni * ni) * cs_err
-    fg_delta = fg * (1.0 - fg) * c_prev * cs_err * not_first
-    ig_delta = ig * (1.0 - ig) * ni * cs_err
+        # recompute gate activations (bit-identical to the forward kernel)
+        a = acts_ref[0, j] + jnp.dot(h_prev, w_rec_ref[0],
+                                     preferred_element_type=jnp.float32)
+        ni = tanh2(a[:, 0 * H:1 * H])
+        ig = logistic(a[:, 1 * H:2 * H] + c_prev * p_ig)
+        fg = logistic(a[:, 2 * H:3 * H] + c_prev * p_fg)
+        og = logistic(a[:, 3 * H:4 * H] + c * p_og)
 
-    if clip:
-        ni_delta = jnp.clip(ni_delta, -1.0, 1.0)
-        ig_delta = jnp.clip(ig_delta, -1.0, 1.0)
-        fg_delta = jnp.clip(fg_delta, -1.0, 1.0)
-        og_delta_st = jnp.clip(og_delta, -1.0, 1.0)
-    else:
-        og_delta_st = og_delta
+        # incoming dE/dh plus the recurrent term from the next scan step
+        e = dh_ref[0, j] + jnp.dot(da_next, w_rec_ref[0].T,
+                                   preferred_element_type=jnp.float32)
 
-    da = jnp.concatenate([ni_delta, ig_delta, fg_delta, og_delta_st],
-                         axis=-1) * m
-    da_scr[...] = da
-    cse_scr[...] = cs_err * m
-    fg_scr[...] = fg * m
-    da_ref[0, 0] = da
+        tanh_c = tanh2(c)
+        og_delta = og * (1.0 - og) * tanh_c * e
+        # NB: UNCLIPPED og delta here (LstmLayer.cu:246-250); next-step ig/fg
+        # deltas are the CLIPPED stored ones (da_next), csErr is unclipped.
+        cs_err = (og * (1.0 - tanh_c * tanh_c) * e + p_og * og_delta
+                  + fg_next * cse_next
+                  + p_ig * da_next[:, 1 * H:2 * H]
+                  + p_fg * da_next[:, 2 * H:3 * H])
+
+        ni_delta = ig * (1.0 - ni * ni) * cs_err
+        fg_delta = fg * (1.0 - fg) * c_prev * cs_err * not_first
+        ig_delta = ig * (1.0 - ig) * ni * cs_err
+
+        if clip:
+            ni_delta = jnp.clip(ni_delta, -1.0, 1.0)
+            ig_delta = jnp.clip(ig_delta, -1.0, 1.0)
+            fg_delta = jnp.clip(fg_delta, -1.0, 1.0)
+            og_delta_st = jnp.clip(og_delta, -1.0, 1.0)
+        else:
+            og_delta_st = og_delta
+
+        da = jnp.concatenate([ni_delta, ig_delta, fg_delta, og_delta_st],
+                             axis=-1) * m
+        da_next = da
+        cse_next = cs_err * m
+        fg_next = fg * m
+        da_ref[0, j] = da
+
+    da_scr[...] = da_next
+    cse_scr[...] = cse_next
+    fg_scr[...] = fg_next
 
 
 def _block(shape, index_map):
@@ -173,23 +191,34 @@ def lstm_scan_fused(acts, w_rec, peep, lengths, clip: bool = True,
     return h
 
 
+DEFAULT_CHUNK = 8
+
+
+def _pick_chunk(T: int) -> int:
+    ch = DEFAULT_CHUNK
+    while T % ch:
+        ch //= 2
+    return max(ch, 1)
+
+
 def _fwd_impl(acts, w_rec, peep, lengths, interpret):
     D, T, B, H4 = acts.shape
     H = H4 // 4
+    CH = _pick_chunk(T)
     lengths_2d = jnp.broadcast_to(lengths.astype(jnp.int32)[:, None], (B, 128))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(D, T),
+        grid=(D, T // CH),
         in_specs=[
-            _block((B, 128), lambda d, t: (0, 0)),
-            _block((1, 1, B, H4), lambda d, t: (d, t, 0, 0)),
-            _block((1, H, H4), lambda d, t: (d, 0, 0)),
-            _block((1, 3, H), lambda d, t: (d, 0, 0)),
+            _block((B, 128), lambda d, k: (0, 0)),
+            _block((1, CH, B, H4), lambda d, k: (d, k, 0, 0)),
+            _block((1, H, H4), lambda d, k: (d, 0, 0)),
+            _block((1, 3, H), lambda d, k: (d, 0, 0)),
         ],
         out_specs=[
-            _block((1, 1, B, H), lambda d, t: (d, t, 0, 0)),
-            _block((1, 1, B, H), lambda d, t: (d, t, 0, 0)),
+            _block((1, CH, B, H), lambda d, k: (d, k, 0, 0)),
+            _block((1, CH, B, H), lambda d, k: (d, k, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((B, H), jnp.float32),
@@ -197,7 +226,7 @@ def _fwd_impl(acts, w_rec, peep, lengths, interpret):
         ],
     )
     h, c = pl.pallas_call(
-        functools.partial(_fwd_kernel, T=T),
+        functools.partial(_fwd_kernel, T=T, CH=CH),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((D, T, B, H), jnp.float32),
@@ -222,31 +251,33 @@ def _fused_bwd(clip, interpret, residuals, dh):
     acts, w_rec, peep, lengths, h, c = residuals
     D, T, B, H4 = acts.shape
     H = H4 // 4
+    CH = _pick_chunk(T)
+    NC = T // CH
     lengths_2d = jnp.broadcast_to(lengths.astype(jnp.int32)[:, None], (B, 128))
 
-    # shifted views: scan-previous h / c (zeros handled in-kernel at t==0)
-    def prev_index(d, j):
-        t = T - 1 - j
-        return (d, jnp.maximum(t - 1, 0), 0, 0)
+    # chunk index maps (reversed order); prev = preceding chunk, clamped
+    def cur_index(d, kg):
+        return (d, NC - 1 - kg, 0, 0)
 
-    def cur_index(d, j):
-        return (d, T - 1 - j, 0, 0)
+    def prev_index(d, kg):
+        return (d, jnp.maximum(NC - 1 - kg - 1, 0), 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(D, T),
+        grid=(D, NC),
         in_specs=[
-            _block((B, 128), lambda d, j: (0, 0)),
-            _block((1, 1, B, H4), cur_index),   # acts[t]
-            _block((1, 1, B, H), cur_index),    # dh[t]
-            _block((1, 1, B, H), prev_index),   # h[t-1]
-            _block((1, 1, B, H), cur_index),    # c[t]
-            _block((1, 1, B, H), prev_index),   # c[t-1]
-            _block((1, H, H4), lambda d, j: (d, 0, 0)),
-            _block((1, 3, H), lambda d, j: (d, 0, 0)),
+            _block((B, 128), lambda d, kg: (0, 0)),
+            _block((1, CH, B, H4), cur_index),   # acts chunk
+            _block((1, CH, B, H), cur_index),    # dh chunk
+            _block((1, CH, B, H), cur_index),    # h chunk
+            _block((1, CH, B, H), prev_index),   # h previous chunk
+            _block((1, CH, B, H), cur_index),    # c chunk
+            _block((1, CH, B, H), prev_index),   # c previous chunk
+            _block((1, H, H4), lambda d, kg: (d, 0, 0)),
+            _block((1, 3, H), lambda d, kg: (d, 0, 0)),
         ],
         out_specs=[
-            _block((1, 1, B, H4), cur_index),   # dA[t]
+            _block((1, CH, B, H4), cur_index),   # dA chunk
         ],
         scratch_shapes=[
             pltpu.VMEM((B, H4), jnp.float32),
@@ -255,7 +286,7 @@ def _fused_bwd(clip, interpret, residuals, dh):
         ],
     )
     (da,) = pl.pallas_call(
-        functools.partial(_bwd_kernel, T=T, clip=clip),
+        functools.partial(_bwd_kernel, T=T, CH=CH, clip=clip),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((D, T, B, H4), jnp.float32)],
         interpret=interpret,
@@ -264,7 +295,7 @@ def _fused_bwd(clip, interpret, residuals, dh):
             bytes_accessed=4 * D * T * B * (2 * H4 + 4 * H),
             transcendentals=4 * D * T * B * H,
         ),
-    )(lengths_2d, acts, dh, h, c, c, w_rec, peep)
+    )(lengths_2d, acts, dh, h, h, c, c, w_rec, peep)
 
     # weight gradients as big MXU reductions over the stored deltas
     # (ComputeWeightUpdateFn semantics):
