@@ -61,14 +61,14 @@ def main():
     params, velocity, err = step(params, velocity, x, tc, pt)
     float(err)
 
-    # per-step host sync: the remote-TPU tunnel's block_until_ready is not a
-    # reliable fence across a chain of donated-buffer steps; float(err)
-    # forces each step's result before the next timing tick
-    iters = 10
+    # steps chain through donated params; one scalar sync at the end bounds
+    # the whole pipeline (matches the trainer's device-side error
+    # accumulation). float(err) of the final step forces every prior step.
+    iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         params, velocity, err = step(params, velocity, x, tc, pt)
-        float(err)
+    float(err)
     dt = time.perf_counter() - t0
 
     frames = t * b * iters

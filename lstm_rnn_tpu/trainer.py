@@ -173,13 +173,17 @@ class Trainer:
         return shard_fraction(self.mesh, frac.inputs, frac.targets, frac.pattypes)
 
     def _process_dataset(self, ds: DataSet, update: bool):
-        total_err = 0.0
-        correct = 0
         use_noise = update and self.weight_noise_sigma > 0
         grad_acc = None
         if update and not self.hybrid_online_batch:
             grad_acc = tree_zeros_like(self.params)
 
+        # error/accuracy accumulate as DEVICE scalars and are fetched once at
+        # the end of the epoch: a per-fraction float(err) would force a host
+        # sync every step and serialize the dispatch pipeline (the remote-TPU
+        # tunnel adds ~25ms per sync; chained async steps hide it entirely)
+        errs = []
+        corrs = []
         for frac in ds.fractions():
             inputs, targets, pattypes = self._device_batch(frac)
             if not update:
@@ -196,13 +200,15 @@ class Trainer:
                 noise = self._draw_noise() if use_noise else tree_zeros_like(self.params)
                 grad_acc, err, corr = self._accum_step(
                     self.params, grad_acc, noise, inputs, targets, pattypes)
-            total_err += float(err)
-            correct += int(corr)
+            errs.append(err)
+            corrs.append(corr)
 
         if update and not self.hybrid_online_batch:
             self.params, self.velocity = self._sgd_update(
                 self.params, self.velocity, grad_acc)
 
+        total_err = float(jnp.sum(jnp.stack(errs))) if errs else 0.0
+        correct = int(jnp.sum(jnp.stack(corrs))) if corrs else 0
         total_err /= ds.total_sequences
         class_err = 1.0 - correct / ds.total_timesteps
         return total_err, class_err
