@@ -60,7 +60,8 @@ def _load_dataset(cfg: Config, which: str) -> Optional[DataSet]:
                  input_left_context=cfg.input_left_context,
                  input_right_context=cfg.input_right_context,
                  output_time_lag=cfg.output_time_lag, sort_by_length=sort,
-                 seed=cfg.random_seed, bucket_lengths=cfg.bucket_lengths)
+                 seed=cfg.random_seed, bucket_lengths=cfg.bucket_lengths,
+                 cache_path=cfg.cache_path)
     print(f"Loaded fraction:  {int(frac*100)}%")
     print(f"Sequences:        {ds.total_sequences}")
     print(f"Sequence lengths: {ds.min_seq_length}..{ds.max_seq_length}")
@@ -111,7 +112,8 @@ def train_mode(cfg: Config) -> int:
     test_set = _load_dataset(cfg, "test")
 
     net = Network(net_doc["layers"], net_doc.get("weights"),
-                  input_size_override=train_set.input_pattern_size)
+                  input_size_override=train_set.input_pattern_size,
+                  backend=cfg.lstm_backend)
     if train_set.output_pattern_size != net.target_size:
         raise RuntimeError("Post output layer size != target pattern size of the training set")
     net.init_params(cfg.random_seed, dist=cfg.weights_dist,
@@ -142,8 +144,8 @@ def train_mode(cfg: Config) -> int:
 
     classification = net.is_classification
     print("Starting training...\n")
-    print(" Epoch | Duration |  Training error  | Validation error |    Test error    | New best ")
-    print("-------+----------+------------------+------------------+------------------+----------")
+    print(" Epoch | Duration |  Training error  | Validation error |    Test error    | New best | Throughput")
+    print("-------+----------+------------------+------------------+------------------+----------+-----------")
     sys.stdout.write(info_rows)
 
     err_space = "                  |"
@@ -157,8 +159,14 @@ def train_mode(cfg: Config) -> int:
     while not finished:
         row = f" {trainer.cur_epoch + 1:5d} | "
         t0 = time.time()
-        finished = trainer.train_epoch()
-        row += f"{time.time() - t0:8.1f} |"
+        if cfg.profile_dir and trainer.cur_epoch == 0:
+            import jax
+            with jax.profiler.trace(cfg.profile_dir):
+                finished = trainer.train_epoch()
+        else:
+            finished = trainer.train_epoch()
+        duration = time.time() - t0
+        row += f"{duration:8.1f} |"
         row += fmt_err(trainer.cur_training_error, trainer.cur_training_class_error)
 
         did_val = val_set is not None and trainer.cur_epoch % cfg.validate_every == 0
@@ -168,17 +176,19 @@ def train_mode(cfg: Config) -> int:
         row += (fmt_err(trainer.cur_test_error, trainer.cur_test_class_error)
                 if did_test else err_space)
 
+        fps = train_set.total_timesteps / max(duration, 1e-9)
         if did_val:
             if trainer.epochs_since_lowest == 0:
-                row += "  yes   \n"
+                row += "  yes   "
                 if cfg.autosave_best:
                     base = cfg.autosave_prefix or os.path.splitext(cfg.network)[0]
                     net.params = trainer.best_params
                     net.save(base + ".best.jsn")
             else:
-                row += "  no    \n"
+                row += "  no    "
         else:
-            row += "        \n"
+            row += "        "
+        row += f"| {fps:,.0f} fr/s\n"
         sys.stdout.write(row)
         sys.stdout.flush()
         info_rows += row
@@ -211,7 +221,8 @@ def forward_mode(cfg: Config) -> int:
     if ff_set is None:
         raise RuntimeError("no ff_input_file given")
     net = Network(net_doc["layers"], net_doc.get("weights"),
-                  input_size_override=ff_set.input_pattern_size)
+                  input_size_override=ff_set.input_pattern_size,
+                  backend=cfg.lstm_backend)
     net.init_params(cfg.random_seed)
     _print_layers(net)
 

@@ -118,6 +118,11 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--bucket_lengths", type=_str2bool, default=False)
     g.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    g.add_argument("--lstm_backend", default="auto",
+                   choices=["auto", "scan", "pallas"],
+                   help="LSTM recurrence implementation")
+    g.add_argument("--profile_dir", default="",
+                   help="write a jax profiler trace of the first epoch here")
     return p
 
 

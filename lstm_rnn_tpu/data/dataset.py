@@ -42,14 +42,58 @@ from lstm_rnn_tpu.data.netcdf3 import NetCDF3File
 from lstm_rnn_tpu.ops.masking import PATTYPE_FIRST, PATTYPE_LAST, PATTYPE_NONE, PATTYPE_NORMAL
 
 
+class _DiskCache:
+    """Binary spill file for large corpora (mirrors the reference's cache
+    file, DataSet.cpp:550-566): sequences are appended once at load and
+    re-read by seek+read each epoch, so host RAM stays bounded."""
+
+    def __init__(self, cache_dir: str = ""):
+        import tempfile
+        fd, self.path = tempfile.mkstemp(
+            suffix=".cache", dir=cache_dir or None)
+        self._f = os.fdopen(fd, "w+b")
+
+    def put(self, arr: np.ndarray):
+        arr = np.ascontiguousarray(arr)
+        off = self._f.seek(0, 2)
+        self._f.write(arr.tobytes())
+        return (off, arr.shape, arr.dtype)
+
+    def get(self, ref) -> np.ndarray:
+        off, shape, dtype = ref
+        n = int(np.prod(shape)) * np.dtype(dtype).itemsize
+        self._f.seek(off)
+        return np.frombuffer(self._f.read(n), dtype=dtype).reshape(shape)
+
+    def close(self):
+        if self._f:
+            self._f.close()
+            self._f = None
+            try:
+                os.remove(self.path)
+            except OSError:
+                pass
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
 @dataclass
 class SequenceRef:
-    """One (possibly truncated chunk of a) sequence in the corpus."""
+    """One (possibly truncated chunk of a) sequence in the corpus.
+
+    `inputs`/`targets` are ndarrays for RAM-resident corpora, or
+    (offset, shape, dtype) cache references resolved via the DataSet's
+    _DiskCache when the corpus is spilled to disk.
+    """
     tag: str
     length: int
     original_idx: int  # chunk index k within its source sequence
-    inputs: np.ndarray  # [length, input_size] float32 (host cache)
-    targets: np.ndarray  # [length, target_size] float32 or [length] int32
+    inputs: object  # [length, input_size] float32 (array or cache ref)
+    targets: object  # [length, target_size] float32 / [length] int32
 
 
 @dataclass
@@ -78,12 +122,12 @@ def _bucket_lengths(max_len: int) -> List[int]:
 
 
 class DataSet:
-    """In-memory corpus with reference-equivalent fraction iteration.
+    """Corpus with reference-equivalent fraction iteration.
 
-    Unlike the reference (which streams via an on-disk binary cache,
-    DataSet.cpp:550-566), sequences are held in RAM by default — the shipped
-    corpora are small and host RAM is ample on TPU VMs. A disk-backed cache
-    (np.memmap) kicks in automatically above `cache_threshold_bytes`.
+    Sequences are held in RAM for small corpora; above
+    `cache_threshold_bytes` (1 GiB) — or whenever `cache_path` is set — they
+    spill to a binary disk cache and are re-read by seek per epoch, exactly
+    the reference's scheme (DataSet.cpp:550-566).
     """
 
     def __init__(self, ncfiles: Sequence[str], parallel_sequences: int = 1,
@@ -115,6 +159,12 @@ class DataSet:
         if use_native:
             from lstm_rnn_tpu import runtime as _rt
             self._native = _rt if _rt.load() is not None else None
+
+        # spill to a disk cache when the corpus is large or a cache path is
+        # explicitly configured (cache_threshold_bytes, default 1 GiB)
+        self._cache: Optional[_DiskCache] = None
+        self._cache_dir = cache_path
+        self.cache_threshold_bytes = 1 << 30
 
         self.sequences: List[SequenceRef] = []
         self.total_sequences = 0
@@ -170,6 +220,13 @@ class DataSet:
             lengths = f.read("seqLengths", 0, n_seq)
             tags = f.read_strings("seqTags")[:n_seq]
 
+            est_bytes = 4 * f.dimensions["numTimesteps"] * (
+                self.input_pattern_size + (1 if self.is_classification
+                                           else self.output_pattern_size))
+            if self._cache is None and (self._cache_dir
+                                        or est_bytes > self.cache_threshold_bytes):
+                self._cache = _DiskCache(self._cache_dir)
+
             inputs_off = 0
             targets_off = 0
             for i in range(n_seq):
@@ -188,6 +245,9 @@ class DataSet:
                         ts = f.read("targetClasses", targets_off, chunk).astype(np.int32)
                     else:
                         ts = f.read("targetPatterns", targets_off, chunk).astype(np.float32)
+                    if self._cache is not None:
+                        xs = self._cache.put(xs)
+                        ts = self._cache.put(ts)
                     self.sequences.append(SequenceRef(
                         tag=tags[i], length=chunk, original_idx=k,
                         inputs=xs, targets=ts))
@@ -231,6 +291,13 @@ class DataSet:
                 return b
         return max_len
 
+    def _seq_arrays(self, seq: SequenceRef):
+        """Resolve (inputs, targets) arrays, reading from the disk cache if
+        the corpus is spilled."""
+        if self._cache is None:
+            return seq.inputs, seq.targets
+        return self._cache.get(seq.inputs), self._cache.get(seq.targets)
+
     # -------------------------------------------------------- fraction builder
     def _make_fraction(self, first_idx: int) -> Fraction:
         b = self.parallel_sequences
@@ -242,11 +309,9 @@ class DataSet:
         lag = self.output_time_lag
 
         if self._native is not None and self.noise_deviation == 0.0:
-            inputs_cat = np.concatenate([s.inputs for s in seqs], axis=0)
-            if self.is_classification:
-                targets_cat = np.concatenate([s.targets for s in seqs])
-            else:
-                targets_cat = np.concatenate([s.targets for s in seqs], axis=0)
+            arrs = [self._seq_arrays(s) for s in seqs]
+            inputs_cat = np.concatenate([a[0] for a in arrs], axis=0)
+            targets_cat = np.concatenate([a[1] for a in arrs], axis=0)
             lengths = np.asarray([s.length for s in seqs], np.int32)
             offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]]).astype(np.int32)
             inputs, targets, pattypes = self._native.assemble_fraction(
@@ -269,7 +334,7 @@ class DataSet:
         info = []
         for i, seq in enumerate(seqs):
             L = seq.length
-            xs = seq.inputs
+            xs, seq_targets = self._seq_arrays(seq)
             if self.noise_deviation:
                 xs = xs + self._rng.normal(
                     0.0, self.noise_deviation, xs.shape).astype(np.float32)
@@ -285,16 +350,16 @@ class DataSet:
 
             if self.is_classification:
                 if lag > 0:
-                    targets[lag:L, i] = seq.targets[: L - lag]
+                    targets[lag:L, i] = seq_targets[: L - lag]
                     targets[:min(lag, L), i] = 0  # default class
                 else:
-                    targets[:L, i] = seq.targets
+                    targets[:L, i] = seq_targets
             else:
                 if lag > 0:
-                    targets[lag:L, i, :] = seq.targets[: L - lag]
+                    targets[lag:L, i, :] = seq_targets[: L - lag]
                     targets[:min(lag, L), i, :] = 1.0  # default value
                 else:
-                    targets[:L, i, :] = seq.targets
+                    targets[:L, i, :] = seq_targets
 
             pattypes[1 : L - 1, i] = PATTYPE_NORMAL
             if L > 1:

@@ -117,6 +117,18 @@ def lstm_forward(params, x, pattypes, bias_mult: float, bidirectional: bool,
 
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "scan"
+        if backend == "pallas":
+            # VMEM guard: the backward kernel keeps W_rec + ~7 chunked blocks
+            # resident; fall back to lax.scan when that would not fit.
+            from lstm_rnn_tpu.ops.lstm_cell import DEFAULT_CHUNK, round_up
+            hp = round_up(hdim, 128)
+            bp = round_up(bsz, 8)
+            vmem = 4 * (hp * 4 * hp  # W_rec
+                        + 2 * 7 * DEFAULT_CHUNK * bp * hp  # double-buffered blocks
+                        + 2 * DEFAULT_CHUNK * bp * 4 * hp  # acts + dA
+                        + 3 * bp * hp + bp * 4 * hp)  # scratch
+            if vmem > 12 * 1024 * 1024:
+                backend = "scan"
 
     if backend in ("pallas", "pallas_interpret"):
         from lstm_rnn_tpu.ops.lstm_cell import (DEFAULT_CHUNK,

@@ -1,0 +1,104 @@
+"""CLI integration tests: training, autosave/continue, forward modes."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from .conftest import requires_reference
+from .test_data import _write_classification_nc
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _cli(*args, cwd):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.run(
+        [sys.executable, "-m", "lstm_rnn_tpu.cli", *args, "--device", "cpu"],
+        capture_output=True, text=True, cwd=str(cwd), env=env)
+
+
+def _toy_setup(tmp_path, rng):
+    nc = str(tmp_path / "train.nc")
+    _write_classification_nc(nc, [6, 5, 4, 7], in_size=3, num_labels=4, seed=7)
+    net = {
+        "layers": [
+            {"name": "input", "type": "input", "size": 3},
+            {"name": "l1", "type": "lstm", "size": 4, "bias": 1.0},
+            {"name": "output", "type": "softmax", "size": 4, "bias": 1.0},
+            {"name": "postoutput", "type": "multiclass_classification", "size": 4},
+        ],
+    }
+    net_path = tmp_path / "net.jsn"
+    net_path.write_text(json.dumps(net))
+    return nc, str(net_path)
+
+
+def test_train_autosave_continue_equals_straight_run(tmp_path, rng):
+    """3 epochs straight == 2 epochs + autosave + --continue for 1 more:
+    the continued run must restore weights, momentum and counters exactly."""
+    nc, net_path = _toy_setup(tmp_path, rng)
+    common = ["--network", net_path, "--train", "true", "--train_file", nc,
+              "--stochastic", "true", "--learning_rate", "1e-3",
+              "--parallel_sequences", "2", "--random_seed", "5"]
+
+    d1 = tmp_path / "straight"
+    d1.mkdir()
+    r = _cli(*common, "--max_epochs", "3", "--autosave", "true", cwd=d1)
+    assert r.returncode == 0, r.stdout + r.stderr
+    # per-epoch autosaves were written; the mid-run one is resumable
+    autosave = d1 / "epoch002.autosave"
+    assert autosave.exists()
+    doc = json.loads(autosave.read_text())
+    for key in ("configuration", "info_rows", "optimizer_cur_epoch",
+                "optimizer_best_weights", "steepest_descent_optimizer_weight_deltas",
+                "layers", "weights"):
+        assert key in doc, key
+    assert doc["optimizer_cur_epoch"] == 2
+    assert doc["optimizer_finished"] is False
+
+    # resume from epoch 2: must run exactly epoch 3 (stored config has
+    # max_epochs=3; --continue ignores all other CLI flags)
+    d2 = tmp_path / "resumed"
+    d2.mkdir()
+    r = _cli("--continue", str(autosave), cwd=d2)
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    w1 = json.loads((d1 / "trained_network.jsn").read_text())["weights"]
+    w2 = json.loads((d2 / "trained_network.jsn").read_text())["weights"]
+    for layer in w1:
+        for sec in w1[layer]:
+            np.testing.assert_allclose(
+                w1[layer][sec], w2[layer][sec], rtol=1e-6, atol=1e-7,
+                err_msg=f"{layer}.{sec}")
+
+
+def test_rprop_rejected(tmp_path, rng):
+    nc, net_path = _toy_setup(tmp_path, rng)
+    r = _cli("--network", net_path, "--train", "true", "--train_file", nc,
+             "--optimizer", "rprop", "--max_epochs", "1", cwd=tmp_path)
+    # accepted by the flag parser, then fails like the reference
+    # (main.cpp:190: "Unknown optimizer type")
+    assert r.returncode == 2
+    assert "Unknown optimizer type" in r.stdout
+
+
+def test_forward_pass_csv_dir(tmp_path, rng):
+    nc, net_path = _toy_setup(tmp_path, rng)
+    r = _cli("--network", net_path, "--train", "true", "--train_file", nc,
+             "--max_epochs", "1", cwd=tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    r = _cli("--network", str(tmp_path / "trained_network.jsn"),
+             "--train", "false", "--ff_input_file", nc,
+             "--ff_output_format", "csv", "--ff_output_file", "outdir",
+             cwd=tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    files = sorted(os.listdir(tmp_path / "outdir"))
+    assert files == ["seq0.csv", "seq1.csv", "seq2.csv", "seq3.csv"]
+    rows = (tmp_path / "outdir/seq0.csv").read_text().strip().split("\n")
+    assert len(rows) == 6  # length of seq0
+    assert all(len(r.split(";")) == 4 for r in rows)

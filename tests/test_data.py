@@ -156,6 +156,22 @@ def test_binary_collapse(tmp_path):
     assert ds.output_pattern_size == 1  # numLabels==2 collapses (DataSet.cpp:493)
 
 
+def test_disk_cache_equals_ram(tmp_path):
+    path = str(tmp_path / "t.nc")
+    _write_classification_nc(path, [5, 3, 7, 2])
+    ds_ram = DataSet([path], parallel_sequences=2, prefetch=False)
+    ds_disk = DataSet([path], parallel_sequences=2, prefetch=False,
+                      cache_path=str(tmp_path))
+    assert ds_disk._cache is not None and ds_ram._cache is None
+    for fa, fb in zip(ds_ram.fractions(), ds_disk.fractions()):
+        np.testing.assert_array_equal(fa.inputs, fb.inputs)
+        np.testing.assert_array_equal(fa.targets, fb.targets)
+        np.testing.assert_array_equal(fa.pattypes, fb.pattypes)
+    # second epoch re-reads from the cache file
+    for fb in ds_disk.fractions():
+        assert fb.inputs.dtype == np.float32
+
+
 def test_prefetch_equals_sync(tmp_path):
     path = str(tmp_path / "t.nc")
     _write_classification_nc(path, [5, 3, 7, 2])
