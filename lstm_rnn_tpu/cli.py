@@ -113,7 +113,8 @@ def train_mode(cfg: Config) -> int:
 
     net = Network(net_doc["layers"], net_doc.get("weights"),
                   input_size_override=train_set.input_pattern_size,
-                  backend=cfg.lstm_backend)
+                  backend=cfg.lstm_backend,
+                  compute_dtype=cfg.compute_dtype)
     if train_set.output_pattern_size != net.target_size:
         raise RuntimeError("Post output layer size != target pattern size of the training set")
     net.init_params(cfg.random_seed, dist=cfg.weights_dist,
@@ -222,7 +223,8 @@ def forward_mode(cfg: Config) -> int:
         raise RuntimeError("no ff_input_file given")
     net = Network(net_doc["layers"], net_doc.get("weights"),
                   input_size_override=ff_set.input_pattern_size,
-                  backend=cfg.lstm_backend)
+                  backend=cfg.lstm_backend,
+                  compute_dtype=cfg.compute_dtype)
     net.init_params(cfg.random_seed)
     _print_layers(net)
 

@@ -23,22 +23,35 @@ import jax.numpy as jnp
 from lstm_rnn_tpu.ops.activations import ACTIVATIONS, safe_exp
 
 
-def feedforward_forward(params, x, activation: str, bias_mult: float):
+def _precision(compute_dtype):
+    """float32 mode means HONEST fp32 matmuls (TPU default would silently
+    run bf16 passes); bfloat16 mode uses the MXU's native precision."""
+    if jnp.dtype(compute_dtype) == jnp.float32:
+        return jax.lax.Precision.HIGHEST
+    return jax.lax.Precision.DEFAULT
+
+
+def feedforward_forward(params, x, activation: str, bias_mult: float,
+                        compute_dtype=jnp.float32):
     """x: [T, B, P] -> [T, B, L].
 
     params: {"W": [P, L], "b": [L]}.
     `bias_mult` is the layer's JSON "bias" value (a multiplier, usually 1.0;
-    the TIMIT subsample layers use 0.0).
+    the TIMIT subsample layers use 0.0). `compute_dtype=bfloat16` runs the
+    matmul at the MXU's native precision (float32 accumulation).
     """
     act = ACTIVATIONS[activation]
-    a = jnp.einsum("tbp,pl->tbl", x, params["W"], preferred_element_type=x.dtype)
+    a = jnp.einsum("tbp,pl->tbl", x.astype(compute_dtype),
+                   params["W"].astype(compute_dtype),
+                   preferred_element_type=jnp.float32,
+                   precision=_precision(compute_dtype))
     a = a + bias_mult * params["b"]
     return act(a)
 
 
-def softmax_forward(params, x, bias_mult: float):
+def softmax_forward(params, x, bias_mult: float, compute_dtype=jnp.float32):
     """Feedforward-identity + CURRENNT softmax. x: [T, B, P] -> [T, B, L]."""
-    a = feedforward_forward(params, x, "identity", bias_mult)
+    a = feedforward_forward(params, x, "identity", bias_mult, compute_dtype)
     # offset = 0.5*(min+max) per pattern (SoftmaxLayer.cu:74). Softmax is
     # analytically invariant to the offset, and the reference backward pass
     # (SoftmaxLayer.cu:317-353) is the plain softmax Jacobian, so we stop the

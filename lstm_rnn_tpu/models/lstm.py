@@ -45,6 +45,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from lstm_rnn_tpu.models.feedforward import _precision
 from lstm_rnn_tpu.ops.activations import grad_clip, logistic, tanh2
 
 
@@ -60,7 +61,9 @@ def _lstm_scan(acts, w_rec, peep, mask, clip_gradients: bool):
     def step(carry, inp):
         h, c = carry  # [D, B, H] each
         a, m = inp  # a: [D, B, 4, H], m: [D, B, 1]
-        a = a + jnp.einsum("dbh,dhgj->dbgj", h, w_rec, preferred_element_type=h.dtype)
+        a = a + jnp.einsum("dbh,dhgj->dbgj", h.astype(w_rec.dtype), w_rec,
+                           preferred_element_type=h.dtype,
+                           precision=_precision(w_rec.dtype))
         ni = tanh2(gclip(a[:, :, 0]))
         ig = logistic(gclip(a[:, :, 1] + c * peep[:, None, 0]))
         fg = logistic(gclip(a[:, :, 2] + c * peep[:, None, 1]))
@@ -101,13 +104,17 @@ def _pad_axis(a, axis, target):
 
 
 def lstm_forward(params, x, pattypes, bias_mult: float, bidirectional: bool,
-                 clip_gradients: bool = True, backend: str = "auto"):
+                 clip_gradients: bool = True, backend: str = "auto",
+                 compute_dtype=jnp.float32):
     """x: [T, B, P], pattypes: [T, B] int8 -> outputs [T, B, L].
 
     L = H for unidirectional, 2H for bidirectional ([fw | bw] per frame).
     backend: "scan" (lax.scan), "pallas" (fused Mosaic kernel),
     "pallas_interpret" (kernel in interpreter mode, for CPU tests), or
     "auto" (pallas on TPU, scan elsewhere).
+    compute_dtype: matmul input dtype — bfloat16 uses the MXU's native
+    precision for the projections and the recurrent matmuls (activations,
+    accumulation and state stay float32); float32 is the parity mode.
     """
     w_in, w_rec, b, peep = params["W_in"], params["W_rec"], params["b"], params["peep"]
     t, bsz, _ = x.shape
@@ -142,10 +149,12 @@ def lstm_forward(params, x, pattypes, bias_mult: float, bidirectional: bool,
         w_in_p = _pad_axis(w_in, 3, hp)
         b_p = _pad_axis(b, 2, hp)
         peep_p = _pad_axis(peep, 2, hp)
-        w_rec_p = _pad_axis(_pad_axis(w_rec, 3, hp), 1, hp)
+        w_rec_p = _pad_axis(_pad_axis(w_rec, 3, hp), 1, hp).astype(compute_dtype)
 
-        acts = jnp.einsum("tbp,dpgh->dtbgh", x, w_in_p,
-                          preferred_element_type=jnp.float32)
+        acts = jnp.einsum("tbp,dpgh->dtbgh", x.astype(compute_dtype),
+                          w_in_p.astype(compute_dtype),
+                          preferred_element_type=jnp.float32,
+                          precision=_precision(compute_dtype))
         acts = acts + bias_mult * b_p[:, None, None]
         acts = acts.reshape(d, t, bsz, 4 * hp)
         if bidirectional:
@@ -171,7 +180,10 @@ def lstm_forward(params, x, pattypes, bias_mult: float, bidirectional: bool,
         return ys[0, :t]
 
     # lax.scan path
-    acts = jnp.einsum("tbp,dpgh->tdbgh", x, w_in, preferred_element_type=x.dtype)
+    acts = jnp.einsum("tbp,dpgh->tdbgh", x.astype(compute_dtype),
+                      w_in.astype(compute_dtype),
+                      preferred_element_type=jnp.float32,
+                      precision=_precision(compute_dtype))
     acts = acts + bias_mult * b[None, :, None]  # bias multiplier, TrainableLayer bias()
 
     valid = (pattypes != 0).astype(x.dtype)[:, None, :, None]  # [T, 1, B, 1]
@@ -181,7 +193,8 @@ def lstm_forward(params, x, pattypes, bias_mult: float, bidirectional: bool,
     else:
         mask = valid
 
-    ys = _lstm_scan(acts, w_rec, peep, mask, clip_gradients)  # [T, D, B, H]
+    ys = _lstm_scan(acts, w_rec.astype(compute_dtype), peep, mask,
+                    clip_gradients)  # [T, D, B, H]
 
     if bidirectional:
         fw = ys[:, 0]

@@ -51,7 +51,8 @@ class Network:
     def __init__(self, layers_json: List[Dict[str, Any]],
                  weights_json: Optional[Dict[str, Any]] = None,
                  input_size_override: Optional[int] = None,
-                 clip_gradients: bool = True, backend: str = "auto"):
+                 clip_gradients: bool = True, backend: str = "auto",
+                 compute_dtype: str = "float32"):
         specs: List[LayerSpec] = []
         for lc in layers_json:
             if "type" not in lc:
@@ -113,6 +114,7 @@ class Network:
         self.specs = specs
         self.clip_gradients = clip_gradients
         self.backend = backend  # LSTM scan backend: auto|scan|pallas
+        self.compute_dtype = jnp.dtype(compute_dtype)  # matmul input dtype
         self.loss_fn, self.task_kind = losses_mod.LOSSES[specs[-1].type]
         self.is_classification = self.task_kind == "classification"
 
@@ -182,11 +184,13 @@ class Network:
             if s.type in ioc.LSTM_TYPES:
                 x = lstm_forward(p, x, pattypes, s.bias, ioc.LSTM_TYPES[s.type],
                                  clip_gradients=self.clip_gradients,
-                                 backend=self.backend)
+                                 backend=self.backend,
+                                 compute_dtype=self.compute_dtype)
             elif s.type == "softmax":
-                x = softmax_forward(p, x, s.bias)
+                x = softmax_forward(p, x, s.bias, self.compute_dtype)
             else:
-                x = feedforward_forward(p, x, ioc.FEEDFORWARD_TYPES[s.type], s.bias)
+                x = feedforward_forward(p, x, ioc.FEEDFORWARD_TYPES[s.type],
+                                        s.bias, self.compute_dtype)
         return x
 
     def loss(self, params, inputs, targets, pattypes):

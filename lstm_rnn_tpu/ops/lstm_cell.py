@@ -74,10 +74,11 @@ def _fwd_kernel(lengths_ref, acts_ref, w_rec_ref, peep_ref,
     p_ig = peep_ref[0, 0:1, :]
     p_fg = peep_ref[0, 1:2, :]
     p_og = peep_ref[0, 2:3, :]
+    w = w_rec_ref[0]
 
     for j in range(CH):
         t = k * CH + j
-        a = acts_ref[0, j] + jnp.dot(h, w_rec_ref[0],
+        a = acts_ref[0, j] + jnp.dot(h.astype(w.dtype), w,
                                      preferred_element_type=jnp.float32)
         ni = tanh2(a[:, 0 * H:1 * H])
         ig = logistic(a[:, 1 * H:2 * H] + c * p_ig)
@@ -135,7 +136,8 @@ def _bwd_kernel(lengths_ref, acts_ref, dh_ref, h_ref, h_prevchunk_ref,
         c = c_ref[0, j]
 
         # recompute gate activations (bit-identical to the forward kernel)
-        a = acts_ref[0, j] + jnp.dot(h_prev, w_rec_ref[0],
+        w = w_rec_ref[0]
+        a = acts_ref[0, j] + jnp.dot(h_prev.astype(w.dtype), w,
                                      preferred_element_type=jnp.float32)
         ni = tanh2(a[:, 0 * H:1 * H])
         ig = logistic(a[:, 1 * H:2 * H] + c_prev * p_ig)
@@ -143,7 +145,7 @@ def _bwd_kernel(lengths_ref, acts_ref, dh_ref, h_ref, h_prevchunk_ref,
         og = logistic(a[:, 3 * H:4 * H] + c * p_og)
 
         # incoming dE/dh plus the recurrent term from the next scan step
-        e = dh_ref[0, j] + jnp.dot(da_next, w_rec_ref[0].T,
+        e = dh_ref[0, j] + jnp.dot(da_next.astype(w.dtype), w.T,
                                    preferred_element_type=jnp.float32)
 
         tanh_c = tanh2(c)
