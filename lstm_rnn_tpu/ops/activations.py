@@ -51,6 +51,24 @@ def identity(x):
     return x
 
 
+def maxmin1(x):
+    """Maxmin1.cuh: 2*logistic(x) - 1, range (-1, 1). (tanh2 = maxmin1(2x).)"""
+    return 2.0 * logistic(x) - 1.0
+
+
+def maxmin2(x):
+    """Maxmin2.cuh: 4*logistic(x) - 2, range (-2, 2). Present in the
+    reference's activation library but not reachable from any layer type
+    (no LayerFactory entry); provided for inventory completeness."""
+    return 4.0 * logistic(x) - 2.0
+
+
+def max2min0(x):
+    """Max2min0.cuh: 2*logistic(x), range (0, 2). Like maxmin2, unused by
+    any reference layer type."""
+    return 2.0 * logistic(x)
+
+
 def safe_exp(x):
     """Reference safeExp.cuh: clamped exp."""
     e = jnp.exp(jnp.clip(x, LOG_ZERO, EXP_LIMIT))
@@ -84,4 +102,7 @@ ACTIVATIONS = {
     "tanh": tanh2,
     "logistic": logistic,
     "identity": identity,
+    "maxmin1": maxmin1,
+    "maxmin2": maxmin2,
+    "max2min0": max2min0,
 }
