@@ -134,7 +134,8 @@ def train_mode(cfg: Config) -> int:
         max_epochs=max_epochs, max_epochs_no_best=cfg.max_epochs_no_best,
         validate_every=cfg.validate_every, test_every=cfg.test_every,
         hybrid_online_batch=cfg.hybrid_online_batch,
-        weight_noise_sigma=cfg.weight_noise_sigma, seed=cfg.random_seed)
+        weight_noise_sigma=cfg.weight_noise_sigma, seed=cfg.random_seed,
+        fuse_fractions=cfg.fuse_fractions)
 
     info_rows = ""
     if cfg.continue_file:

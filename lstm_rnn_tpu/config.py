@@ -121,6 +121,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--lstm_backend", default="auto",
                    choices=["auto", "scan", "pallas"],
                    help="LSTM recurrence implementation")
+    g.add_argument("--fuse_fractions", type=int, default=1,
+                   help="run K same-shape stochastic updates in one jitted "
+                        "scan (identical results, less dispatch overhead)")
     g.add_argument("--profile_dir", default="",
                    help="write a jax profiler trace of the first epoch here")
     return p

@@ -4,13 +4,17 @@ The sequential recurrence is the only part of the LSTM that cannot be one
 big MXU matmul (input projections are batched outside, like the reference's
 time-batched GEMMs, LstmLayer.cu:772-786). `jax.lax.scan` compiles fine but
 leaves per-step fusion/scheduling to XLA; this kernel instead runs the WHOLE
-scan as one Mosaic program per direction:
+scan as one Mosaic program:
 
-- grid (D, T): the Mosaic pipeline streams each step's input projections
-  acts[d, t] (HBM -> VMEM, double-buffered automatically) while the previous
-  step computes — the same overlap the reference gets from cuBLAS streams;
+- grid (T/CH,): the Mosaic pipeline streams each chunk's input projections
+  acts[:, t:t+CH] (HBM -> VMEM, double-buffered automatically) while the
+  previous chunk computes; CH timesteps run unrolled per grid step;
+- BOTH directions of a BLSTM are interleaved INSIDE the program: their
+  recurrent chains are independent, so the d=1 matmul issues while d=0's
+  elementwise tail is still in flight — twice the MXU occupancy of running
+  directions as separate sequential programs;
 - h/c live in VMEM scratch across the entire sequence (never round-trip to
-  HBM between steps); the recurrent weights stay resident in VMEM;
+  HBM between steps); the recurrent weights stay VMEM-resident;
 - the cell's elementwise math (CURRENNT-exact: tanh2 = 2*sigma(2x)-1,
   peepholes incl. the og peephole from the NEW cell state) fuses with the
   [B, H] x [H, 4H] MXU matmul;
@@ -25,11 +29,11 @@ scan as one Mosaic program per direction:
   gradients then become big MXU einsums over the kernel's delta output
   (dW_in = x^T dA etc.), mirroring ComputeWeightUpdateFn's reductions.
 
-Shapes: acts [D, T, B, 4H] (bias already added; backward direction already
-time-reversed), w_rec [D, H, 4H], peep [D, 3, H], lengths [B] int32.
-Requires H % 128 == 0 and B % 8 == 0 — callers pad (zero-padding cells and
-batch rows is numerically exact: padded cells output exactly 0 and receive
-exactly 0 gradient).
+Shapes: acts [D, T, B, 4H] float32 (bias already added; backward direction
+already time-reversed), w_rec [D, H, 4H] (float32 or bfloat16 for MXU-native
+fast math), peep [D, 3, H], lengths [B] int32. Requires H % 128 == 0 and
+B % 8 == 0 — callers pad (zero-padding cells and batch rows is numerically
+exact: padded cells output exactly 0 and receive exactly 0 gradient).
 """
 
 from __future__ import annotations
@@ -43,67 +47,67 @@ from jax.experimental.pallas import tpu as pltpu
 
 from lstm_rnn_tpu.ops.activations import logistic, tanh2
 
+DEFAULT_CHUNK = 8
 
-def _valid_mask(lengths_ref, d, t, T, b):
-    """[B, 1] float mask for scan step t of direction d (0=fw, 1=bw).
 
-    Arithmetic blend instead of a vector select on i1 (Mosaic cannot
-    legalize arith.select on vector<...xi1>)."""
+def _valid_mask(lengths_ref, d: int, t, T):
+    """[B, 1] float mask at scan step t; d is a STATIC direction index
+    (0 = forward: t < len; 1 = backward over reversed acts: t + len >= T)."""
     lens = lengths_ref[:, 0:1]  # [B, 1] int32
-    fw = (lens > t).astype(jnp.float32)
-    bw = ((lens + t) >= T).astype(jnp.float32)
-    is_fw = (d == 0).astype(jnp.float32)
-    return is_fw * fw + (1.0 - is_fw) * bw
+    if d == 0:
+        return (lens > t).astype(jnp.float32)
+    return ((lens + t) >= T).astype(jnp.float32)
 
 
 def _fwd_kernel(lengths_ref, acts_ref, w_rec_ref, peep_ref,
-                h_out_ref, c_out_ref, h_scr, c_scr, *, T, CH):
-    """Processes CH timesteps per grid step (unrolled) to amortize pipeline
-    overhead; h/c carry across chunks in VMEM scratch."""
-    d = pl.program_id(0)
-    k = pl.program_id(1)
+                h_out_ref, c_out_ref, h_scr, c_scr, *, T, CH, D):
+    """CH timesteps x D directions per grid step, fully unrolled; h/c carry
+    across chunks in VMEM scratch."""
+    k = pl.program_id(0)
 
     @pl.when(k == 0)
     def _():
         h_scr[...] = jnp.zeros_like(h_scr)
         c_scr[...] = jnp.zeros_like(c_scr)
 
-    h = h_scr[...]
-    c = c_scr[...]
-    H = h.shape[-1]
-    p_ig = peep_ref[0, 0:1, :]
-    p_fg = peep_ref[0, 1:2, :]
-    p_og = peep_ref[0, 2:3, :]
-    w = w_rec_ref[0]
+    hs = [h_scr[d] for d in range(D)]
+    cs = [c_scr[d] for d in range(D)]
+    H = hs[0].shape[-1]
 
     for j in range(CH):
         t = k * CH + j
-        a = acts_ref[0, j] + jnp.dot(h.astype(w.dtype), w,
-                                     preferred_element_type=jnp.float32)
-        ni = tanh2(a[:, 0 * H:1 * H])
-        ig = logistic(a[:, 1 * H:2 * H] + c * p_ig)
-        fg = logistic(a[:, 2 * H:3 * H] + c * p_fg)
-        c_new = ni * ig + fg * c
-        og = logistic(a[:, 3 * H:4 * H] + c_new * p_og)
-        h_new = tanh2(c_new) * og
+        for d in range(D):
+            w = w_rec_ref[d]
+            h, c = hs[d], cs[d]
+            a = acts_ref[d, j] + jnp.dot(h.astype(w.dtype), w,
+                                         preferred_element_type=jnp.float32)
+            p_ig = peep_ref[d, 0:1, :]
+            p_fg = peep_ref[d, 1:2, :]
+            p_og = peep_ref[d, 2:3, :]
+            ni = tanh2(a[:, 0 * H:1 * H])
+            ig = logistic(a[:, 1 * H:2 * H] + c * p_ig)
+            fg = logistic(a[:, 2 * H:3 * H] + c * p_fg)
+            c_new = ni * ig + fg * c
+            og = logistic(a[:, 3 * H:4 * H] + c_new * p_og)
+            h_new = tanh2(c_new) * og
 
-        m = _valid_mask(lengths_ref, d, t, T, h.shape[0])
-        h = h_new * m
-        c = c_new * m
-        h_out_ref[0, j] = h
-        c_out_ref[0, j] = c
+            m = _valid_mask(lengths_ref, d, t, T)
+            hs[d] = h_new * m
+            cs[d] = c_new * m
+            h_out_ref[d, j] = hs[d]
+            c_out_ref[d, j] = cs[d]
 
-    h_scr[...] = h
-    c_scr[...] = c
+    for d in range(D):
+        h_scr[d] = hs[d]
+        c_scr[d] = cs[d]
 
 
 def _bwd_kernel(lengths_ref, acts_ref, dh_ref, h_ref, h_prevchunk_ref,
                 c_ref, c_prevchunk_ref, w_rec_ref, peep_ref, da_ref,
-                da_scr, cse_scr, fg_scr, *, T, CH, clip):
-    """Reverse-order BPTT, CH timesteps per grid step (unrolled)."""
-    d = pl.program_id(0)
-    kg = pl.program_id(1)
-    nc = pl.num_programs(1)
+                da_scr, cse_scr, fg_scr, *, T, CH, D, clip):
+    """Reverse-order BPTT, CH timesteps x D directions per grid step."""
+    kg = pl.program_id(0)
+    nc = pl.num_programs(0)
     k = nc - 1 - kg  # reversed chunk order
 
     @pl.when(kg == 0)
@@ -112,77 +116,84 @@ def _bwd_kernel(lengths_ref, acts_ref, dh_ref, h_ref, h_prevchunk_ref,
         cse_scr[...] = jnp.zeros_like(cse_scr)
         fg_scr[...] = jnp.zeros_like(fg_scr)
 
-    B, H = cse_scr.shape
-    p_ig = peep_ref[0, 0:1, :]
-    p_fg = peep_ref[0, 1:2, :]
-    p_og = peep_ref[0, 2:3, :]
-
-    da_next = da_scr[...]
-    cse_next = cse_scr[...]
-    fg_next = fg_scr[...]
+    H = cse_scr.shape[-1]
+    da_next = [da_scr[d] for d in range(D)]
+    cse_next = [cse_scr[d] for d in range(D)]
+    fg_next = [fg_scr[d] for d in range(D)]
 
     for j in range(CH - 1, -1, -1):
         t = k * CH + j
-        # arithmetic first-step mask: avoids vector selects Mosaic cannot
-        # legalize; at t==0 there is no previous output/cell state
+        # arithmetic first-step mask: at t==0 there is no previous state
         not_first = (t > 0).astype(jnp.float32)
-        m = _valid_mask(lengths_ref, d, t, T, B)
-        if j > 0:
-            h_prev = h_ref[0, j - 1]
-            c_prev = c_ref[0, j - 1]
-        else:
-            h_prev = h_prevchunk_ref[0, CH - 1] * not_first
-            c_prev = c_prevchunk_ref[0, CH - 1] * not_first
-        c = c_ref[0, j]
+        for d in range(D):
+            w = w_rec_ref[d]
+            m = _valid_mask(lengths_ref, d, t, T)
+            if j > 0:
+                h_prev = h_ref[d, j - 1]
+                c_prev = c_ref[d, j - 1]
+            else:
+                h_prev = h_prevchunk_ref[d, CH - 1] * not_first
+                c_prev = c_prevchunk_ref[d, CH - 1] * not_first
+            c = c_ref[d, j]
 
-        # recompute gate activations (bit-identical to the forward kernel)
-        w = w_rec_ref[0]
-        a = acts_ref[0, j] + jnp.dot(h_prev.astype(w.dtype), w,
-                                     preferred_element_type=jnp.float32)
-        ni = tanh2(a[:, 0 * H:1 * H])
-        ig = logistic(a[:, 1 * H:2 * H] + c_prev * p_ig)
-        fg = logistic(a[:, 2 * H:3 * H] + c_prev * p_fg)
-        og = logistic(a[:, 3 * H:4 * H] + c * p_og)
+            # recompute gate activations (bit-identical to the forward)
+            a = acts_ref[d, j] + jnp.dot(h_prev.astype(w.dtype), w,
+                                         preferred_element_type=jnp.float32)
+            p_ig = peep_ref[d, 0:1, :]
+            p_fg = peep_ref[d, 1:2, :]
+            p_og = peep_ref[d, 2:3, :]
+            ni = tanh2(a[:, 0 * H:1 * H])
+            ig = logistic(a[:, 1 * H:2 * H] + c_prev * p_ig)
+            fg = logistic(a[:, 2 * H:3 * H] + c_prev * p_fg)
+            og = logistic(a[:, 3 * H:4 * H] + c * p_og)
 
-        # incoming dE/dh plus the recurrent term from the next scan step
-        e = dh_ref[0, j] + jnp.dot(da_next.astype(w.dtype), w.T,
-                                   preferred_element_type=jnp.float32)
+            # incoming dE/dh plus the recurrent term from the next scan step
+            e = dh_ref[d, j] + jnp.dot(da_next[d].astype(w.dtype), w.T,
+                                       preferred_element_type=jnp.float32)
 
-        tanh_c = tanh2(c)
-        og_delta = og * (1.0 - og) * tanh_c * e
-        # NB: UNCLIPPED og delta here (LstmLayer.cu:246-250); next-step ig/fg
-        # deltas are the CLIPPED stored ones (da_next), csErr is unclipped.
-        cs_err = (og * (1.0 - tanh_c * tanh_c) * e + p_og * og_delta
-                  + fg_next * cse_next
-                  + p_ig * da_next[:, 1 * H:2 * H]
-                  + p_fg * da_next[:, 2 * H:3 * H])
+            tanh_c = tanh2(c)
+            og_delta = og * (1.0 - og) * tanh_c * e
+            # NB: UNCLIPPED og delta here (LstmLayer.cu:246-250); next-step
+            # ig/fg deltas are the CLIPPED stored ones, csErr is unclipped.
+            cs_err = (og * (1.0 - tanh_c * tanh_c) * e + p_og * og_delta
+                      + fg_next[d] * cse_next[d]
+                      + p_ig * da_next[d][:, 1 * H:2 * H]
+                      + p_fg * da_next[d][:, 2 * H:3 * H])
 
-        ni_delta = ig * (1.0 - ni * ni) * cs_err
-        fg_delta = fg * (1.0 - fg) * c_prev * cs_err * not_first
-        ig_delta = ig * (1.0 - ig) * ni * cs_err
+            ni_delta = ig * (1.0 - ni * ni) * cs_err
+            fg_delta = fg * (1.0 - fg) * c_prev * cs_err * not_first
+            ig_delta = ig * (1.0 - ig) * ni * cs_err
 
-        if clip:
-            ni_delta = jnp.clip(ni_delta, -1.0, 1.0)
-            ig_delta = jnp.clip(ig_delta, -1.0, 1.0)
-            fg_delta = jnp.clip(fg_delta, -1.0, 1.0)
-            og_delta_st = jnp.clip(og_delta, -1.0, 1.0)
-        else:
-            og_delta_st = og_delta
+            if clip:
+                ni_delta = jnp.clip(ni_delta, -1.0, 1.0)
+                ig_delta = jnp.clip(ig_delta, -1.0, 1.0)
+                fg_delta = jnp.clip(fg_delta, -1.0, 1.0)
+                og_delta_st = jnp.clip(og_delta, -1.0, 1.0)
+            else:
+                og_delta_st = og_delta
 
-        da = jnp.concatenate([ni_delta, ig_delta, fg_delta, og_delta_st],
-                             axis=-1) * m
-        da_next = da
-        cse_next = cs_err * m
-        fg_next = fg * m
-        da_ref[0, j] = da
+            da = jnp.concatenate(
+                [ni_delta, ig_delta, fg_delta, og_delta_st], axis=-1) * m
+            da_next[d] = da
+            cse_next[d] = cs_err * m
+            fg_next[d] = fg * m
+            da_ref[d, j] = da
 
-    da_scr[...] = da_next
-    cse_scr[...] = cse_next
-    fg_scr[...] = fg_next
+    for d in range(D):
+        da_scr[d] = da_next[d]
+        cse_scr[d] = cse_next[d]
+        fg_scr[d] = fg_next[d]
 
 
 def _block(shape, index_map):
     return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
+
+
+def _pick_chunk(T: int) -> int:
+    ch = DEFAULT_CHUNK
+    while T % ch:
+        ch //= 2
+    return max(ch, 1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -193,16 +204,6 @@ def lstm_scan_fused(acts, w_rec, peep, lengths, clip: bool = True,
     return h
 
 
-DEFAULT_CHUNK = 8
-
-
-def _pick_chunk(T: int) -> int:
-    ch = DEFAULT_CHUNK
-    while T % ch:
-        ch //= 2
-    return max(ch, 1)
-
-
 def _fwd_impl(acts, w_rec, peep, lengths, interpret):
     D, T, B, H4 = acts.shape
     H = H4 // 4
@@ -211,24 +212,24 @@ def _fwd_impl(acts, w_rec, peep, lengths, interpret):
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(D, T // CH),
+        grid=(T // CH,),
         in_specs=[
-            _block((B, 128), lambda d, k: (0, 0)),
-            _block((1, CH, B, H4), lambda d, k: (d, k, 0, 0)),
-            _block((1, H, H4), lambda d, k: (d, 0, 0)),
-            _block((1, 3, H), lambda d, k: (d, 0, 0)),
+            _block((B, 128), lambda k: (0, 0)),
+            _block((D, CH, B, H4), lambda k: (0, k, 0, 0)),
+            _block((D, H, H4), lambda k: (0, 0, 0)),
+            _block((D, 3, H), lambda k: (0, 0, 0)),
         ],
         out_specs=[
-            _block((1, CH, B, H), lambda d, k: (d, k, 0, 0)),
-            _block((1, CH, B, H), lambda d, k: (d, k, 0, 0)),
+            _block((D, CH, B, H), lambda k: (0, k, 0, 0)),
+            _block((D, CH, B, H), lambda k: (0, k, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((B, H), jnp.float32),
-            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((D, B, H), jnp.float32),
+            pltpu.VMEM((D, B, H), jnp.float32),
         ],
     )
     h, c = pl.pallas_call(
-        functools.partial(_fwd_kernel, T=T, CH=CH),
+        functools.partial(_fwd_kernel, T=T, CH=CH, D=D),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((D, T, B, H), jnp.float32),
@@ -258,37 +259,37 @@ def _fused_bwd(clip, interpret, residuals, dh):
     lengths_2d = jnp.broadcast_to(lengths.astype(jnp.int32)[:, None], (B, 128))
 
     # chunk index maps (reversed order); prev = preceding chunk, clamped
-    def cur_index(d, kg):
-        return (d, NC - 1 - kg, 0, 0)
+    def cur_index(kg):
+        return (0, NC - 1 - kg, 0, 0)
 
-    def prev_index(d, kg):
-        return (d, jnp.maximum(NC - 1 - kg - 1, 0), 0, 0)
+    def prev_index(kg):
+        return (0, jnp.maximum(NC - 1 - kg - 1, 0), 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(D, NC),
+        grid=(NC,),
         in_specs=[
-            _block((B, 128), lambda d, kg: (0, 0)),
-            _block((1, CH, B, H4), cur_index),   # acts chunk
-            _block((1, CH, B, H), cur_index),    # dh chunk
-            _block((1, CH, B, H), cur_index),    # h chunk
-            _block((1, CH, B, H), prev_index),   # h previous chunk
-            _block((1, CH, B, H), cur_index),    # c chunk
-            _block((1, CH, B, H), prev_index),   # c previous chunk
-            _block((1, H, H4), lambda d, kg: (d, 0, 0)),
-            _block((1, 3, H), lambda d, kg: (d, 0, 0)),
+            _block((B, 128), lambda kg: (0, 0)),
+            _block((D, CH, B, H4), cur_index),   # acts chunk
+            _block((D, CH, B, H), cur_index),    # dh chunk
+            _block((D, CH, B, H), cur_index),    # h chunk
+            _block((D, CH, B, H), prev_index),   # h previous chunk
+            _block((D, CH, B, H), cur_index),    # c chunk
+            _block((D, CH, B, H), prev_index),   # c previous chunk
+            _block((D, H, H4), lambda kg: (0, 0, 0)),
+            _block((D, 3, H), lambda kg: (0, 0, 0)),
         ],
         out_specs=[
-            _block((1, CH, B, H4), cur_index),   # dA chunk
+            _block((D, CH, B, H4), cur_index),   # dA chunk
         ],
         scratch_shapes=[
-            pltpu.VMEM((B, H4), jnp.float32),
-            pltpu.VMEM((B, H), jnp.float32),
-            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((D, B, H4), jnp.float32),
+            pltpu.VMEM((D, B, H), jnp.float32),
+            pltpu.VMEM((D, B, H), jnp.float32),
         ],
     )
     (da,) = pl.pallas_call(
-        functools.partial(_bwd_kernel, T=T, CH=CH, clip=clip),
+        functools.partial(_bwd_kernel, T=T, CH=CH, D=D, clip=clip),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((D, T, B, H4), jnp.float32)],
         interpret=interpret,
@@ -304,7 +305,7 @@ def _fused_bwd(clip, interpret, residuals, dh):
     h_prev = jnp.concatenate([jnp.zeros_like(h[:, :1]), h[:, :-1]], axis=1)
     c_prev = jnp.concatenate([jnp.zeros_like(c[:, :1]), c[:, :-1]], axis=1)
     dw_rec = jnp.einsum("dtbh,dtbg->dhg", h_prev, da,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32).astype(w_rec.dtype)
     dpeep = jnp.stack([
         jnp.einsum("dtbh,dtbh->dh", c_prev, da[..., 1 * H:2 * H]),
         jnp.einsum("dtbh,dtbh->dh", c_prev, da[..., 2 * H:3 * H]),

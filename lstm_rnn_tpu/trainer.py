@@ -52,7 +52,7 @@ class Trainer:
                  validate_every: int = 1, test_every: int = 1,
                  hybrid_online_batch: bool = False,
                  weight_noise_sigma: float = 0.0,
-                 seed: int = 1, mesh=None):
+                 seed: int = 1, mesh=None, fuse_fractions: int = 1):
         self.net = net
         self.train_set = train_set
         self.validation_set = validation_set
@@ -66,6 +66,11 @@ class Trainer:
         self.hybrid_online_batch = hybrid_online_batch
         self.weight_noise_sigma = weight_noise_sigma
         self.mesh = mesh
+        # fuse_fractions > 1: stochastic-mode updates for K same-shape
+        # fractions run as ONE jitted lax.scan — identical sequential
+        # updates, 1/K the dispatch overhead (and one big host->device
+        # transfer instead of K small ones)
+        self.fuse_fractions = max(1, fuse_fractions)
         self._noise_rng = np.random.RandomState(seed & 0x7FFFFFFF)
 
         # per-layer learning rates (>=0 overrides global,
@@ -149,7 +154,21 @@ class Trainer:
             grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, grads)
             return grad_acc, err, correct
 
+        def train_scan(params, velocity, inputs_k, targets_k, pattypes_k):
+            """K stacked same-shape fractions, sequential updates in one jit."""
+            def body(carry, batch):
+                p, v = carry
+                x, t, pt = batch
+                err, correct, grads = grad_fraction(p, x, t, pt)
+                p, v = sgd_update(p, v, grads)
+                return (p, v), (err, correct)
+
+            (params, velocity), (errs, corrs) = jax.lax.scan(
+                body, (params, velocity), (inputs_k, targets_k, pattypes_k))
+            return params, velocity, jnp.sum(errs), jnp.sum(corrs)
+
         donate = dict(donate_argnums=(0, 1))
+        self._train_scan = jax.jit(train_scan, **donate)
         self._train_step = jax.jit(train_step, **donate)
         self._train_step_noisy = jax.jit(train_step_noisy, **donate)
         self._eval_step = jax.jit(eval_step)
@@ -184,6 +203,50 @@ class Trainer:
         # tunnel adds ~25ms per sync; chained async steps hide it entirely)
         errs = []
         corrs = []
+
+        # fused stochastic path: group same-shape fractions, one scan per group
+        fuse = (self.fuse_fractions if (update and self.hybrid_online_batch
+                                        and not use_noise) else 1)
+        if fuse > 1:
+            pending = []
+
+            def flush():
+                if not pending:
+                    return
+                if len(pending) == 1:
+                    f = pending[0]
+                    inputs, targets, pattypes = self._device_batch(f)
+                    self.params, self.velocity, err, corr = self._train_step(
+                        self.params, self.velocity, inputs, targets, pattypes)
+                else:
+                    xk = np.stack([f.inputs for f in pending])
+                    tk = np.stack([f.targets for f in pending])
+                    pk = np.stack([f.pattypes for f in pending])
+                    if self.mesh is not None:
+                        from lstm_rnn_tpu.parallel.mesh import shard_batch
+                        xk = shard_batch(self.mesh, xk, 2)
+                        tk = shard_batch(self.mesh, tk, 2)
+                        pk = shard_batch(self.mesh, pk, 2)
+                    self.params, self.velocity, err, corr = self._train_scan(
+                        self.params, self.velocity, xk, tk, pk)
+                errs.append(err)
+                corrs.append(corr)
+                pending.clear()
+
+            last_shape = None
+            for frac in ds.fractions():
+                shape = frac.inputs.shape
+                if pending and (shape != last_shape or len(pending) >= fuse):
+                    flush()
+                pending.append(frac)
+                last_shape = shape
+            flush()
+            total_err = float(jnp.sum(jnp.stack(errs))) if errs else 0.0
+            correct = int(jnp.sum(jnp.stack(corrs))) if corrs else 0
+            total_err /= ds.total_sequences
+            class_err = 1.0 - correct / ds.total_timesteps
+            return total_err, class_err
+
         for frac in ds.fractions():
             inputs, targets, pattypes = self._device_batch(frac)
             if not update:

@@ -1,0 +1,39 @@
+"""Fused multi-fraction training must equal per-fraction training exactly."""
+
+import numpy as np
+import pytest
+
+from lstm_rnn_tpu.data.dataset import DataSet
+from lstm_rnn_tpu.network import Network
+from lstm_rnn_tpu.trainer import Trainer
+
+from .conftest import requires_reference
+
+NC = "/root/reference/examples/speech_recognition_chime/val_1_speaker.nc"
+NET = "/root/reference/tests/test1/network.jsn"
+
+
+@requires_reference
+def test_fused_equals_unfused():
+    # bucketing makes fraction shapes repeat so groups actually form
+    ds = DataSet([NC], parallel_sequences=8, fraction=0.3,
+                 sort_by_length=True, prefetch=False, bucket_lengths=True)
+    net1 = Network.from_json_file(NET)
+    t1 = Trainer(net1, ds, learning_rate=1e-5, momentum=0.9, max_epochs=2,
+                 hybrid_online_batch=True)
+    while not t1.train_epoch():
+        pass
+
+    net2 = Network.from_json_file(NET)
+    t2 = Trainer(net2, ds, learning_rate=1e-5, momentum=0.9, max_epochs=2,
+                 hybrid_online_batch=True, fuse_fractions=4)
+    while not t2.train_epoch():
+        pass
+
+    assert t1.cur_training_error == pytest.approx(t2.cur_training_error, rel=1e-6)
+    assert t1.cur_training_class_error == t2.cur_training_class_error
+    for name in t1.params:
+        for kk in t1.params[name]:
+            np.testing.assert_allclose(
+                np.asarray(t1.params[name][kk]), np.asarray(t2.params[name][kk]),
+                rtol=1e-6, atol=1e-8, err_msg=f"{name}.{kk}")
