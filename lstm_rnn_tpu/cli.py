@@ -29,7 +29,12 @@ def _select_device(cfg: Config):
     import jax
     if cfg.device == "cpu" or (cfg.device == "auto" and not cfg.cuda):
         jax.config.update("jax_platforms", "cpu")
-    devs = jax.devices()
+        devs = jax.devices()
+    else:
+        # accelerator init can fail transiently on single-client tunnels;
+        # ensure_backend retries by re-exec'ing the process
+        from lstm_rnn_tpu.utils.device import ensure_backend
+        devs = ensure_backend()
     print(f"Using device #0 ({devs[0].device_kind}), {len(devs)} available")
     return devs
 
@@ -244,11 +249,8 @@ def forward_mode(cfg: Config) -> int:
     for frac in ff_set.fractions():
         frac_idx += 1
         print(f"Computing outputs for data fraction {frac_idx}...", end="", flush=True)
-        y = np.asarray(apply_fn(net.params, frac.inputs, frac.pattypes))
-        tags, outs = [], []
-        for i, info in enumerate(frac.seq_info):
-            tags.append(info["tag"])
-            outs.append(y[: info["length"], i, :])
+        y = apply_fn(net.params, frac.inputs, frac.pattypes)
+        tags, outs = net.get_outputs(y, frac.seq_info)
         if fmt == "single_csv":
             writers.write_single_csv(cfg.ff_output_file, tags, outs, lag,
                                      means, stdevs, append=not first)

@@ -106,10 +106,10 @@ class Network:
         if po.type == "multiclass_classification" and po.size == 1:
             raise ValueError("The multiclass classification post output layer "
                              "cannot be used for an output layer size of 1")
-        if po.size != ol.size * mult and not (po.type == "multiclass_classification"):
-            # reference checks target size == size of preceding layer (x mult)
-            if po.size != ol.size * mult:
-                raise ValueError("Post output layer size mismatch")
+        # post-output size must equal the output layer size (x2 for the
+        # interleaved-target losses) — PostOutputLayer.cpp:48-58
+        if po.size != ol.size * mult:
+            raise ValueError(f"Size mismatch: {po.size} vs. {ol.size * mult}")
 
         self.specs = specs
         self.clip_gradients = clip_gradients
@@ -204,6 +204,20 @@ class Network:
         if self.specs[-1].type == "multiclass_classification":
             return losses_mod.multiclass_correct_count(y, targets, pattypes)
         return jnp.zeros((), dtype=jnp.int32)
+
+    def get_outputs(self, y, seq_info) -> tuple:
+        """Segment padded activations back into per-sequence outputs
+        (NeuralNetwork::getOutputs, NeuralNetwork.cpp:238-262).
+
+        y: [T, B, out]; seq_info: the Fraction's per-sequence metadata.
+        Returns (tags, [np.ndarray [len_i, out]]).
+        """
+        y = np.asarray(y)
+        tags, outs = [], []
+        for i, info in enumerate(seq_info):
+            tags.append(info["tag"])
+            outs.append(y[: info["length"], i, :])
+        return tags, outs
 
     # ------------------------------------------------------------------- JSON
     @classmethod

@@ -17,8 +17,12 @@ import time
 _ENV = "LSTM_RNN_TPU_BACKEND_RETRY"
 
 
-def ensure_backend(max_retries: int = 20, sleep_s: float = 10.0):
-    """Return jax.devices(), re-exec'ing the process if backend init fails."""
+def ensure_backend(max_retries: int = 8):
+    """Return jax.devices(), re-exec'ing the process if backend init fails.
+
+    A FAILED init attempt wedges the tunnel's remote side for minutes, so
+    tight retry loops never recover — backoff starts at 60s and grows
+    (60, 120, 180, 180, ...)."""
     import jax
 
     try:
@@ -28,6 +32,7 @@ def ensure_backend(max_retries: int = 20, sleep_s: float = 10.0):
         if attempt >= max_retries:
             raise RuntimeError(
                 f"backend init failed after {attempt} retries: {e}") from e
+        sleep_s = min(60.0 * (attempt + 1), 180.0)
         os.environ[_ENV] = str(attempt + 1)
         sys.stderr.write(
             f"[lstm_rnn_tpu] backend init failed (attempt {attempt + 1}/"

@@ -1,0 +1,73 @@
+"""Smoke tests: example recipes parse/build; bfloat16 mode; get_outputs."""
+
+import glob
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lstm_rnn_tpu.config import parse_config
+from lstm_rnn_tpu.network import Network
+from lstm_rnn_tpu.ops.masking import pattypes_from_lengths
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.parametrize("net_path", sorted(
+    glob.glob(os.path.join(REPO, "examples", "**", "network.jsn"),
+              recursive=True)))
+def test_example_networks_build(net_path):
+    net = Network.from_json_file(net_path)
+    net.init_params(1)
+    assert net.params
+
+
+@pytest.mark.parametrize("cfg_path", sorted(
+    glob.glob(os.path.join(REPO, "examples", "**", "*config.cfg"),
+              recursive=True)))
+def test_example_configs_parse(cfg_path):
+    cfg = parse_config([cfg_path])
+    assert cfg.parallel_sequences == 50
+
+
+def test_bfloat16_mode_close_to_f32(rng):
+    doc = {"layers": [
+        {"name": "input", "type": "input", "size": 5},
+        {"name": "b1", "type": "blstm", "size": 8, "bias": 1.0},
+        {"name": "output", "type": "softmax", "size": 6, "bias": 1.0},
+        {"name": "postoutput", "type": "multiclass_classification", "size": 6},
+    ]}
+    x = rng.randn(12, 3, 5).astype(np.float32)
+    pt = pattypes_from_lengths([12, 9, 5], 12, 3)
+
+    net32 = Network(doc["layers"], compute_dtype="float32")
+    net32.init_params(3)
+    y32 = np.asarray(net32.apply(net32.params, x, pt))
+
+    net16 = Network(doc["layers"], compute_dtype="bfloat16")
+    net16.params = net32.params
+    y16 = np.asarray(net16.apply(net16.params, x, pt))
+
+    assert np.isfinite(y16).all()
+    # outputs are probabilities; bf16 rounding stays within ~1e-2
+    assert np.abs(y16 - y32).max() < 2e-2
+    np.testing.assert_allclose(y16.sum(-1), 1.0, atol=1e-5)
+
+
+def test_get_outputs(rng):
+    doc = {"layers": [
+        {"name": "input", "type": "input", "size": 4},
+        {"name": "ff", "type": "feedforward_tanh", "size": 3, "bias": 1.0},
+        {"name": "po", "type": "sse", "size": 3},
+    ]}
+    net = Network(doc["layers"])
+    net.init_params(1)
+    y = rng.randn(6, 2, 3).astype(np.float32)
+    seq_info = [{"tag": "a", "length": 6, "originalSeqIdx": 0},
+                {"tag": "b", "length": 4, "originalSeqIdx": 0}]
+    tags, outs = net.get_outputs(y, seq_info)
+    assert tags == ["a", "b"]
+    assert outs[0].shape == (6, 3) and outs[1].shape == (4, 3)
+    np.testing.assert_array_equal(outs[1], y[:4, 1, :])
