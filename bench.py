@@ -35,25 +35,26 @@ def main():
     t, b = 500, 50  # truncate_seq x parallel_sequences from the recipe
     states = 183
     net = build_timit_network(seed=3)
-    # production mode: fused Pallas scan + bf16 MXU matmuls (f32 accumulation
-    # and state). Loss trajectory matches honest-f32 to ~4e-5 relative; the
-    # float32 parity mode stays the framework default.
+    # production mode: fused Pallas scan, padded parameter view, bf16 MXU
+    # matmuls (f32 accumulation and state). Loss trajectory matches
+    # honest-f32 to ~4e-5 relative; float32 parity mode stays the default.
+    net.backend = "pallas"
     net.compute_dtype = jnp.dtype("bfloat16")
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randn(t, b, 117).astype(np.float32))
-    pt = jnp.asarray(pattypes_from_lengths([t] * b, t, b))
-    tc = jnp.asarray(rng.randint(0, states, (t, b)).astype(np.int32))
+    from lstm_rnn_tpu.trainer import Trainer
+    x0 = rng.randn(t, b, 117).astype(np.float32)
+    pt0 = pattypes_from_lengths([t] * b, t, b)
+    tc0 = rng.randint(0, states, (t, b)).astype(np.int32)
+    x0, tc0, pt0 = Trainer._pad_fraction(x0, tc0, pt0)
+    x, tc, pt = jnp.asarray(x0), jnp.asarray(tc0), jnp.asarray(pt0)
 
-    params = jax.tree_util.tree_map(jnp.asarray, net.params)
+    params = jax.tree_util.tree_map(jnp.asarray, net.pad_params(net.params))
     velocity = jax.tree_util.tree_map(jnp.zeros_like, params)
     lr, momentum = 1e-4, 0.9
 
     def train_step(params, velocity, x, tc, pt):
-        def loss(p):
-            y = net.apply(p, x, pt)
-            return net.loss_fn(y, tc, pt)
-
-        err, grads = jax.value_and_grad(loss)(params)
+        err, grads = jax.value_and_grad(
+            lambda p: net.loss_padded(p, x, tc, pt))(params)
         velocity = jax.tree_util.tree_map(lambda v, g: momentum * v - lr * g,
                                           velocity, grads)
         params = jax.tree_util.tree_map(lambda p, v: p + v, params, velocity)

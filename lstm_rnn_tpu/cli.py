@@ -102,7 +102,7 @@ def _save_autosave(cfg: Config, net: Network, trainer: Trainer, info_rows: str):
     extra.update(trainer.export_state())
     prefix = cfg.autosave_prefix
     name = (prefix + "_" if prefix else "") + f"epoch{trainer.cur_epoch:03d}.autosave"
-    net.params = trainer.params
+    net.params = trainer.exact_params()
     net.save(name, extra=extra)
 
 
@@ -189,7 +189,7 @@ def train_mode(cfg: Config) -> int:
                 row += "  yes   "
                 if cfg.autosave_best:
                     base = cfg.autosave_prefix or os.path.splitext(cfg.network)[0]
-                    net.params = trainer.best_params
+                    net.params = trainer.exact_params(trainer.best_params)
                     net.save(base + ".best.jsn")
             else:
                 row += "  no    "
@@ -214,7 +214,7 @@ def train_mode(cfg: Config) -> int:
         print(f"Final training set error: {trainer.cur_training_error}")
     print()
     print(f"Storing the trained network in '{cfg.save_network}'... ", end="")
-    net.params = trainer.params
+    net.params = trainer.exact_params()
     net.save(cfg.save_network)
     print("done.")
     return 0

@@ -105,7 +105,7 @@ def _pad_axis(a, axis, target):
 
 def lstm_forward(params, x, pattypes, bias_mult: float, bidirectional: bool,
                  clip_gradients: bool = True, backend: str = "auto",
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.float32, pre_padded: bool = False):
     """x: [T, B, P], pattypes: [T, B] int8 -> outputs [T, B, L].
 
     L = H for unidirectional, 2H for bidirectional ([fw | bw] per frame).
@@ -115,12 +115,38 @@ def lstm_forward(params, x, pattypes, bias_mult: float, bidirectional: bool,
     compute_dtype: matmul input dtype — bfloat16 uses the MXU's native
     precision for the projections and the recurrent matmuls (activations,
     accumulation and state stay float32); float32 is the parity mode.
+    pre_padded: params come from Network.pad_params (H already a 128
+    multiple, x width already matches W_in's rows); skip per-call padding
+    AND keep the output padded ([fw_pad | bw_pad]) for the next layer.
     """
     w_in, w_rec, b, peep = params["W_in"], params["W_rec"], params["b"], params["peep"]
     t, bsz, _ = x.shape
     d = w_in.shape[0]
     hdim = w_in.shape[-1]
     assert d == (2 if bidirectional else 1)
+
+    if pre_padded:
+        from lstm_rnn_tpu.ops.lstm_cell import DEFAULT_CHUNK, lstm_scan_fused, round_up
+        hp = hdim  # already padded
+        bp = round_up(bsz, 8)
+        tp = round_up(t, DEFAULT_CHUNK)
+        acts = jnp.einsum("tbp,dpgh->dtbgh", x.astype(compute_dtype),
+                          w_in.astype(compute_dtype),
+                          preferred_element_type=jnp.float32,
+                          precision=_precision(compute_dtype))
+        acts = acts + bias_mult * b[:, None, None]
+        acts = acts.reshape(d, t, bsz, 4 * hp)
+        acts = _pad_axis(_pad_axis(acts, 1, tp), 2, bp)
+        lengths = jnp.sum((pattypes != 0).astype(jnp.int32), axis=0)
+        lengths = _pad_axis(lengths, 0, bp)
+        interp = backend == "pallas_interpret" or (
+            backend in ("auto", "pallas") and jax.default_backend() != "tpu")
+        ys = lstm_scan_fused(acts, w_rec.reshape(d, hp, 4 * hp).astype(compute_dtype),
+                             peep, lengths, clip_gradients, interp)
+        ys = ys[:, :t, :bsz]
+        if bidirectional:
+            return jnp.concatenate([ys[0], ys[1]], axis=-1)  # [fw_pad|bw_pad]
+        return ys[0]
 
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "scan"
@@ -157,27 +183,20 @@ def lstm_forward(params, x, pattypes, bias_mult: float, bidirectional: bool,
                           precision=_precision(compute_dtype))
         acts = acts + bias_mult * b_p[:, None, None]
         acts = acts.reshape(d, t, bsz, 4 * hp)
-        if bidirectional:
-            # time-pad: fw at the END (t >= length is masked invalid); the
-            # reversed bw direction at the START, so its validity stays a
-            # single comparison lengths + t >= Tp
-            fw = _pad_axis(acts[0:1], 1, tp)
-            bw = acts[1:2, ::-1]
-            bw = jnp.pad(bw, ((0, 0), (tp - t, 0), (0, 0), (0, 0)))
-            acts = jnp.concatenate([fw, bw], axis=0)
-        else:
-            acts = _pad_axis(acts, 1, tp)
-        acts = _pad_axis(acts, 2, bp)
+        # the kernel consumes NATURAL time order for both directions
+        # (backward-direction ordering is pure block indexing); trailing
+        # time/batch padding is masked via lengths
+        acts = _pad_axis(_pad_axis(acts, 1, tp), 2, bp)
         lengths = jnp.sum((pattypes != 0).astype(jnp.int32), axis=0)
         lengths = _pad_axis(lengths, 0, bp)
 
         ys = lstm_scan_fused(acts, w_rec_p.reshape(d, hp, 4 * hp), peep_p,
                              lengths, clip_gradients,
                              backend == "pallas_interpret")
-        ys = ys[:, :, :bsz, :hdim]  # strip batch/cell padding
+        ys = ys[:, :t, :bsz, :hdim]  # strip padding
         if bidirectional:
-            return jnp.concatenate([ys[0, :t], ys[1, ::-1][:t]], axis=-1)
-        return ys[0, :t]
+            return jnp.concatenate([ys[0], ys[1]], axis=-1)
+        return ys[0]
 
     # lax.scan path
     acts = jnp.einsum("tbp,dpgh->tdbgh", x.astype(compute_dtype),

@@ -205,6 +205,116 @@ class Network:
             return losses_mod.multiclass_correct_count(y, targets, pattypes)
         return jnp.zeros((), dtype=jnp.int32)
 
+    # ------------------------------------------------- padded training view
+    #
+    # TPU kernels want H % 128 == 0. Rather than padding weights inside
+    # every training step (profiling showed the per-step pads/slices/copies
+    # costing ~3ms on the flagship), the TRAINING STATE itself is held in a
+    # zero-padded layout: LSTM cells padded to Hp = roundup(H, 128), the next
+    # layer's weight rows zero-filled at the pad positions, feedforward/
+    # softmax output widths exact. Padded entries have exactly zero weights,
+    # receive exactly zero gradients, and therefore stay zero through
+    # momentum SGD — training on the padded view is numerically identical.
+
+    def _pad_plan(self):
+        """Per trainable layer: (kind, prev_real_idx, prev_pad_width, hp)."""
+        from lstm_rnn_tpu.ops.lstm_cell import round_up
+        plan = []
+        prev_idx = np.arange(self.specs[0].size)  # input layer: exact
+        prev_width = self.specs[0].size
+        for s in self.specs[1:-1]:
+            if s.type in ioc.LSTM_TYPES:
+                d = 2 if ioc.LSTM_TYPES[s.type] else 1
+                h = s.size // d
+                hp = round_up(h, 128)
+                plan.append(("lstm", prev_idx, prev_width, hp))
+                prev_idx = np.concatenate([np.arange(h) + i * hp
+                                           for i in range(d)])
+                prev_width = d * hp
+            else:
+                plan.append(("ff", prev_idx, prev_width, None))
+                prev_idx = np.arange(s.size)
+                prev_width = s.size
+        return plan
+
+    def pad_params(self, params):
+        """Exact params -> padded training view (numpy or jax arrays)."""
+        plan = self._pad_plan()
+        out = {}
+        for s, (kind, prev_idx, prev_w, hp) in zip(self.specs[1:-1], plan):
+            p = params[s.name]
+            if kind == "lstm":
+                d, P, _, h = p["W_in"].shape
+                w_in = jnp.zeros((d, prev_w, 4, hp), jnp.float32)
+                w_in = w_in.at[:, prev_idx, :, :h].set(p["W_in"])
+                w_rec = jnp.zeros((d, hp, 4, hp), jnp.float32)
+                w_rec = w_rec.at[:, :h, :, :h].set(p["W_rec"])
+                b = jnp.zeros((d, 4, hp), jnp.float32).at[:, :, :h].set(p["b"])
+                peep = jnp.zeros((d, 3, hp), jnp.float32).at[:, :, :h].set(p["peep"])
+                out[s.name] = {"W_in": w_in, "W_rec": w_rec, "b": b, "peep": peep}
+            else:
+                W = jnp.zeros((prev_w, s.size), jnp.float32)
+                W = W.at[prev_idx, :].set(p["W"])
+                out[s.name] = {"W": W, "b": jnp.asarray(p["b"])}
+        return out
+
+    def unpad_params(self, padded):
+        """Padded training view -> exact params."""
+        plan = self._pad_plan()
+        out = {}
+        for s, (kind, prev_idx, prev_w, hp) in zip(self.specs[1:-1], plan):
+            p = padded[s.name]
+            if kind == "lstm":
+                d = 2 if ioc.LSTM_TYPES[s.type] else 1
+                h = s.size // d
+                out[s.name] = {
+                    "W_in": p["W_in"][:, prev_idx, :, :h],
+                    "W_rec": p["W_rec"][:, :h, :, :h],
+                    "b": p["b"][:, :, :h],
+                    "peep": p["peep"][:, :, :h],
+                }
+            else:
+                out[s.name] = {"W": p["W"][prev_idx, :], "b": p["b"]}
+        return out
+
+    def pad_mask(self):
+        """Pytree of 1.0 at real parameter positions, 0.0 at padding (for
+        masking weight noise so padded entries stay exactly zero)."""
+        ones = jax.tree_util.tree_map(np.ones_like, self.params)
+        return self.pad_params(ones)
+
+    def apply_padded(self, padded_params, inputs, pattypes):
+        """Forward pass over the padded training view. `inputs` must carry
+        the input layer's exact width; inter-layer activations stay padded.
+        The final (output-layer) activations are exact because the output
+        layer is feedforward/softmax in every reference topology; an LSTM
+        output layer gets sliced."""
+        x = inputs
+        for s, (kind, prev_idx, prev_w, hp) in zip(self.specs[1:-1], self._pad_plan()):
+            p = padded_params[s.name]
+            if kind == "lstm":
+                x = lstm_forward(p, x, pattypes, s.bias, ioc.LSTM_TYPES[s.type],
+                                 clip_gradients=self.clip_gradients,
+                                 backend=self.backend,
+                                 compute_dtype=self.compute_dtype,
+                                 pre_padded=True)
+            elif s.type == "softmax":
+                x = softmax_forward(p, x, s.bias, self.compute_dtype)
+            else:
+                x = feedforward_forward(p, x, ioc.FEEDFORWARD_TYPES[s.type],
+                                        s.bias, self.compute_dtype)
+        if self.specs[-2].type in ioc.LSTM_TYPES:
+            d = 2 if ioc.LSTM_TYPES[self.specs[-2].type] else 1
+            h = self.specs[-2].size // d
+            hp = self._pad_plan()[-1][3]
+            idx = np.concatenate([np.arange(h) + i * hp for i in range(d)])
+            x = x[..., idx]
+        return x
+
+    def loss_padded(self, padded_params, inputs, targets, pattypes):
+        y = self.apply_padded(padded_params, inputs, pattypes)
+        return self.loss_fn(y, targets, pattypes)
+
     def get_outputs(self, y, seq_info) -> tuple:
         """Segment padded activations back into per-sequence outputs
         (NeuralNetwork::getOutputs, NeuralNetwork.cpp:238-262).

@@ -52,7 +52,8 @@ class Trainer:
                  validate_every: int = 1, test_every: int = 1,
                  hybrid_online_batch: bool = False,
                  weight_noise_sigma: float = 0.0,
-                 seed: int = 1, mesh=None, fuse_fractions: int = 1):
+                 seed: int = 1, mesh=None, fuse_fractions: int = 1,
+                 padded_pipeline: Optional[bool] = None):
         self.net = net
         self.train_set = train_set
         self.validation_set = validation_set
@@ -80,7 +81,23 @@ class Trainer:
             for s in net.trainable_specs()
         }
 
-        self.params = jax.tree_util.tree_map(jnp.asarray, net.params)
+        # padded training view (see Network.pad_params): default on when the
+        # fused TPU kernels will run and the net has LSTM layers
+        if padded_pipeline is None:
+            has_lstm = any(s.type in ("lstm", "blstm") for s in net.specs)
+            padded_pipeline = has_lstm and (
+                net.backend in ("pallas", "pallas_interpret")
+                or (net.backend == "auto" and jax.default_backend() == "tpu"))
+        self.padded = padded_pipeline
+        self._pad_mask = None
+        if self.padded:
+            self.params = jax.tree_util.tree_map(
+                jnp.asarray, net.pad_params(net.params))
+            if weight_noise_sigma > 0:
+                self._pad_mask = jax.tree_util.tree_map(
+                    np.asarray, net.pad_mask())
+        else:
+            self.params = jax.tree_util.tree_map(jnp.asarray, net.params)
         if mesh is not None:
             from lstm_rnn_tpu.parallel.mesh import replicate
             self.params = replicate(mesh, self.params)
@@ -107,8 +124,13 @@ class Trainer:
         lrs = self.layer_lr
         momentum = self.momentum
 
+        padded = self.padded
+
         def loss_and_metrics(params, inputs, targets, pattypes):
-            y = net.apply(params, inputs, pattypes)
+            if padded:
+                y = net.apply_padded(params, inputs, pattypes)
+            else:
+                y = net.apply(params, inputs, pattypes)
             err = net.loss_fn(y, targets, pattypes)
             correct = net.correct_count(y, targets, pattypes)
             return err, correct
@@ -178,18 +200,48 @@ class Trainer:
     # ------------------------------------------------------------------ noise
     def _draw_noise(self):
         sig = self.weight_noise_sigma
+        if self._pad_mask is not None:
+            # mask noise at padded positions so they stay exactly zero
+            return jax.tree_util.tree_map(
+                lambda p, m: jnp.asarray(
+                    (self._noise_rng.normal(0.0, sig, p.shape) * m
+                     ).astype(np.float32)),
+                self.params, self._pad_mask)
         return jax.tree_util.tree_map(
             lambda p: jnp.asarray(
                 self._noise_rng.normal(0.0, sig, p.shape).astype(np.float32)),
             self.params)
 
     # ------------------------------------------------------------------ epoch
+    @staticmethod
+    def _pad_fraction(inputs, targets, pattypes):
+        """Pad T to a chunk multiple and B to a sublane multiple on the host
+        (pure PATTYPE_NONE padding — numerically inert) so the device step
+        never pads or slices."""
+        from lstm_rnn_tpu.ops.lstm_cell import DEFAULT_CHUNK
+        T, B = pattypes.shape
+        tp = -(-T // DEFAULT_CHUNK) * DEFAULT_CHUNK
+        bp = -(-B // 8) * 8
+        if tp == T and bp == B:
+            return inputs, targets, pattypes
+        dt, db = tp - T, bp - B
+        inputs = np.pad(inputs, ((0, dt), (0, db), (0, 0)))
+        pattypes = np.pad(pattypes, ((0, dt), (0, db)))
+        if targets.ndim == 2:  # classification: dummy = -1
+            targets = np.pad(targets, ((0, dt), (0, db)),
+                             constant_values=-1)
+        else:
+            targets = np.pad(targets, ((0, dt), (0, db), (0, 0)))
+        return inputs, targets, pattypes
+
     def _device_batch(self, frac: Fraction):
         """Place a fraction on device, batch axis sharded over the mesh."""
+        inputs, targets, pattypes = self._pad_fraction(
+            frac.inputs, frac.targets, frac.pattypes)
         if self.mesh is None:
-            return frac.inputs, frac.targets, frac.pattypes
+            return inputs, targets, pattypes
         from lstm_rnn_tpu.parallel.mesh import shard_fraction
-        return shard_fraction(self.mesh, frac.inputs, frac.targets, frac.pattypes)
+        return shard_fraction(self.mesh, inputs, targets, pattypes)
 
     def _process_dataset(self, ds: DataSet, update: bool):
         use_noise = update and self.weight_noise_sigma > 0
@@ -219,9 +271,11 @@ class Trainer:
                     self.params, self.velocity, err, corr = self._train_step(
                         self.params, self.velocity, inputs, targets, pattypes)
                 else:
-                    xk = np.stack([f.inputs for f in pending])
-                    tk = np.stack([f.targets for f in pending])
-                    pk = np.stack([f.pattypes for f in pending])
+                    padded = [self._pad_fraction(f.inputs, f.targets, f.pattypes)
+                              for f in pending]
+                    xk = np.stack([p[0] for p in padded])
+                    tk = np.stack([p[1] for p in padded])
+                    pk = np.stack([p[2] for p in padded])
                     if self.mesh is not None:
                         from lstm_rnn_tpu.parallel.mesh import shard_batch
                         xk = shard_batch(self.mesh, xk, 2)
@@ -356,6 +410,14 @@ class Trainer:
     def specs_all(self):
         return self.net.specs
 
+    def exact_params(self, tree=None):
+        """Current (or given) parameter tree in the exact CURRENNT layout,
+        stripping the padded training view if active."""
+        tree = self.params if tree is None else tree
+        if self.padded:
+            tree = self.net.unpad_params(tree)
+        return jax.tree_util.tree_map(np.asarray, tree)
+
     def export_state(self) -> Dict[str, Any]:
         """Optimizer state for the autosave JSON (Optimizer.cu:326-341,
         SteepestDescentOptimizer.cu:118-123), format-compatible with
@@ -371,9 +433,10 @@ class Trainer:
             "optimizer_cur_training_class_error": self.cur_training_class_error,
             "optimizer_cur_validation_class_error": self.cur_validation_class_error,
             "optimizer_cur_test_class_error": self.cur_test_class_error,
-            "optimizer_best_weights": self._params_to_layer_arrays(self.best_params),
+            "optimizer_best_weights":
+                self._params_to_layer_arrays(self.exact_params(self.best_params)),
             "steepest_descent_optimizer_weight_deltas":
-                self._params_to_layer_arrays(self.velocity),
+                self._params_to_layer_arrays(self.exact_params(self.velocity)),
         }
 
     def import_state(self, doc: Dict[str, Any]) -> None:
@@ -388,7 +451,10 @@ class Trainer:
         self.cur_validation_class_error = float(doc["optimizer_cur_validation_class_error"])
         self.cur_test_class_error = float(doc["optimizer_cur_test_class_error"])
         bw = self._params_from_layer_arrays(doc["optimizer_best_weights"])
-        self.best_params = jax.tree_util.tree_map(jnp.asarray, bw)
         vd = self._params_from_layer_arrays(
             doc["steepest_descent_optimizer_weight_deltas"])
+        if self.padded:
+            bw = self.net.pad_params(bw)
+            vd = self.net.pad_params(vd)
+        self.best_params = jax.tree_util.tree_map(jnp.asarray, bw)
         self.velocity = jax.tree_util.tree_map(jnp.asarray, vd)

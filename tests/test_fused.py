@@ -37,3 +37,38 @@ def test_fused_equals_unfused():
             np.testing.assert_allclose(
                 np.asarray(t1.params[name][kk]), np.asarray(t2.params[name][kk]),
                 rtol=1e-6, atol=1e-8, err_msg=f"{name}.{kk}")
+
+
+@requires_reference
+def test_padded_pipeline_equals_exact():
+    """Training on the padded parameter view (pallas kernels, interpret mode
+    on CPU) must match the exact-layout scan training."""
+    ds = DataSet([NC], parallel_sequences=4, fraction=0.08,
+                 sort_by_length=True, prefetch=False)
+    net1 = Network.from_json_file(NET, clip_gradients=True)
+    net1.backend = "scan"
+    t1 = Trainer(net1, ds, learning_rate=1e-5, momentum=0.9, max_epochs=1,
+                 hybrid_online_batch=True, padded_pipeline=False)
+    t1.train_epoch()
+
+    net2 = Network.from_json_file(NET, clip_gradients=True)
+    net2.backend = "pallas_interpret"
+    t2 = Trainer(net2, ds, learning_rate=1e-5, momentum=0.9, max_epochs=1,
+                 hybrid_online_batch=True, padded_pipeline=True)
+    assert t2.padded
+    t2.train_epoch()
+
+    assert t1.cur_training_error == pytest.approx(t2.cur_training_error, rel=1e-4)
+    assert t1.cur_training_class_error == t2.cur_training_class_error
+    p1 = t1.exact_params()
+    p2 = t2.exact_params()
+    for name in p1:
+        for kk in p1[name]:
+            np.testing.assert_allclose(
+                p2[name][kk], p1[name][kk], rtol=1e-4, atol=1e-6,
+                err_msg=f"{name}.{kk}")
+    # padded entries must be exactly zero after the update
+    for name, leafs in t2.params.items():
+        for kk, v in leafs.items():
+            if kk == "W_rec":
+                assert float(np.abs(np.asarray(v)[:, 5:, :, :]).max()) == 0.0

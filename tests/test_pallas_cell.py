@@ -19,21 +19,27 @@ def _setup(rng, D, T, B, H, scale=1.2):
 
 
 def _scan_reference(acts, w_rec, peep, lengths, clip=True):
-    """Run the lax.scan path on the same [D,T,B,4H] layout."""
+    """Run the lax.scan path on the same NATURAL-order [D,T,B,4H] layout
+    (the scan path needs the bw direction's acts/mask time-reversed and its
+    outputs re-reversed; the fused kernel does this via block indexing)."""
     D, T, B, H4 = acts.shape
     H = H4 // 4
-    # _lstm_scan wants [T, D, B, 4, H] + mask [T, D, B, 1]; acts here are
-    # already reversed for the bw direction, and its mask too.
+    acts = jnp.asarray(acts)
+    if D == 2:
+        acts = jnp.concatenate([acts[0:1], acts[1:2, ::-1]], axis=0)
     a = jnp.transpose(acts.reshape(D, T, B, 4, H), (1, 0, 2, 3, 4))
     t_idx = np.arange(T)[:, None]
     mask_fw = (t_idx < lengths[None, :]).astype(np.float32)
     masks = [mask_fw]
     if D == 2:
-        masks.append(((t_idx + lengths[None, :]) >= T).astype(np.float32))
+        masks.append(mask_fw[::-1])
     mask = jnp.asarray(np.stack(masks, axis=1)[..., None])  # [T, D, B, 1]
     w4 = jnp.asarray(w_rec).reshape(D, H, 4, H)
     ys = _lstm_scan(a, w4, jnp.asarray(peep), mask, clip)
-    return jnp.transpose(ys, (1, 0, 2, 3))  # [D, T, B, H]
+    ys = jnp.transpose(ys, (1, 0, 2, 3))  # [D, T, B, H]
+    if D == 2:
+        ys = jnp.concatenate([ys[0:1], ys[1:2, ::-1]], axis=0)
+    return ys
 
 
 @pytest.mark.parametrize("D", [1, 2])
