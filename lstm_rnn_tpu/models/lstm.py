@@ -126,23 +126,23 @@ def lstm_forward(params, x, pattypes, bias_mult: float, bidirectional: bool,
     assert d == (2 if bidirectional else 1)
 
     if pre_padded:
+        # padded view: W_in [D, P, 4Hp] (gates flattened), b [D, 4Hp]
         from lstm_rnn_tpu.ops.lstm_cell import DEFAULT_CHUNK, lstm_scan_fused, round_up
-        hp = hdim  # already padded
+        hp = w_rec.shape[1]  # already padded
         bp = round_up(bsz, 8)
         tp = round_up(t, DEFAULT_CHUNK)
-        acts = jnp.einsum("tbp,dpgh->dtbgh", x.astype(compute_dtype),
+        acts = jnp.einsum("tbp,dpg->dtbg", x.astype(compute_dtype),
                           w_in.astype(compute_dtype),
                           preferred_element_type=jnp.float32,
                           precision=_precision(compute_dtype))
-        acts = acts + bias_mult * b[:, None, None]
-        acts = acts.reshape(d, t, bsz, 4 * hp)
         acts = _pad_axis(_pad_axis(acts, 1, tp), 2, bp)
         lengths = jnp.sum((pattypes != 0).astype(jnp.int32), axis=0)
         lengths = _pad_axis(lengths, 0, bp)
         interp = backend == "pallas_interpret" or (
             backend in ("auto", "pallas") and jax.default_backend() != "tpu")
         ys = lstm_scan_fused(acts, w_rec.reshape(d, hp, 4 * hp).astype(compute_dtype),
-                             peep, lengths, clip_gradients, interp)
+                             peep, b, lengths, float(bias_mult),
+                             clip_gradients, interp)
         ys = ys[:, :t, :bsz]
         if bidirectional:
             return jnp.concatenate([ys[0], ys[1]], axis=-1)  # [fw_pad|bw_pad]
@@ -181,17 +181,17 @@ def lstm_forward(params, x, pattypes, bias_mult: float, bidirectional: bool,
                           w_in_p.astype(compute_dtype),
                           preferred_element_type=jnp.float32,
                           precision=_precision(compute_dtype))
-        acts = acts + bias_mult * b_p[:, None, None]
         acts = acts.reshape(d, t, bsz, 4 * hp)
         # the kernel consumes NATURAL time order for both directions
-        # (backward-direction ordering is pure block indexing); trailing
-        # time/batch padding is masked via lengths
+        # (backward-direction ordering is pure block indexing) and adds the
+        # bias itself; trailing time/batch padding is masked via lengths
         acts = _pad_axis(_pad_axis(acts, 1, tp), 2, bp)
         lengths = jnp.sum((pattypes != 0).astype(jnp.int32), axis=0)
         lengths = _pad_axis(lengths, 0, bp)
 
         ys = lstm_scan_fused(acts, w_rec_p.reshape(d, hp, 4 * hp), peep_p,
-                             lengths, clip_gradients,
+                             b_p.reshape(d, 4 * hp), lengths,
+                             float(bias_mult), clip_gradients,
                              backend == "pallas_interpret")
         ys = ys[:, :t, :bsz, :hdim]  # strip padding
         if bidirectional:

@@ -238,7 +238,11 @@ class Network:
         return plan
 
     def pad_params(self, params):
-        """Exact params -> padded training view (numpy or jax arrays)."""
+        """Exact params -> padded training view (numpy or jax arrays).
+
+        LSTM W_in/b are stored with the gate axis FLATTENED ([D, P, 4*Hp] /
+        [D, 4*Hp]) so the projection einsum produces the kernel's layout
+        directly (profiling showed the 5D->4D reshape materializing)."""
         plan = self._pad_plan()
         out = {}
         for s, (kind, prev_idx, prev_w, hp) in zip(self.specs[1:-1], plan):
@@ -251,7 +255,9 @@ class Network:
                 w_rec = w_rec.at[:, :h, :, :h].set(p["W_rec"])
                 b = jnp.zeros((d, 4, hp), jnp.float32).at[:, :, :h].set(p["b"])
                 peep = jnp.zeros((d, 3, hp), jnp.float32).at[:, :, :h].set(p["peep"])
-                out[s.name] = {"W_in": w_in, "W_rec": w_rec, "b": b, "peep": peep}
+                out[s.name] = {"W_in": w_in.reshape(d, prev_w, 4 * hp),
+                               "W_rec": w_rec, "b": b.reshape(d, 4 * hp),
+                               "peep": peep}
             else:
                 W = jnp.zeros((prev_w, s.size), jnp.float32)
                 W = W.at[prev_idx, :].set(p["W"])
@@ -267,10 +273,12 @@ class Network:
             if kind == "lstm":
                 d = 2 if ioc.LSTM_TYPES[s.type] else 1
                 h = s.size // d
+                w_in = jnp.reshape(p["W_in"], (d, prev_w, 4, hp))
+                b = jnp.reshape(p["b"], (d, 4, hp))
                 out[s.name] = {
-                    "W_in": p["W_in"][:, prev_idx, :, :h],
+                    "W_in": w_in[:, prev_idx, :, :h],
                     "W_rec": p["W_rec"][:, :h, :, :h],
-                    "b": p["b"][:, :, :h],
+                    "b": b[:, :, :h],
                     "peep": p["peep"][:, :, :h],
                 }
             else:

@@ -99,8 +99,9 @@ def _valid(lengths_ref, t):
     return (lengths_ref[:, 0:1] > t).astype(jnp.float32)
 
 
-def _fwd_kernel(lengths_ref, acts_ref, w_rec_ref, peep_ref,
-                h_out_ref, c_out_ref, g_out_ref, h_scr, c_scr, *, T, CH, NC):
+def _fwd_kernel(lengths_ref, acts_ref, w_rec_ref, peep_ref, bias_ref,
+                h_out_ref, c_out_ref, g_out_ref, h_scr, c_scr,
+                *, T, CH, NC, bias_mult):
     """One direction's chunk per program. Blocks arrive pre-indexed (leading
     dim 1); the inner loop order and the mask time are direction-dependent."""
     d = pl.program_id(0)
@@ -117,14 +118,18 @@ def _fwd_kernel(lengths_ref, acts_ref, w_rec_ref, peep_ref,
     p_ig = peep_ref[0, 0:1, :]
     p_fg = peep_ref[0, 1:2, :]
     p_og = peep_ref[0, 2:3, :]
+    # bias folded into the kernel (saves a [D,T,B,4H]-sized fused add);
+    # bias_ref carries the full [D, 4H] block (Mosaic requires the
+    # second-to-last block dim to be full or 8-divisible)
+    bb = bias_ref[pl.ds(d, 1), :] * bias_mult
 
     def run(js):
         h = h_scr[...]
         c = c_scr[...]
         for j in js:
             t = chunk * CH + j
-            a = acts_ref[0, j] + jnp.dot(h.astype(w.dtype), w,
-                                         preferred_element_type=jnp.float32)
+            a = acts_ref[0, j] + bb + jnp.dot(h.astype(w.dtype), w,
+                                              preferred_element_type=jnp.float32)
             ni = tanh2(a[:, 0 * H:1 * H])
             ig = logistic(a[:, 1 * H:2 * H] + c * p_ig)
             fg = logistic(a[:, 2 * H:3 * H] + c * p_fg)
@@ -238,15 +243,16 @@ def _bwd_kernel(lengths_ref, dh_ref, g_ref, c_ref, c_nb_ref,
         run(range(CH), False)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def lstm_scan_fused(acts, w_rec, peep, lengths, clip: bool = True,
-                    interpret: bool = False):
-    """Fused LSTM scan. acts [D,T,B,4H] natural order -> h [D,T,B,H]."""
-    h, _, _ = _fwd_impl(acts, w_rec, peep, lengths, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def lstm_scan_fused(acts, w_rec, peep, bias, lengths, bias_mult: float = 1.0,
+                    clip: bool = True, interpret: bool = False):
+    """Fused LSTM scan. acts [D,T,B,4H] natural order (WITHOUT bias; the
+    kernel adds bias_mult*bias), bias [D,4H] -> h [D,T,B,H]."""
+    h, _, _ = _fwd_impl(acts, w_rec, peep, bias, lengths, bias_mult, interpret)
     return h
 
 
-def _fwd_impl(acts, w_rec, peep, lengths, interpret):
+def _fwd_impl(acts, w_rec, peep, bias, lengths, bias_mult, interpret):
     D, T, B, H4 = acts.shape
     H = H4 // 4
     CH = _pick_chunk(T)
@@ -261,6 +267,7 @@ def _fwd_impl(acts, w_rec, peep, lengths, interpret):
             _block((1, CH, B, H4), idx),
             _block((1, H, H4), lambda d, k: (d, 0, 0)),
             _block((1, 3, H), lambda d, k: (d, 0, 0)),
+            _block((D, H4), lambda d, k: (0, 0)),
         ],
         out_specs=[
             _block((1, CH, B, H), idx),
@@ -273,7 +280,7 @@ def _fwd_impl(acts, w_rec, peep, lengths, interpret):
         ],
     )
     h, c, gates = pl.pallas_call(
-        functools.partial(_fwd_kernel, T=T, CH=CH, NC=NC),
+        functools.partial(_fwd_kernel, T=T, CH=CH, NC=NC, bias_mult=bias_mult),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((D, T, B, H), jnp.float32),
@@ -286,16 +293,16 @@ def _fwd_impl(acts, w_rec, peep, lengths, interpret):
             bytes_accessed=4 * D * T * B * (2 * H4 + 2 * H),
             transcendentals=4 * D * T * B * H,
         ),
-    )(lengths_2d, acts, w_rec, peep)
+    )(lengths_2d, acts, w_rec, peep, bias)
     return h, c, gates
 
 
-def _fused_fwd(acts, w_rec, peep, lengths, clip, interpret):
-    h, c, gates = _fwd_impl(acts, w_rec, peep, lengths, interpret)
+def _fused_fwd(acts, w_rec, peep, bias, lengths, bias_mult, clip, interpret):
+    h, c, gates = _fwd_impl(acts, w_rec, peep, bias, lengths, bias_mult, interpret)
     return h, (w_rec, peep, lengths, h, c, gates)
 
 
-def _fused_bwd(clip, interpret, residuals, dh):
+def _fused_bwd(bias_mult, clip, interpret, residuals, dh):
     w_rec, peep, lengths, h, c, gates = residuals
     D, T, B, H = h.shape
     H4 = 4 * H
@@ -354,7 +361,8 @@ def _fused_bwd(clip, interpret, residuals, dh):
         jnp.einsum("dtbh,dtbh->dh", c_prev, da[..., 2 * H:3 * H]),
         jnp.einsum("dtbh,dtbh->dh", c, da[..., 3 * H:4 * H]),
     ], axis=1)
-    return da, dw_rec, dpeep, None
+    dbias = bias_mult * jnp.sum(da, axis=(1, 2))
+    return da, dw_rec, dpeep, dbias, None
 
 
 lstm_scan_fused.defvjp(_fused_fwd, _fused_bwd)

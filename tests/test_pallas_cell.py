@@ -47,9 +47,10 @@ def test_forward_matches_scan(rng, D):
     T, B, H = 12, 8, 128
     acts, w_rec, peep, lengths = _setup(rng, D, T, B, H)
     y_ref = _scan_reference(acts, w_rec, peep, lengths)
+    zb = jnp.zeros((acts.shape[0], acts.shape[-1]), jnp.float32)
     y_pal = lstm_scan_fused(jnp.asarray(acts), jnp.asarray(w_rec),
-                            jnp.asarray(peep), jnp.asarray(lengths),
-                            True, True)
+                            jnp.asarray(peep), zb, jnp.asarray(lengths),
+                            0.0, True, True)
     # fp32 matmul-order differences amplified by the recurrence: ~4e-5 over
     # 12 steps at weight scale 1.2
     np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
@@ -64,7 +65,8 @@ def test_backward_matches_scan(rng, D, clip):
     dy = rng.uniform(-3, 3, (D, T, B, H)).astype(np.float32)
 
     def loss_pal(a, w, p):
-        y = lstm_scan_fused(a, w, p, jnp.asarray(lengths), clip, True)
+        zb = jnp.zeros((a.shape[0], a.shape[-1]), jnp.float32)
+        y = lstm_scan_fused(a, w, p, zb, jnp.asarray(lengths), 0.0, clip, True)
         return jnp.sum(y * dy)
 
     def loss_ref(a, w, p):
