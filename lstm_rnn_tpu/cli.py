@@ -78,7 +78,6 @@ def _load_dataset(cfg: Config, which: str) -> Optional[DataSet]:
 def _print_layers(net: Network):
     print("Layers:")
     total = 0
-    prev = None
     for i, s in enumerate(net.specs):
         n_weights = 0
         if s.name in net.params:
@@ -90,7 +89,6 @@ def _print_layers(net: Network):
             line += f", bias: {s.bias:.1f}, weights: {n_weights}"
         print(line + "]")
         total += n_weights
-        prev = s.size
     print(f"Total weights: {total}\n")
 
 
@@ -235,7 +233,16 @@ def forward_mode(cfg: Config) -> int:
     _print_layers(net)
 
     import jax
-    apply_fn = jax.jit(net.apply)
+    use_padded = (any(s.type in ("lstm", "blstm") for s in net.specs)
+                  and jax.default_backend() == "tpu"
+                  and cfg.lstm_backend in ("auto", "pallas"))
+    if use_padded:
+        fwd_params = jax.tree_util.tree_map(jax.numpy.asarray,
+                                            net.pad_params(net.params))
+        apply_fn = jax.jit(net.apply_padded)
+    else:
+        fwd_params = net.params
+        apply_fn = jax.jit(net.apply)
 
     means = stdevs = None
     if cfg.revert_std and not ff_set.is_classification:
@@ -249,7 +256,7 @@ def forward_mode(cfg: Config) -> int:
     for frac in ff_set.fractions():
         frac_idx += 1
         print(f"Computing outputs for data fraction {frac_idx}...", end="", flush=True)
-        y = apply_fn(net.params, frac.inputs, frac.pattypes)
+        y = apply_fn(fwd_params, frac.inputs, frac.pattypes)
         tags, outs = net.get_outputs(y, frac.seq_info)
         if fmt == "single_csv":
             writers.write_single_csv(cfg.ff_output_file, tags, outs, lag,

@@ -90,10 +90,6 @@ def _nb_index(NC: int):
     return f
 
 
-def _const_index(ndim: int):
-    return lambda d, k: (0,) * ndim
-
-
 def _valid(lengths_ref, t):
     """[B, 1] float validity at natural time t (padding is a suffix)."""
     return (lengths_ref[:, 0:1] > t).astype(jnp.float32)
