@@ -17,12 +17,16 @@ import time
 _ENV = "LSTM_RNN_TPU_BACKEND_RETRY"
 
 
-def ensure_backend(max_retries: int = 8):
+_BACKOFF = (60.0, 300.0, 600.0, 600.0, 600.0, 600.0)
+
+
+def ensure_backend(max_retries: int = len(_BACKOFF)):
     """Return jax.devices(), re-exec'ing the process if backend init fails.
 
-    A FAILED init attempt wedges the tunnel's remote side for minutes, so
-    tight retry loops never recover — backoff starts at 60s and grows
-    (60, 120, 180, 180, ...)."""
+    The tunnel's remote side holds a wedged session for MANY minutes after a
+    killed client or failed handshake, and each failed attempt can extend
+    it — retries must back off beyond the server-side session timeout
+    (observed ~5-10 min), hence the 60s/5min/10min ladder."""
     import jax
 
     try:
@@ -32,7 +36,7 @@ def ensure_backend(max_retries: int = 8):
         if attempt >= max_retries:
             raise RuntimeError(
                 f"backend init failed after {attempt} retries: {e}") from e
-        sleep_s = min(60.0 * (attempt + 1), 180.0)
+        sleep_s = _BACKOFF[min(attempt, len(_BACKOFF) - 1)]
         os.environ[_ENV] = str(attempt + 1)
         sys.stderr.write(
             f"[lstm_rnn_tpu] backend init failed (attempt {attempt + 1}/"

@@ -87,6 +87,50 @@ def test_rprop_rejected(tmp_path, rng):
     assert "Unknown optimizer type" in r.stdout
 
 
+def test_regression_train_and_forward_revert_std(tmp_path, rng):
+    """sse regression path end to end: standardize -> train -> forward with
+    revert_std de-standardization."""
+    from lstm_rnn_tpu.data.netcdf3 import strings_to_chars, write_netcdf
+    from lstm_rnn_tpu.tools import nc_standardize
+
+    n = 24
+    raw = (rng.randn(n, 3) * 2 + 5).astype(np.float32)
+    nc = str(tmp_path / "r.nc")
+    write_netcdf(nc, {"numSeqs": 3, "numTimesteps": n, "inputPattSize": 3,
+                      "targetPattSize": 3, "maxSeqTagLength": 8}, [
+        ("seqTags", ["numSeqs", "maxSeqTagLength"],
+         strings_to_chars(["a", "b", "c"], 8)),
+        ("seqLengths", ["numSeqs"], np.asarray([8, 8, 8], np.int32)),
+        ("inputs", ["numTimesteps", "inputPattSize"], raw),
+        ("targetPatterns", ["numTimesteps", "targetPattSize"], raw),
+    ])
+    assert nc_standardize.main([nc, "-"]) == 0
+
+    net = {"layers": [
+        {"name": "input", "type": "input", "size": 3},
+        {"name": "l1", "type": "lstm", "size": 4, "bias": 1.0},
+        {"name": "output", "type": "feedforward_identity", "size": 3, "bias": 1.0},
+        {"name": "postoutput", "type": "sse", "size": 3},
+    ]}
+    (tmp_path / "net.jsn").write_text(json.dumps(net))
+    r = _cli("--network", str(tmp_path / "net.jsn"), "--train", "true",
+             "--train_file", nc, "--max_epochs", "2", "--stochastic", "true",
+             "--learning_rate", "1e-3", cwd=tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    r = _cli("--network", str(tmp_path / "trained_network.jsn"),
+             "--train", "false", "--ff_input_file", nc,
+             "--ff_output_format", "single_csv", "--ff_output_file", "o.csv",
+             "--revert_std", "true", cwd=tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "scaled by mean and standard deviation" in r.stdout
+    lines = (tmp_path / "o.csv").read_text().strip().split("\n")
+    assert len(lines) == 3
+    # de-standardized outputs should live on the ORIGINAL feature scale
+    vals = np.array([float(v) for v in lines[0].split(";")[1:]])
+    assert 0.0 < np.abs(vals.mean()) < 20.0 and vals.std() > 0.1
+
+
 def test_forward_pass_csv_dir(tmp_path, rng):
     nc, net_path = _toy_setup(tmp_path, rng)
     r = _cli("--network", net_path, "--train", "true", "--train_file", nc,
