@@ -272,6 +272,51 @@ def forward_mode(cfg: Config) -> int:
     return 0
 
 
+def _echo_settings(cfg: Config):
+    """Startup echo of the effective settings (Configuration.cpp:312-369)."""
+    if cfg.train:
+        mode = "hybrid online/batch" if cfg.hybrid_online_batch else "batch"
+        print(f"Started in {mode} training mode.")
+        if cfg.shuffle_fractions:
+            print(f"Mini-batches ({cfg.parallel_sequences} sequences each) "
+                  "will be shuffled during training.")
+        if cfg.shuffle_sequences:
+            print("Sequences will be shuffled within and across mini-batches "
+                  "during training.")
+        if cfg.input_noise_sigma:
+            print("Using input noise with a standard deviation of "
+                  f"{cfg.input_noise_sigma}.")
+        print(f"The trained network will be written to '{cfg.save_network}'.")
+        if os.path.exists(cfg.save_network):
+            print(f"WARNING: The output file '{cfg.save_network}' already "
+                  "exists. It will be overwritten!")
+        if cfg.validation_files:
+            print(f"Validation error will be calculated every "
+                  f"{cfg.validate_every} epochs.")
+        if cfg.test_files:
+            print(f"Test error will be calculated every {cfg.test_every} epochs.")
+        stop = "Training will be stopped"
+        if cfg.max_epochs != 2**32 - 1:
+            stop += f" after {cfg.max_epochs} epochs or"
+        print(stop + " if there is no new lowest validation error within "
+              f"{cfg.max_epochs_no_best} epochs.")
+        if cfg.autosave:
+            print("Autosave after EVERY EPOCH enabled.")
+        if cfg.autosave_best:
+            print("Autosave on BEST VALIDATION ERROR enabled.")
+        dist = ("Normal distribution with mean=" f"{cfg.weights_normal_mean}"
+                f" and sigma={cfg.weights_normal_sigma}"
+                if cfg.weights_dist == "normal" else
+                f"Uniform distribution with range [{cfg.weights_uniform_min}, "
+                f"{cfg.weights_uniform_max}]")
+        print(f"{dist}. Random seed: {cfg.random_seed}")
+    else:
+        print("Started in forward pass mode.")
+        print("The forward pass output will be written to "
+              f"'{cfg.ff_output_file}'.")
+    print()
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     cfg = parse_config(argv)
     if cfg.list_devices:
@@ -281,6 +326,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         for i, d in enumerate(devs):
             print(f"{i}: {d.device_kind}")
         return 0
+    _echo_settings(cfg)
     _select_device(cfg)
     try:
         if cfg.train:
