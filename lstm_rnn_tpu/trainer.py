@@ -102,7 +102,9 @@ class Trainer:
             from lstm_rnn_tpu.parallel.mesh import replicate
             self.params = replicate(mesh, self.params)
         self.velocity = tree_zeros_like(self.params)
-        self.best_params = self.params
+        # snapshots must COPY: self.params buffers are donated into the next
+        # jitted step, which deletes aliased references
+        self.best_params = self._snapshot(self.params)
 
         # optimizer state (Optimizer.cu ctor)
         self.finished = False
@@ -347,12 +349,12 @@ class Trainer:
             if self.cur_validation_error < self.lowest_validation_error:
                 self.lowest_validation_error = self.cur_validation_error
                 self.epochs_since_lowest = 0
-                self.best_params = self.params
+                self.best_params = self._snapshot(self.params)
             else:
                 self.epochs_since_lowest += self.validate_every
         elif not has_val:
             self.epochs_since_lowest = 0
-            self.best_params = self.params
+            self.best_params = self._snapshot(self.params)
 
         has_test = self.test_set is not None and not self.test_set.empty
         if has_test and self.cur_epoch % self.test_every == 0:
@@ -409,6 +411,10 @@ class Trainer:
 
     def specs_all(self):
         return self.net.specs
+
+    @staticmethod
+    def _snapshot(tree):
+        return jax.tree_util.tree_map(lambda a: jnp.array(a, copy=True), tree)
 
     def exact_params(self, tree=None):
         """Current (or given) parameter tree in the exact CURRENNT layout,

@@ -67,6 +67,28 @@ def test_one_epoch_matches_oracle(stochastic):
 
 
 @requires_reference
+def test_best_weights_survive_donation():
+    """Early stopping restores the BEST weights, which may be several donated
+    buffer generations old — snapshots must be copies (regression test for a
+    'Array has been deleted' failure)."""
+    ds = DataSet([NC], parallel_sequences=8, fraction=0.1,
+                 sort_by_length=True, prefetch=False)
+    net = Network.from_json_file(NET)
+    # huge lr so validation error worsens and the best snapshot stays old
+    t = Trainer(net, ds, validation_set=ds, learning_rate=5.0, momentum=0.9,
+                max_epochs=3, hybrid_online_batch=True)
+    while not t.train_epoch():
+        pass
+    assert t.cur_epoch == 3
+    best = t.exact_params(t.best_params)
+    # best == the epoch-1 weights, finite and loadable
+    assert np.isfinite(best["blstm_level_0"]["W_in"]).all()
+    # and the final params were restored from best (reference semantics)
+    cur = t.exact_params()
+    np.testing.assert_array_equal(cur["output"]["W"], best["output"]["W"])
+
+
+@requires_reference
 def test_reference_fixture_is_vacuous():
     """Documents why we do not compare against expected_network.jsn."""
     exp = json.load(open("/root/reference/tests/test1/expected_network.jsn"))
