@@ -40,6 +40,38 @@ def test_fused_equals_unfused():
 
 
 @requires_reference
+def test_weight_noise_training():
+    """Weight noise: gradients at the noisy point, update applied to clean
+    weights; in the padded pipeline the noise must be masked so padded
+    entries stay exactly zero."""
+    ds = DataSet([NC], parallel_sequences=4, fraction=0.08,
+                 sort_by_length=True, prefetch=False)
+    net = Network.from_json_file(NET)
+    net.backend = "pallas_interpret"
+    t = Trainer(net, ds, learning_rate=1e-4, momentum=0.9, max_epochs=1,
+                hybrid_online_batch=True, weight_noise_sigma=0.05,
+                padded_pipeline=True, seed=3)
+    assert t.padded and t._pad_mask is not None
+    t.train_epoch()
+    p = t.exact_params()
+    assert all(np.isfinite(v).all() for lay in p.values() for v in lay.values())
+    # padded entries still exactly zero despite the injected noise
+    w_rec = np.asarray(t.params["blstm_level_0"]["W_rec"])
+    assert float(np.abs(w_rec[:, 5:, :, :]).max()) == 0.0
+    assert float(np.abs(w_rec[:, :, :, 5:]).max()) == 0.0
+    # noise-free run differs (noise actually applied)
+    net2 = Network.from_json_file(NET)
+    net2.backend = "pallas_interpret"
+    t2 = Trainer(net2, ds, learning_rate=1e-4, momentum=0.9, max_epochs=1,
+                 hybrid_online_batch=True, padded_pipeline=True, seed=3)
+    t2.train_epoch()
+    p2 = t2.exact_params()
+    diff = max(float(np.abs(p[k][kk] - p2[k][kk]).max())
+               for k in p for kk in p[k])
+    assert diff > 1e-7
+
+
+@requires_reference
 def test_padded_pipeline_equals_exact():
     """Training on the padded parameter view (pallas kernels, interpret mode
     on CPU) must match the exact-layout scan training."""
