@@ -145,9 +145,9 @@ def weights_section_from_params(layers: List[Dict[str, Any]], params) -> Dict[st
         else:
             continue
         out[name] = {
-            "input": [float(v) for v in inp],
-            "bias": [float(v) for v in bias],
-            "internal": [float(v) for v in internal],
+            "input": np.asarray(inp, np.float64).tolist(),
+            "bias": np.asarray(bias, np.float64).tolist(),
+            "internal": np.asarray(internal, np.float64).tolist(),
         }
     return out
 

@@ -384,7 +384,7 @@ class Trainer:
                 inp, bias, internal = ioc.lstm_to_flat(p)
             else:
                 inp, bias, internal = ioc.ff_to_flat(p)
-            out.append([float(v) for v in np.concatenate([inp, bias, internal])])
+            out.append(np.concatenate([inp, bias, internal]).astype(np.float64).tolist())
         return out
 
     def _params_from_layer_arrays(self, arrays: List[List[float]]):
