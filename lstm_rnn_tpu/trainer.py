@@ -27,8 +27,6 @@ shards the fraction's batch axis over a jax Mesh (see parallel/).
 
 from __future__ import annotations
 
-import json
-import time
 from typing import Any, Dict, List, Optional
 
 import jax
