@@ -60,8 +60,15 @@ def _pt_of(cache):
     return _current_pt
 
 
+def sse_loss_and_err(y, targets, pt):
+    """SsePostOutputLayer.cu: E = 0.5*sum((t-y)^2), grad = y - t, masked."""
+    m = (pt != 0).astype(np.float64)[..., None]
+    d = (targets - y) * m
+    return 0.5 * float((d * d).sum()), (y - targets) * m
+
+
 def train_epoch(specs, params, fractions, lr, momentum, layer_lr=None,
-                velocity=None, stochastic=True):
+                velocity=None, stochastic=True, loss="multiclass"):
     """One oracle epoch; returns (params, velocity, total_error, correct)."""
     global _current_pt
     params = {k: {kk: np.array(vv, np.float64) for kk, vv in v.items()}
@@ -83,11 +90,14 @@ def train_epoch(specs, params, fractions, lr, momentum, layer_lr=None,
     for (x, targets, pt) in fractions:
         _current_pt = pt
         y, cache = net_forward(specs, params, np.asarray(x, np.float64), pt)
-        err_val, dy = oracle.multiclass_loss_and_err(y, targets, pt)
+        if loss == "multiclass":
+            err_val, dy = oracle.multiclass_loss_and_err(y, targets, pt)
+            valid = targets >= 0
+            est = y.argmax(-1)
+            correct += int(((est == targets) & valid).sum())
+        else:
+            err_val, dy = sse_loss_and_err(y, np.asarray(targets, np.float64), pt)
         total_err += err_val
-        valid = targets >= 0
-        est = y.argmax(-1)
-        correct += int(((est == targets) & valid).sum())
         grads = net_backward(specs, params, cache, dy)
         if stochastic:
             update(grads)

@@ -67,6 +67,60 @@ def test_one_epoch_matches_oracle(stochastic):
 
 
 @requires_reference
+def test_regression_epoch_matches_oracle():
+    """sse regression training (autoencoding the CHiME features) agrees with
+    the float64 oracle — covers the regression-target fraction path, the
+    feedforward_identity output layer and the sse loss end to end."""
+    src = DataSet([NC], parallel_sequences=6, fraction=0.12,
+                  sort_by_length=True, prefetch=False)
+    # turn the classification fractions into regression ones (targets = a
+    # linear function of inputs for a learnable signal)
+    fracs = []
+    for f in src.fractions():
+        tgt = (f.inputs[..., :8] * 0.5 + 0.1).astype(np.float32)
+        tgt[f.pattypes == 0] = 0.0
+        fracs.append((f.inputs, tgt, f.pattypes))
+
+    layers = [
+        {"name": "input", "type": "input", "size": 39},
+        {"name": "b1", "type": "blstm", "size": 10, "bias": 1.0},
+        {"name": "output", "type": "feedforward_identity", "size": 8, "bias": 1.0},
+        {"name": "postoutput", "type": "sse", "size": 8},
+    ]
+    net = Network(layers)
+    net.init_params(11)
+    params0 = {k: {kk: np.asarray(vv, np.float64) for kk, vv in v.items()}
+               for k, v in net.params.items()}
+
+    class _FixedDs:
+        total_sequences = src.total_sequences
+        total_timesteps = src.total_timesteps
+
+        @staticmethod
+        def fractions():
+            return iter([type("F", (), {"inputs": x, "targets": t,
+                                        "pattypes": p, "seq_info": []})()
+                         for (x, t, p) in fracs])
+
+    trainer = Trainer(net, _FixedDs(), learning_rate=1e-3, momentum=0.9,
+                      max_epochs=1, hybrid_online_batch=True)
+    trainer.train_epoch()
+
+    p_ref, _, err_ref, _ = oracle_net.train_epoch(
+        net.specs, params0, fracs, lr=1e-3, momentum=0.9, stochastic=True,
+        loss="sse")
+    assert abs(trainer.cur_training_error - err_ref / src.total_sequences) \
+        < 1e-3 * abs(err_ref / src.total_sequences) + 1e-8
+    for name in p_ref:
+        for kk in p_ref[name]:
+            upd_ref = p_ref[name][kk] - params0[name][kk]
+            upd = np.asarray(trainer.params[name][kk], np.float64) - params0[name][kk]
+            scale = np.abs(upd_ref).max() + 1e-12
+            assert np.abs(upd - upd_ref).max() < 2e-3 * scale + 5e-8, (
+                f"{name}.{kk}")
+
+
+@requires_reference
 def test_best_weights_survive_donation():
     """Early stopping restores the BEST weights, which may be several donated
     buffer generations old — snapshots must be copies (regression test for a
