@@ -87,6 +87,28 @@ def test_rprop_rejected(tmp_path, rng):
     assert "Unknown optimizer type" in r.stdout
 
 
+def test_binary_classification_train(tmp_path, rng):
+    """numLabels==2 collapses to 1 output (DataSet.cpp:493) and trains with
+    the binary_classification post-output layer."""
+    nc = str(tmp_path / "b.nc")
+    _write_classification_nc(nc, [6, 5, 7], in_size=3, num_labels=2, seed=3)
+    net = {"layers": [
+        {"name": "input", "type": "input", "size": 3},
+        {"name": "l1", "type": "lstm", "size": 4, "bias": 1.0},
+        {"name": "output", "type": "feedforward_logistic", "size": 1, "bias": 1.0},
+        {"name": "postoutput", "type": "binary_classification", "size": 1},
+    ]}
+    (tmp_path / "net.jsn").write_text(json.dumps(net))
+    r = _cli("--network", str(tmp_path / "net.jsn"), "--train", "true",
+             "--train_file", nc, "--max_epochs", "2", "--stochastic", "true",
+             "--learning_rate", "1e-2", cwd=tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    # classification-style epoch table cell: frame-error% + objective
+    assert "%" in r.stdout
+    doc = json.loads((tmp_path / "trained_network.jsn").read_text())
+    assert len(doc["weights"]["output"]["input"]) == 4  # 4x1
+
+
 def test_regression_train_and_forward_revert_std(tmp_path, rng):
     """sse regression path end to end: standardize -> train -> forward with
     revert_std de-standardization."""
