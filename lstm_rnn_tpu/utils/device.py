@@ -42,4 +42,10 @@ def ensure_backend(max_retries: int = len(_BACKOFF)):
             f"[lstm_rnn_tpu] backend init failed (attempt {attempt + 1}/"
             f"{max_retries}), re-exec in {sleep_s:.0f}s: {e}\n")
         time.sleep(sleep_s)
+        # CRITICAL: the failed plugin init leaves open sockets to the
+        # single-client tunnel; execv would carry them into the retry
+        # process and keep the tunnel occupied (observed: fresh processes
+        # connect while re-exec'd retries fail forever). Close everything
+        # above stdio before exec'ing.
+        os.closerange(3, 4096)
         os.execv(sys.executable, [sys.executable] + sys.argv)
