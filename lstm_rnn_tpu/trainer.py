@@ -214,14 +214,14 @@ class Trainer:
 
     # ------------------------------------------------------------------ epoch
     @staticmethod
-    def _pad_fraction(inputs, targets, pattypes):
+    def _pad_fraction(inputs, targets, pattypes, b_multiple: int = 8):
         """Pad T to a chunk multiple and B to a sublane multiple on the host
         (pure PATTYPE_NONE padding — numerically inert) so the device step
         never pads or slices."""
         from lstm_rnn_tpu.ops.lstm_cell import DEFAULT_CHUNK
         T, B = pattypes.shape
         tp = -(-T // DEFAULT_CHUNK) * DEFAULT_CHUNK
-        bp = -(-B // 8) * 8
+        bp = -(-B // b_multiple) * b_multiple
         if tp == T and bp == B:
             return inputs, targets, pattypes
         dt, db = tp - T, bp - B
@@ -234,10 +234,19 @@ class Trainer:
             targets = np.pad(targets, ((0, dt), (0, db), (0, 0)))
         return inputs, targets, pattypes
 
+    def _b_multiple(self) -> int:
+        """Batch padding granule: lcm(8 sublanes, mesh size) so every
+        fraction — including the short last one — shards evenly."""
+        if self.mesh is None:
+            return 8
+        import math
+        n = int(self.mesh.devices.size)
+        return 8 * n // math.gcd(8, n)
+
     def _device_batch(self, frac: Fraction):
         """Place a fraction on device, batch axis sharded over the mesh."""
         inputs, targets, pattypes = self._pad_fraction(
-            frac.inputs, frac.targets, frac.pattypes)
+            frac.inputs, frac.targets, frac.pattypes, self._b_multiple())
         if self.mesh is None:
             return inputs, targets, pattypes
         from lstm_rnn_tpu.parallel.mesh import shard_fraction
