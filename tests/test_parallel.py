@@ -50,6 +50,30 @@ def test_sharded_training_matches_single_device():
                                        err_msg=f"{name}.{kk}")
 
 
+@requires_reference
+def test_sharded_fused_training_matches():
+    """Mesh sharding + fused multi-fraction scans together."""
+    ds = DataSet([NC], parallel_sequences=8, fraction=0.24,
+                 sort_by_length=True, prefetch=False, bucket_lengths=True)
+    net1 = Network.from_json_file(NET)
+    t1 = Trainer(net1, ds, learning_rate=1e-5, momentum=0.9, max_epochs=1,
+                 hybrid_online_batch=True)
+    t1.train_epoch()
+
+    net2 = Network.from_json_file(NET)
+    t2 = Trainer(net2, ds, learning_rate=1e-5, momentum=0.9, max_epochs=1,
+                 hybrid_online_batch=True, mesh=make_mesh(), fuse_fractions=3)
+    t2.train_epoch()
+
+    assert abs(t1.cur_training_error - t2.cur_training_error) < (
+        1e-5 * abs(t1.cur_training_error) + 1e-8)
+    for name in t1.params:
+        for kk in t1.params[name]:
+            np.testing.assert_allclose(
+                np.asarray(t1.params[name][kk]), np.asarray(t2.params[name][kk]),
+                rtol=1e-5, atol=1e-7, err_msg=f"{name}.{kk}")
+
+
 def test_graft_dryrun():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
