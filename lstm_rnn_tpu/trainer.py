@@ -86,6 +86,16 @@ class Trainer:
             padded_pipeline = has_lstm and (
                 net.backend in ("pallas", "pallas_interpret")
                 or (net.backend == "auto" and jax.default_backend() == "tpu"))
+            if padded_pipeline:
+                # VMEM guard: very wide cells would not fit the fused
+                # kernels' resident blocks; fall back to the exact layout
+                # (lstm_forward's own guard then picks lax.scan)
+                from lstm_rnn_tpu.ops.lstm_cell import round_up
+                max_h = max((s.size // (2 if s.type == "blstm" else 1)
+                             for s in net.specs if s.type in ("lstm", "blstm")),
+                            default=0)
+                if round_up(max_h, 128) > 384:
+                    padded_pipeline = False
         self.padded = padded_pipeline
         self._pad_mask = None
         if self.padded:
