@@ -143,6 +143,29 @@ def test_best_weights_survive_donation():
 
 
 @requires_reference
+def test_max_epochs_no_best_early_stop():
+    """Stop when no new lowest validation error within max_epochs_no_best
+    epochs (Optimizer.cu:317-320), with best weights restored."""
+    ds = DataSet([NC], parallel_sequences=8, fraction=0.1,
+                 sort_by_length=True, prefetch=False)
+    net = Network.from_json_file(NET)
+    t = Trainer(net, ds, validation_set=ds, learning_rate=5.0, momentum=0.9,
+                max_epochs=-1, max_epochs_no_best=2, validate_every=1,
+                hybrid_online_batch=True)
+    epochs = 0
+    while not t.train_epoch():
+        epochs += 1
+        assert epochs < 50
+    # lr=5.0 diverges, so no epoch improves (NaN < inf is false, matching the
+    # reference's float comparison) -> stop as soon as since_lowest hits 2
+    assert t.cur_epoch == 2
+    assert t.epochs_since_lowest >= 2
+    cur = t.exact_params()
+    best = t.exact_params(t.best_params)
+    np.testing.assert_array_equal(cur["output"]["W"], best["output"]["W"])
+
+
+@requires_reference
 def test_reference_fixture_is_vacuous():
     """Documents why we do not compare against expected_network.jsn."""
     exp = json.load(open("/root/reference/tests/test1/expected_network.jsn"))
