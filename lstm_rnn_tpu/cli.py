@@ -130,6 +130,22 @@ def train_mode(cfg: Config) -> int:
     if cfg.optimizer != "steepest_descent":
         raise RuntimeError("Unknown optimizer type")
 
+    # multi-chip data parallelism (replaces the reference's single-GPU
+    # selection, main.cpp:507-541): shard the fraction batch axis over a
+    # jax Mesh; --num_devices 0 = all available, 1 (default) = no mesh
+    mesh = None
+    if cfg.num_devices != 1:
+        import jax
+        n_avail = len(jax.devices())
+        n = cfg.num_devices if cfg.num_devices > 0 else n_avail
+        if n > n_avail:
+            raise RuntimeError(
+                f"num_devices={n} but only {n_avail} devices available")
+        if n > 1:
+            from lstm_rnn_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh(n)
+            print(f"Data-parallel mesh: {dict(mesh.shape)}")
+
     max_epochs = cfg.max_epochs if cfg.max_epochs != 2**32 - 1 else -1
     trainer = Trainer(
         net, train_set, val_set, test_set,
@@ -138,7 +154,7 @@ def train_mode(cfg: Config) -> int:
         validate_every=cfg.validate_every, test_every=cfg.test_every,
         hybrid_online_batch=cfg.hybrid_online_batch,
         weight_noise_sigma=cfg.weight_noise_sigma, seed=cfg.random_seed,
-        fuse_fractions=cfg.fuse_fractions)
+        fuse_fractions=cfg.fuse_fractions, mesh=mesh)
 
     info_rows = ""
     if cfg.continue_file:

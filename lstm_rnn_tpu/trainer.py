@@ -290,7 +290,8 @@ class Trainer:
                     self.params, self.velocity, err, corr = self._train_step(
                         self.params, self.velocity, inputs, targets, pattypes)
                 else:
-                    padded = [self._pad_fraction(f.inputs, f.targets, f.pattypes)
+                    padded = [self._pad_fraction(f.inputs, f.targets,
+                                                 f.pattypes, self._b_multiple())
                               for f in pending]
                     xk = np.stack([p[0] for p in padded])
                     tk = np.stack([p[1] for p in padded])

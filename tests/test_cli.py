@@ -77,6 +77,36 @@ def test_train_autosave_continue_equals_straight_run(tmp_path, rng):
                 err_msg=f"{layer}.{sec}")
 
 
+def test_num_devices_mesh_matches_single_device(tmp_path, rng):
+    """CLI --num_devices 8 (data-parallel mesh over the 8 virtual CPU
+    devices) must produce the same trained_network.jsn as --num_devices 1;
+    the mesh banner must be printed."""
+    nc, net_path = _toy_setup(tmp_path, rng)
+    common = ["--network", net_path, "--train", "true", "--train_file", nc,
+              "--stochastic", "true", "--learning_rate", "1e-3",
+              "--parallel_sequences", "2", "--random_seed", "5",
+              "--max_epochs", "2"]
+
+    d1 = tmp_path / "single"
+    d1.mkdir()
+    r = _cli(*common, cwd=d1)
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    d8 = tmp_path / "mesh8"
+    d8.mkdir()
+    r = _cli(*common, "--num_devices", "8", cwd=d8)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "Data-parallel mesh" in r.stdout
+
+    w1 = json.loads((d1 / "trained_network.jsn").read_text())["weights"]
+    w8 = json.loads((d8 / "trained_network.jsn").read_text())["weights"]
+    for layer in w1:
+        for sec in w1[layer]:
+            np.testing.assert_allclose(
+                w1[layer][sec], w8[layer][sec], rtol=1e-5, atol=1e-7,
+                err_msg=f"{layer}.{sec}")
+
+
 def test_rprop_rejected(tmp_path, rng):
     nc, net_path = _toy_setup(tmp_path, rng)
     r = _cli("--network", net_path, "--train", "true", "--train_file", nc,

@@ -74,6 +74,48 @@ def test_sharded_fused_training_matches():
                 rtol=1e-5, atol=1e-7, err_msg=f"{name}.{kk}")
 
 
+def test_sharded_fused_nondividing_mesh(tmp_path):
+    """Mesh sizes that do not divide the 8-sublane padding granule (here 3)
+    must work with fuse_fractions: the fused path has to pad B to
+    lcm(8, mesh) like the unfused path (regression: trainer.py flush()
+    used the default granule and shard_fraction raised)."""
+    from .test_data import _write_classification_nc
+
+    nc = str(tmp_path / "t.nc")
+    _write_classification_nc(nc, [6, 5, 4, 7, 3, 6, 5, 4], in_size=3,
+                             num_labels=4, seed=11)
+    net_doc = {
+        "layers": [
+            {"name": "input", "type": "input", "size": 3},
+            {"name": "l1", "type": "blstm", "size": 4, "bias": 1.0},
+            {"name": "output", "type": "softmax", "size": 4, "bias": 1.0},
+            {"name": "postoutput", "type": "multiclass_classification", "size": 4},
+        ],
+    }
+    ds = DataSet([nc], parallel_sequences=4, sort_by_length=True,
+                 prefetch=False)
+
+    net1 = Network(net_doc["layers"])
+    net1.init_params(5)
+    t1 = Trainer(net1, ds, learning_rate=1e-3, momentum=0.9, max_epochs=1,
+                 hybrid_online_batch=True)
+    t1.train_epoch()
+
+    net2 = Network(net_doc["layers"])
+    net2.init_params(5)
+    t2 = Trainer(net2, ds, learning_rate=1e-3, momentum=0.9, max_epochs=1,
+                 hybrid_online_batch=True, mesh=make_mesh(3), fuse_fractions=2)
+    t2.train_epoch()
+
+    assert abs(t1.cur_training_error - t2.cur_training_error) < (
+        1e-5 * abs(t1.cur_training_error) + 1e-8)
+    for name in t1.params:
+        for kk in t1.params[name]:
+            np.testing.assert_allclose(
+                np.asarray(t1.params[name][kk]), np.asarray(t2.params[name][kk]),
+                rtol=1e-5, atol=1e-7, err_msg=f"{name}.{kk}")
+
+
 def test_graft_dryrun():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
