@@ -1,0 +1,142 @@
+#!/usr/bin/env python3
+"""Generate synthetic .nc datasets so every example recipe is runnable.
+
+The reference ships only `speech_recognition_chime/val_1_speaker.nc` (its
+train blobs were stripped, `.MISSING_LARGE_BLOBS`), so its examples cannot
+run either. This generator produces shape-compatible synthetic corpora for
+all four recipes: features are class-conditional Gaussians over a slowly
+switching state sequence, so training visibly reduces the error — the
+recipes exercise the real pipeline end to end without distributing corpora.
+
+Usage:
+  python examples/make_example_data.py [recipe ...] [--seqs N] [--len-scale F]
+
+Recipes: chime_recognition, chime_autoencoding, timit (default: all).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))
+
+from lstm_rnn_tpu.data.netcdf3 import strings_to_chars, write_netcdf  # noqa: E402
+
+
+def _state_sequence(rng, length, n_classes, hold=8):
+    """Slowly switching class sequence (HMM-state-like persistence)."""
+    states = np.empty(length, np.int32)
+    t = 0
+    cur = rng.randint(n_classes)
+    while t < length:
+        dur = max(1, int(rng.poisson(hold)))
+        states[t:t + dur] = cur
+        t += dur
+        cur = rng.randint(n_classes)
+    return states
+
+
+def _make_classification_nc(path, rng, n_seqs, len_range, in_size, n_classes):
+    lengths = rng.randint(len_range[0], len_range[1] + 1, n_seqs)
+    total = int(lengths.sum())
+    # class-conditional means: low-rank so 39/117 dims stay informative
+    means = rng.randn(n_classes, in_size).astype(np.float32) * 0.8
+    inputs = np.empty((total, in_size), np.float32)
+    classes = np.empty(total, np.int32)
+    pos = 0
+    for L in lengths:
+        st = _state_sequence(rng, int(L), n_classes)
+        classes[pos:pos + L] = st
+        inputs[pos:pos + L] = means[st] + rng.randn(int(L), in_size).astype(np.float32)
+        pos += L
+    tags = [f"synthetic_{i:04d}" for i in range(n_seqs)]
+    write_netcdf(path, {
+        "numSeqs": n_seqs, "numTimesteps": total, "inputPattSize": in_size,
+        "numLabels": n_classes, "maxSeqTagLength": 24,
+    }, [
+        ("seqTags", ["numSeqs", "maxSeqTagLength"], strings_to_chars(tags, 24)),
+        ("seqLengths", ["numSeqs"], lengths.astype(np.int32)),
+        ("inputs", ["numTimesteps", "inputPattSize"], inputs),
+        ("targetClasses", ["numTimesteps"], classes),
+    ])
+    print(f"wrote {path}: {n_seqs} seqs, {total} frames, "
+          f"{in_size}-dim, {n_classes} classes")
+
+
+def _make_regression_nc(path, rng, n_seqs, len_range, size):
+    """Autoencoding: targets = clean signal, inputs = noisy version."""
+    lengths = rng.randint(len_range[0], len_range[1] + 1, n_seqs)
+    total = int(lengths.sum())
+    targets = np.empty((total, size), np.float32)
+    pos = 0
+    for L in lengths:
+        t = np.linspace(0, 4 * np.pi, int(L))[:, None]
+        phase = rng.rand(1, size) * 2 * np.pi
+        freq = 1 + rng.rand(1, size) * 2
+        targets[pos:pos + L] = np.sin(freq * t + phase).astype(np.float32)
+        pos += L
+    inputs = targets + rng.randn(total, size).astype(np.float32) * 0.3
+    tags = [f"synthetic_{i:04d}" for i in range(n_seqs)]
+    write_netcdf(path, {
+        "numSeqs": n_seqs, "numTimesteps": total, "inputPattSize": size,
+        "targetPattSize": size, "maxSeqTagLength": 24,
+    }, [
+        ("seqTags", ["numSeqs", "maxSeqTagLength"], strings_to_chars(tags, 24)),
+        ("seqLengths", ["numSeqs"], lengths.astype(np.int32)),
+        ("inputs", ["numTimesteps", "inputPattSize"], inputs),
+        ("targetPatterns", ["numTimesteps", "targetPattSize"], targets),
+    ])
+    print(f"wrote {path}: {n_seqs} seqs, {total} frames, {size}-dim regression")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("recipes", nargs="*",
+                   help="recipes to generate: chime_recognition, "
+                        "chime_autoencoding, timit (default: all)")
+    p.add_argument("--seqs", type=int, default=60,
+                   help="training sequences per corpus (val gets ~1/4)")
+    p.add_argument("--len-scale", type=float, default=1.0,
+                   help="sequence-length multiplier (1.0 = 80..200 frames; "
+                        "the TIMIT flagship bench uses ~4.0 for 300..800)")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--out-root", default=HERE)
+    args = p.parse_args(argv)
+    known = ["chime_recognition", "chime_autoencoding", "timit"]
+    for r in args.recipes:
+        if r not in known:
+            p.error(f"unknown recipe '{r}' (choose from {', '.join(known)})")
+    recipes = args.recipes or known
+    rng = np.random.RandomState(args.seed)
+    lo, hi = int(80 * args.len_scale), int(200 * args.len_scale)
+    n_val = max(2, args.seqs // 4)
+
+    if "chime_recognition" in recipes:
+        d = os.path.join(args.out_root, "speech_recognition_chime")
+        _make_classification_nc(os.path.join(d, "train_1_speaker.nc"),
+                                rng, args.seqs, (lo, hi), 39, 51)
+        _make_classification_nc(os.path.join(d, "val_1_speaker.nc"),
+                                rng, n_val, (lo, hi), 39, 51)
+    if "chime_autoencoding" in recipes:
+        d = os.path.join(args.out_root, "speech_autoencoding_chime")
+        _make_regression_nc(os.path.join(d, "train_1_speaker.nc"),
+                            rng, args.seqs, (lo, hi), 39)
+        _make_regression_nc(os.path.join(d, "val_1_speaker.nc"),
+                            rng, n_val, (lo, hi), 39)
+    if "timit" in recipes:
+        d = os.path.join(args.out_root, "alignments")
+        os.makedirs(d, exist_ok=True)
+        _make_classification_nc(os.path.join(d, "timit_trainD117.nc"),
+                                rng, args.seqs, (lo, hi), 117, 183)
+        _make_classification_nc(os.path.join(d, "timit_cvD117.nc"),
+                                rng, n_val, (lo, hi), 117, 183)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,2 +1,3 @@
 #!/bin/sh
-python -m lstm_rnn_tpu.cli config.cfg
+[ -f train_1_speaker.nc ] || python ../make_example_data.py chime_autoencoding
+python -m lstm_rnn_tpu.cli config.cfg "$@"

@@ -9,9 +9,11 @@ big-endian container) so the framework and its tools (htk2nc, nc-standardize)
 have zero native dependencies for IO and can also WRITE datasets.
 
 Format: CDF-1 ('CDF\\x01', 32-bit offsets) and CDF-2 ('CDF\\x02', 64-bit
-offsets); fixed-size variables only (CURRENNT files have no record
-dimension). Reading memory-maps nothing — variables are lazily sliceable via
-`NetCDF3File.read(name, start, count)` for streaming large corpora.
+offsets). CURRENNT-produced files have fixed-size variables only, but a
+record (UNLIMITED) dimension — legal CDF and producible by third-party HTK
+pipelines — is also read correctly: record variables are de-interleaved per
+record slab. Reading memory-maps nothing — variables are lazily sliceable
+via `NetCDF3File.read(name, start, count)` for streaming large corpora.
 """
 
 from __future__ import annotations
@@ -47,13 +49,15 @@ def _pad4(n: int) -> int:
 
 
 class Var:
-    def __init__(self, name, dims, nc_type, begin, shape, dim_names=()):
+    def __init__(self, name, dims, nc_type, begin, shape, dim_names=(),
+                 is_record=False):
         self.name = name
         self.dims = dims
         self.nc_type = nc_type
         self.begin = begin
         self.shape = shape
         self.dim_names = tuple(dim_names)
+        self.is_record = is_record
 
     @property
     def dtype(self):
@@ -83,7 +87,9 @@ class NetCDF3File:
         self._read_dim_list()
         self.attributes = self._read_att_list()
         self.variables: Dict[str, Var] = {}
+        self._recsize = 0
         self._read_var_list()
+        self._finalize_records()
 
     # ------------------------------------------------------------- primitives
     def _u4(self) -> int:
@@ -147,7 +153,40 @@ class NetCDF3File:
                 begin = self._u4()
             shape = tuple(self._dim_sizes[d] for d in dimids)
             dim_names = tuple(list(self.dimensions)[d] for d in dimids)
-            self.variables[name] = Var(name, dimids, nc_type, begin, shape, dim_names)
+            # a dim of size 0 in the header is the record (UNLIMITED) dim;
+            # only the first dim of a variable may be it
+            is_record = bool(dimids) and self._dim_sizes[dimids[0]] == 0
+            self.variables[name] = Var(name, dimids, nc_type, begin, shape,
+                                       dim_names, is_record)
+
+    def _finalize_records(self):
+        """Resolve record-variable shapes and the interleaved record size."""
+        rec_vars = [v for v in self.variables.values() if v.is_record]
+        if not rec_vars:
+            return
+        slabs = []
+        for v in rec_vars:
+            inner = 1
+            for s in v.shape[1:]:
+                inner *= s
+            slabs.append(inner * v.dtype.itemsize)
+        # each record holds one slab per record variable, 4-byte padded —
+        # except a single record variable, which is packed without padding
+        if len(rec_vars) == 1:
+            self._recsize = slabs[0]
+        else:
+            self._recsize = sum(_pad4(s) for s in slabs)
+        numrecs = self._numrecs
+        if numrecs == 0xFFFFFFFF:  # STREAMING: infer from the file length
+            import os
+            end = os.fstat(self._f.fileno()).st_size
+            first = min(v.begin for v in rec_vars)
+            numrecs = max(0, (end - first) // self._recsize) if self._recsize else 0
+        for v in rec_vars:
+            v.shape = (numrecs,) + v.shape[1:]
+            for n, d in zip(v.dim_names, v.dims):
+                if self._dim_sizes[d] == 0:
+                    self.dimensions[n] = numrecs
 
     # ------------------------------------------------------------------- read
     def read(self, name: str, start: int = 0, count: Optional[int] = None) -> np.ndarray:
@@ -163,8 +202,17 @@ class NetCDF3File:
         for s in v.shape[1:]:
             inner *= s
         item = v.dtype.itemsize
-        self._f.seek(v.begin + start * inner * item)
-        buf = self._f.read(count * inner * item)
+        if v.is_record:
+            # records interleave one slab per record variable; gather ours
+            slab = inner * item
+            chunks = []
+            for r in range(start, start + count):
+                self._f.seek(v.begin + r * self._recsize)
+                chunks.append(self._f.read(slab))
+            buf = b"".join(chunks)
+        else:
+            self._f.seek(v.begin + start * inner * item)
+            buf = self._f.read(count * inner * item)
         arr = np.frombuffer(buf, dtype=v.dtype).reshape((count,) + v.shape[1:])
         if v.nc_type == NC_CHAR:
             return arr

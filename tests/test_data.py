@@ -181,3 +181,41 @@ def test_prefetch_equals_sync(tmp_path):
         np.testing.assert_array_equal(fa.inputs, fb.inputs)
         np.testing.assert_array_equal(fa.targets, fb.targets)
         np.testing.assert_array_equal(fa.pattypes, fb.pattypes)
+
+
+def test_netcdf_record_dimension(tmp_path):
+    """Record (UNLIMITED) dimension files — legal CDF-1, producible by
+    third-party HTK pipelines — must read correctly: record variables are
+    interleaved per record slab, unlike fixed variables."""
+    from scipy.io import netcdf_file
+
+    p = str(tmp_path / "rec.nc")
+    f = netcdf_file(p, "w")
+    f.createDimension("time", None)
+    f.createDimension("feat", 3)
+    v1 = f.createVariable("inputs", "f4", ("time", "feat"))
+    v2 = f.createVariable("labels", "i4", ("time",))
+    data = np.arange(15, dtype=np.float32).reshape(5, 3)
+    labels = np.asarray([3, 1, 4, 1, 5], np.int32)
+    v1[:] = data
+    v2[:] = labels
+    f.close()
+
+    g = NetCDF3File(p)
+    assert g.dimensions["time"] == 5
+    assert g.variables["inputs"].is_record
+    np.testing.assert_array_equal(g.read("inputs"), data)
+    np.testing.assert_array_equal(g.read("labels"), labels)
+    np.testing.assert_array_equal(g.read("inputs", 1, 3), data[1:4])
+    g.close()
+
+    # single record variable: packed without per-record padding
+    p2 = str(tmp_path / "rec1.nc")
+    f = netcdf_file(p2, "w")
+    f.createDimension("time", None)
+    v = f.createVariable("x", "i2", ("time",))
+    v[:] = np.arange(7, dtype=np.int16)
+    f.close()
+    with NetCDF3File(p2) as g2:
+        np.testing.assert_array_equal(g2.read("x"), np.arange(7))
+        assert g2.dimensions["time"] == 7

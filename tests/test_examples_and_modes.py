@@ -71,3 +71,39 @@ def test_get_outputs(rng):
     assert tags == ["a", "b"]
     assert outs[0].shape == (6, 3) and outs[1].shape == (4, 3)
     np.testing.assert_array_equal(outs[1], y[:4, 1, :])
+
+
+def _run_example(tmp_path, subdir):
+    """Copy the examples tree to tmp, generate tiny synthetic data, and run
+    the recipe's run.sh with 1-epoch overrides (CLI flags beat the options
+    file, README:110-117)."""
+    import shutil
+    import subprocess
+    import sys
+
+    ex = tmp_path / "examples"
+    shutil.copytree(os.path.join(REPO, "examples"), ex)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    gen = subprocess.run(
+        [sys.executable, str(ex / "make_example_data.py"),
+         "--seqs", "6", "--len-scale", "0.1"],
+        capture_output=True, text=True, env=env)
+    assert gen.returncode == 0, gen.stdout + gen.stderr
+    r = subprocess.run(
+        ["sh", "run.sh", "--max_epochs", "1", "--parallel_sequences", "2",
+         "--device", "cpu", "--input_noise_sigma", "0"],
+        capture_output=True, text=True, cwd=str(ex / subdir), env=env)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert (ex / subdir / "trained_network.jsn").exists()
+    return r.stdout
+
+
+@pytest.mark.parametrize("subdir", [
+    "speech_recognition_chime/no_subsampling",
+    "speech_recognition_chime/subsampling",
+    "speech_autoencoding_chime",
+])
+def test_example_recipes_run(tmp_path, subdir):
+    out = _run_example(tmp_path, subdir)
+    assert "Storing the trained network" in out

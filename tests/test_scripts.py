@@ -104,3 +104,53 @@ def test_test_post_conv(tmp_path):
     from lstm_rnn_tpu.writers import read_htk
     out, period, kind = read_htk(str(tmp_path / "conv/d/u.htk"))
     np.testing.assert_array_equal(out, data[:, [2, 0, 1]])
+
+
+def test_discriminative_pretraining(tmp_path):
+    """Greedy layer-wise pretraining end to end on a toy classification nc:
+    stage files exist and load, and stage 2 starts from stage 1's hidden
+    weights (scripts/discriminative_pretraining.pl semantics)."""
+    from .test_data import _write_classification_nc
+
+    nc = str(tmp_path / "train.nc")
+    _write_classification_nc(nc, [6, 5, 4, 7], in_size=3, num_labels=4, seed=9)
+    net = {
+        "layers": [
+            {"name": "input", "type": "input", "size": 3},
+            {"name": "h1", "type": "lstm", "size": 4, "bias": 1.0},
+            {"name": "h2", "type": "lstm", "size": 4, "bias": 1.0},
+            {"name": "output", "type": "softmax", "size": 4, "bias": 1.0},
+            {"name": "postoutput", "type": "multiclass_classification", "size": 4},
+        ],
+    }
+    net_path = tmp_path / "full.jsn"
+    net_path.write_text(json.dumps(net))
+    cfg_path = tmp_path / "pre.cfg"
+    cfg_path.write_text(
+        "train = true\nstochastic = true\nparallel_sequences = 2\n"
+        "random_seed = 5\ndevice = cpu\n")
+    work = tmp_path / "work"
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts/discriminative_pretraining.py"),
+         str(net_path), str(cfg_path), str(work), nc, "-", "-",
+         "2", "1e-3", "0.5"],
+        capture_output=True, text=True, cwd=str(tmp_path), env=env)
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    s1 = json.loads((work / "trained.1.jsn").read_text())
+    s2 = json.loads((work / "trained.2.jsn").read_text())
+    assert [l["name"] for l in s1["layers"]] == [
+        "input", "hidden_layer_1", "output", "postoutput"]
+    assert [l["name"] for l in s2["layers"]] == [
+        "input", "hidden_layer_1", "hidden_layer_2", "output", "postoutput"]
+    # stage-2's first hidden layer was seeded from stage 1 (then trained
+    # further for 2 epochs with a tiny lr): weights close but not equal
+    w1 = np.asarray(s1["weights"]["hidden_layer_1"]["input"])
+    w2 = np.asarray(s2["weights"]["hidden_layer_1"]["input"])
+    assert not np.array_equal(w1, w2)
+    np.testing.assert_allclose(w1, w2, atol=5e-2)
+    # stage 2's second hidden layer and output layer retrain from scratch
+    assert "hidden_layer_2" in s2["weights"]
