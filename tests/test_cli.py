@@ -198,3 +198,55 @@ def test_forward_pass_csv_dir(tmp_path, rng):
     rows = (tmp_path / "outdir/seq0.csv").read_text().strip().split("\n")
     assert len(rows) == 6  # length of seq0
     assert all(len(r.split(";")) == 4 for r in rows)
+
+@requires_reference
+def test_test1_cli_golden_vs_oracle(tmp_path):
+    """The honest replacement for the reference's tests/test1/run.py: run the
+    reference's own config.cfg (hybrid_online_batch, parallel_sequences 10,
+    1 epoch, pinned initial weights) through the CLI and require the exported
+    weight UPDATES to match the float64 oracle to float32 round-off. (The
+    reference's expected_network.jsn fixture is stale/vacuous — see
+    test_end_to_end.test_reference_fixture_is_vacuous.)"""
+    import shutil
+
+    from lstm_rnn_tpu.data.dataset import DataSet
+    from lstm_rnn_tpu.network import Network
+    from . import oracle_net
+
+    ref = "/root/reference/tests/test1"
+    nc = "/root/reference/examples/speech_recognition_chime/val_1_speaker.nc"
+    shutil.copy(os.path.join(ref, "network.jsn"), tmp_path / "network.jsn")
+    cfg_text = open(os.path.join(ref, "config.cfg")).read().replace(
+        "../../examples/speech_recognition_chime/val_1_speaker.nc", nc)
+    (tmp_path / "config.cfg").write_text(cfg_text)
+
+    r = _cli("config.cfg", cwd=tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert (tmp_path / "trained_network.jsn").exists()
+
+    # float64 oracle over the identical fraction stream (same DataSet options
+    # as cli._load_dataset: sort by length, no shuffling, no noise)
+    ds = DataSet([nc], parallel_sequences=10, sort_by_length=True,
+                 prefetch=False)
+    net0 = Network.from_json_file(os.path.join(ref, "network.jsn"))
+    params0 = {k: {kk: np.asarray(vv, np.float64) for kk, vv in v.items()}
+               for k, v in net0.params.items()}
+    fracs = [(f.inputs, f.targets, f.pattypes) for f in ds.fractions()]
+    p_ref, _, err_ref, _ = oracle_net.train_epoch(
+        net0.specs, params0, fracs, lr=1e-5, momentum=0.9, stochastic=True)
+
+    # the CLI's epoch-table training error equals the oracle's
+    err_row = [l for l in r.stdout.splitlines() if l.strip().startswith("1 |")][0]
+    err_cli = float(err_row.split("|")[2].replace("%", " ").split()[-1])
+    assert abs(err_cli - err_ref / ds.total_sequences) < 5e-3 * err_cli
+
+    trained = Network.from_json_file(str(tmp_path / "trained_network.jsn"))
+    for name in p_ref:
+        for kk in p_ref[name]:
+            upd_ref = p_ref[name][kk] - params0[name][kk]
+            upd_cli = (np.asarray(trained.params[name][kk], np.float64)
+                       - params0[name][kk])
+            scale = np.abs(upd_ref).max() + 1e-12
+            err = np.abs(upd_cli - upd_ref).max()
+            assert err < 2e-3 * scale + 5e-8, (
+                f"{name}.{kk}: max update err {err:.3e} vs scale {scale:.3e}")
