@@ -45,7 +45,8 @@ def main():
     x0 = rng.randn(t, b, 117).astype(np.float32)
     pt0 = pattypes_from_lengths([t] * b, t, b)
     tc0 = rng.randint(0, states, (t, b)).astype(np.int32)
-    x0, tc0, pt0 = Trainer._pad_fraction(x0, tc0, pt0)
+    # bf16 streams need 16 batch rows per tile (Trainer._b_multiple)
+    x0, tc0, pt0 = Trainer._pad_fraction(x0, tc0, pt0, b_multiple=16)
     x, tc, pt = jnp.asarray(x0), jnp.asarray(tc0), jnp.asarray(pt0)
 
     params = jax.tree_util.tree_map(jnp.asarray, net.pad_params(net.params))

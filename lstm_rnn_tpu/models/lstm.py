@@ -126,23 +126,24 @@ def lstm_forward(params, x, pattypes, bias_mult: float, bidirectional: bool,
     assert d == (2 if bidirectional else 1)
 
     if pre_padded:
-        # padded view: W_in [D, P, 4Hp] (gates flattened), b [D, 4Hp]
-        from lstm_rnn_tpu.ops.lstm_cell import DEFAULT_CHUNK, lstm_scan_fused, round_up
+        # padded view: W_in [D, Pp, 4Hp] (gates flattened, rows padded to a
+        # 128 multiple), b [D, 4Hp]; the kernel computes the projection
+        from lstm_rnn_tpu.ops.lstm_cell import (DEFAULT_CHUNK, _storage,
+                                                lstm_scan_fused, round_up)
         hp = w_rec.shape[1]  # already padded
-        bp = round_up(bsz, 8)
+        pp = w_in.shape[1]
+        bgran = 16 if _storage(compute_dtype).itemsize == 2 else 8
+        bp = round_up(bsz, bgran)
         tp = round_up(t, DEFAULT_CHUNK)
-        acts = jnp.einsum("tbp,dpg->dtbg", x.astype(compute_dtype),
-                          w_in.astype(compute_dtype),
-                          preferred_element_type=jnp.float32,
-                          precision=_precision(compute_dtype))
-        acts = _pad_axis(_pad_axis(acts, 1, tp), 2, bp)
+        xx = x.astype(compute_dtype)
+        xx = _pad_axis(_pad_axis(_pad_axis(xx, 2, pp), 1, bp), 0, tp)
         lengths = jnp.sum((pattypes != 0).astype(jnp.int32), axis=0)
         lengths = _pad_axis(lengths, 0, bp)
         interp = backend == "pallas_interpret" or (
             backend in ("auto", "pallas") and jax.default_backend() != "tpu")
-        ys = lstm_scan_fused(acts, w_rec.reshape(d, hp, 4 * hp).astype(compute_dtype),
+        ys = lstm_scan_fused(xx, w_in, w_rec.reshape(d, hp, 4 * hp),
                              peep, b, lengths, float(bias_mult),
-                             clip_gradients, interp)
+                             clip_gradients, interp, jnp.dtype(compute_dtype))
         ys = ys[:, :t, :bsz]
         if bidirectional:
             return jnp.concatenate([ys[0], ys[1]], axis=-1)  # [fw_pad|bw_pad]
@@ -151,49 +152,55 @@ def lstm_forward(params, x, pattypes, bias_mult: float, bidirectional: bool,
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "scan"
         if backend == "pallas":
-            # VMEM guard: the backward kernel keeps W_rec + ~7 chunked blocks
-            # resident; fall back to lax.scan when that would not fit.
-            from lstm_rnn_tpu.ops.lstm_cell import DEFAULT_CHUNK, round_up
+            # VMEM guard: the backward kernel keeps W_rec + double-buffered
+            # chunked blocks resident; fall back to lax.scan when that would
+            # not fit.
+            from lstm_rnn_tpu.ops.lstm_cell import (DEFAULT_CHUNK, _storage,
+                                                    round_up)
             hp = round_up(hdim, 128)
-            bp = round_up(bsz, 8)
-            vmem = 4 * (hp * 4 * hp  # W_rec
-                        + 2 * 7 * DEFAULT_CHUNK * bp * hp  # double-buffered blocks
-                        + 2 * DEFAULT_CHUNK * bp * 4 * hp  # acts + dA
-                        + 3 * bp * hp + bp * 4 * hp)  # scratch
+            sz = _storage(compute_dtype).itemsize
+            bp = round_up(bsz, 16 if sz == 2 else 8)
+            pp = round_up(x.shape[-1], 128)
+            vmem = (sz * (pp * 4 * hp + hp * 4 * hp)  # W_in + W_rec resident
+                    + 2 * DEFAULT_CHUNK * bp * (
+                        sz * (pp + hp + 2 * 4 * hp)   # x, h, gates, dA
+                        + 4 * 2 * hp)                 # c + dh(f32-equiv slack)
+                    + 4 * bp * (3 * hp + 4 * hp))     # scratch
             if vmem > 12 * 1024 * 1024:
                 backend = "scan"
 
     if backend in ("pallas", "pallas_interpret"):
-        from lstm_rnn_tpu.ops.lstm_cell import (DEFAULT_CHUNK,
+        from lstm_rnn_tpu.ops.lstm_cell import (DEFAULT_CHUNK, _storage,
                                                 lstm_scan_fused, round_up)
 
         hp = round_up(hdim, 128)
-        bp = round_up(bsz, 8)
+        pp = round_up(x.shape[-1], 128)
+        bgran = 16 if _storage(compute_dtype).itemsize == 2 else 8
+        bp = round_up(bsz, bgran)
         tp = round_up(t, DEFAULT_CHUNK)
-        # zero-padding cells/batch rows is numerically exact: padded cells
-        # output exactly 0 and receive exactly 0 gradient
-        w_in_p = _pad_axis(w_in, 3, hp)
+        # zero-padding cells/batch rows/input features is numerically exact:
+        # padded cells output exactly 0 and receive exactly 0 gradient
+        w_in_p = _pad_axis(_pad_axis(w_in, 3, hp), 1, pp)
         b_p = _pad_axis(b, 2, hp)
         peep_p = _pad_axis(peep, 2, hp)
-        w_rec_p = _pad_axis(_pad_axis(w_rec, 3, hp), 1, hp).astype(compute_dtype)
+        w_rec_p = _pad_axis(_pad_axis(w_rec, 3, hp), 1, hp)
 
-        acts = jnp.einsum("tbp,dpgh->dtbgh", x.astype(compute_dtype),
-                          w_in_p.astype(compute_dtype),
-                          preferred_element_type=jnp.float32,
-                          precision=_precision(compute_dtype))
-        acts = acts.reshape(d, t, bsz, 4 * hp)
         # the kernel consumes NATURAL time order for both directions
-        # (backward-direction ordering is pure block indexing) and adds the
-        # bias itself; trailing time/batch padding is masked via lengths
-        acts = _pad_axis(_pad_axis(acts, 1, tp), 2, bp)
+        # (backward-direction ordering is pure block indexing), computes the
+        # input projection per chunk and adds the bias itself; trailing
+        # time/batch padding is masked via lengths
+        xx = x.astype(compute_dtype)
+        xx = _pad_axis(_pad_axis(_pad_axis(xx, 2, pp), 1, bp), 0, tp)
         lengths = jnp.sum((pattypes != 0).astype(jnp.int32), axis=0)
         lengths = _pad_axis(lengths, 0, bp)
 
-        ys = lstm_scan_fused(acts, w_rec_p.reshape(d, hp, 4 * hp), peep_p,
+        ys = lstm_scan_fused(xx, w_in_p.reshape(d, pp, 4 * hp),
+                             w_rec_p.reshape(d, hp, 4 * hp), peep_p,
                              b_p.reshape(d, 4 * hp), lengths,
                              float(bias_mult), clip_gradients,
-                             backend == "pallas_interpret")
-        ys = ys[:, :t, :bsz, :hdim]  # strip padding
+                             backend == "pallas_interpret",
+                             jnp.dtype(compute_dtype))
+        ys = ys[:, :t, :bsz, :hdim].astype(x.dtype)  # strip padding
         if bidirectional:
             return jnp.concatenate([ys[0], ys[1]], axis=-1)
         return ys[0]

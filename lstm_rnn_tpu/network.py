@@ -217,7 +217,12 @@ class Network:
     # momentum SGD — training on the padded view is numerically identical.
 
     def _pad_plan(self):
-        """Per trainable layer: (kind, prev_real_idx, prev_pad_width, hp)."""
+        """Per trainable layer: (kind, prev_real_idx, prev_pad_width, hp).
+
+        For LSTM layers prev_pad_width is additionally rounded up to a 128
+        multiple: the fused kernel computes the input projection in-kernel
+        and needs 128-aligned W_in rows (zero rows are numerically inert;
+        apply_padded pads the activations to match)."""
         from lstm_rnn_tpu.ops.lstm_cell import round_up
         plan = []
         prev_idx = np.arange(self.specs[0].size)  # input layer: exact
@@ -227,7 +232,7 @@ class Network:
                 d = 2 if ioc.LSTM_TYPES[s.type] else 1
                 h = s.size // d
                 hp = round_up(h, 128)
-                plan.append(("lstm", prev_idx, prev_width, hp))
+                plan.append(("lstm", prev_idx, round_up(prev_width, 128), hp))
                 prev_idx = np.concatenate([np.arange(h) + i * hp
                                            for i in range(d)])
                 prev_width = d * hp

@@ -1,42 +1,52 @@
 """Fused Pallas LSTM scan kernel (TPU fast path).
 
 The sequential recurrence is the only part of the LSTM that cannot be one
-big MXU matmul (input projections are batched outside, like the reference's
-time-batched GEMMs, LstmLayer.cu:772-786). `jax.lax.scan` compiles fine but
-leaves per-step fusion/scheduling to XLA; this kernel instead runs the WHOLE
-scan as one Mosaic program per direction:
+big MXU matmul. `jax.lax.scan` compiles fine but leaves per-step
+fusion/scheduling to XLA; this kernel instead runs the WHOLE scan as one
+Mosaic program per direction:
 
 - grid (D, T/CH): one program per (direction, time chunk); the Mosaic
   pipeline streams each chunk's operands (HBM -> VMEM, double-buffered)
   while the previous chunk computes; CH timesteps run unrolled per step;
+- the INPUT PROJECTION runs inside the kernel: each program computes its
+  chunk's gate preactivations as ONE [CH*B, P] x [P, 4H] MXU matmul from
+  the layer input x (the reference's time-batched GEMMs,
+  LstmLayer.cu:772-786, fused with the recurrence). The [D, T, B, 4H]
+  activation tensor never exists in HBM — on the flagship that tensor was
+  the single largest HBM stream of the whole step (written + read once per
+  direction, forward and backward);
 - the BLSTM backward direction is handled purely through BLOCK INDEXING:
   its index maps walk the chunks in reverse ((1-d)*k + d*(NC-1-k)) and its
   inner loop walks each chunk's rows in reverse — NO time-reversed copies of
-  activations are materialized, and all operands are the FULL [D, T, B, .]
-  arrays (profiling showed per-direction slicing/concatenation costing
-  multiple ms/step);
-- h/c live in VMEM scratch across the sequence; the recurrent weights stay
-  VMEM-resident; the cell math (CURRENNT-exact: tanh2 = 2*sigma(2x)-1,
-  peepholes incl. the og peephole from the NEW cell state) fuses with the
-  [B, H] x [H, 4H] MXU matmul;
+  activations are materialized (profiling showed per-direction
+  slicing/concatenation costing multiple ms/step);
+- h/c live in VMEM scratch across the sequence; the recurrent and input
+  weights stay VMEM-resident; the cell math (CURRENNT-exact: tanh2 =
+  2*sigma(2x)-1, peepholes incl. the og peephole from the NEW cell state)
+  fuses with the MXU matmuls;
 - variable-length masking is computed in-kernel from per-sequence lengths.
   Padding is a suffix (DataSet.cpp fraction assembly), so validity is
   `t < length` for both directions in natural time order;
-- the forward pass stores the post-activation gates; backward is a second
-  Pallas kernel running the reference BPTT (ComputeBlockErrorsFn,
-  LstmLayer.cu:190-287) over the saved gates — no gate recompute — with the
-  +-1 delta clipping and the unclipped-og-delta cell-state-error quirk
-  reproduced exactly. Weight gradients then become big MXU einsums over the
-  kernel's delta output (dW_in = x^T dA etc.), mirroring
-  ComputeWeightUpdateFn's reductions.
+- the forward pass stores the post-activation gates plus each chunk's
+  scan-final cell state (c_bound); backward is a second Pallas kernel
+  running the reference BPTT (ComputeBlockErrorsFn, LstmLayer.cu:190-287)
+  over the saved gates — no gate recompute — with the +-1 delta clipping
+  and the unclipped-og-delta cell-state-error quirk reproduced exactly.
+  c_bound supplies the cross-chunk c_prev so the full c array is read only
+  once in the backward pass. Weight gradients then become big MXU einsums
+  over the kernel's delta output (dW_in = x^T dA etc.), mirroring
+  ComputeWeightUpdateFn's reductions;
+- in bfloat16 mode the STREAMED tensors (x, h, gates, dA, dh) are stored in
+  bf16 — halving the dominant HBM traffic — while the cell state c, the
+  in-kernel recurrence state and all matmul accumulation stay float32.
 
-Shapes: acts [D, T, B, 4H] float32 in NATURAL time order for both
-directions (bias already added), w_rec [D, H, 4H] (float32 or bfloat16 for
-MXU-native fast math), peep [D, 3, H], lengths [B] int32. Returns h
-[D, T, B, H] in natural time order. Requires H % 128 == 0, B % 8 == 0 and
-T % chunk == 0 — callers pad (zero-padding cells, batch rows and trailing
-timesteps is numerically exact: padded slots produce exactly 0 and receive
-exactly 0 gradient).
+Shapes: x [T, B, P] in NATURAL time order, w_in [D, P, 4H], w_rec
+[D, H, 4H], peep [D, 3, H], bias [D, 4H], lengths [B] int32. Returns h
+[D, T, B, H] (compute dtype) in natural time order. Requires H % 128 == 0,
+P % 128 == 0, B % 8 == 0 (float32) or B % 16 == 0 (bfloat16) and
+T % chunk == 0 — callers pad (zero-padding cells, batch rows, input
+features and trailing timesteps is numerically exact: padded slots produce
+exactly 0 and receive exactly 0 gradient).
 """
 
 from __future__ import annotations
@@ -50,7 +60,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from lstm_rnn_tpu.ops.activations import logistic, tanh2
 
-DEFAULT_CHUNK = 8
+DEFAULT_CHUNK = 16
 
 
 def round_up(x: int, m: int) -> int:
@@ -81,6 +91,11 @@ def _dir_index(NC: int, reverse_scan: bool):
     return lambda d, k: (d, _chunk_of(d, k, NC, reverse_scan), 0, 0)
 
 
+def _x_index(NC: int, reverse_scan: bool):
+    """x [T, B, P] has no direction axis; both directions read each chunk."""
+    return lambda d, k: (_chunk_of(d, k, NC, reverse_scan), 0, 0)
+
+
 def _nb_index(NC: int):
     """BPTT: chunk holding direction d's forward-scan-previous neighbor —
     chunk-1 for d=0 (its scan ascends), chunk+1 for d=1 (clamped)."""
@@ -95,9 +110,9 @@ def _valid(lengths_ref, t):
     return (lengths_ref[:, 0:1] > t).astype(jnp.float32)
 
 
-def _fwd_kernel(lengths_ref, acts_ref, w_rec_ref, peep_ref, bias_ref,
-                h_out_ref, c_out_ref, g_out_ref, h_scr, c_scr,
-                *, T, CH, NC, bias_mult):
+def _fwd_kernel(lengths_ref, x_ref, w_in_ref, w_rec_ref, peep_ref, bias_ref,
+                h_out_ref, c_out_ref, g_out_ref, cb_out_ref, hb_out_ref,
+                h_scr, c_scr, *, T, CH, NC, bias_mult, precision):
     """One direction's chunk per program. Blocks arrive pre-indexed (leading
     dim 1); the inner loop order and the mask time are direction-dependent."""
     d = pl.program_id(0)
@@ -108,24 +123,32 @@ def _fwd_kernel(lengths_ref, acts_ref, w_rec_ref, peep_ref, bias_ref,
         h_scr[...] = jnp.zeros_like(h_scr)
         c_scr[...] = jnp.zeros_like(c_scr)
 
-    H = h_scr.shape[-1]
+    B, H = h_scr.shape
     chunk = _chunk_of(d, k, NC, False)
     w = w_rec_ref[0]
+    sdtype = g_out_ref.dtype
     p_ig = peep_ref[0, 0:1, :]
     p_fg = peep_ref[0, 1:2, :]
     p_og = peep_ref[0, 2:3, :]
-    # bias folded into the kernel (saves a [D,T,B,4H]-sized fused add);
-    # bias_ref carries the full [D, 4H] block (Mosaic requires the
-    # second-to-last block dim to be full or 8-divisible)
-    bb = bias_ref[pl.ds(d, 1), :] * bias_mult
+
+    # the whole chunk's input projections in one MXU matmul; bias folded in
+    # ((CH, B, P) -> (CH*B, P) merges tile-aligned leading dims: free)
+    P = x_ref.shape[-1]
+    a_all = jax.lax.dot_general(
+        x_ref[...].reshape(CH * B, P), w_in_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+    a_all = a_all + bias_ref[pl.ds(d, 1), :] * bias_mult
 
     def run(js):
         h = h_scr[...]
         c = c_scr[...]
         for j in js:
             t = chunk * CH + j
-            a = acts_ref[0, j] + bb + jnp.dot(h.astype(w.dtype), w,
-                                              preferred_element_type=jnp.float32)
+            a = a_all[j * B:(j + 1) * B] + jax.lax.dot_general(
+                h.astype(w.dtype), w,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
             ni = tanh2(a[:, 0 * H:1 * H])
             ig = logistic(a[:, 1 * H:2 * H] + c * p_ig)
             fg = logistic(a[:, 2 * H:3 * H] + c * p_fg)
@@ -136,11 +159,16 @@ def _fwd_kernel(lengths_ref, acts_ref, w_rec_ref, peep_ref, bias_ref,
             m = _valid(lengths_ref, t)
             h = h_new * m
             c = c_new * m
-            h_out_ref[0, j] = h
+            h_out_ref[0, j] = h.astype(sdtype)
             c_out_ref[0, j] = c
-            g_out_ref[0, j] = jnp.concatenate([ni, ig, fg, og], axis=-1)
+            g_out_ref[0, j] = jnp.concatenate(
+                [ni, ig, fg, og], axis=-1).astype(sdtype)
         h_scr[...] = h
         c_scr[...] = c
+        # the chunk's scan-final cell state / output (cross-chunk c_prev and
+        # h_prev for the backward pass's in-kernel weight-gradient matmuls)
+        cb_out_ref[0, 0] = c
+        hb_out_ref[0, 0] = h.astype(sdtype)
 
     @pl.when(d == 0)
     def _():
@@ -151,10 +179,19 @@ def _fwd_kernel(lengths_ref, acts_ref, w_rec_ref, peep_ref, bias_ref,
         run(range(CH - 1, -1, -1))
 
 
-def _bwd_kernel(lengths_ref, dh_ref, g_ref, c_ref, c_nb_ref,
-                w_rec_ref, peep_ref, da_ref,
-                da_scr, cse_scr, fg_scr, *, T, CH, NC, clip):
-    """BPTT over saved gates, walking each direction's scan in reverse."""
+def _bwd_kernel(lengths_ref, x_ref, dh_ref, g_ref, c_ref, cb_ref,
+                h_ref, hb_ref, w_rec_ref, peep_ref,
+                da_ref, dwin_ref, dwrec_ref, dpeep_ref, dbias_ref,
+                da_scr, cse_scr, fg_scr, *, T, CH, NC, clip, precision):
+    """BPTT over saved gates, walking each direction's scan in reverse.
+
+    The cross-chunk c_prev / h_prev come from the forward pass's boundary
+    outputs, so c and h are streamed exactly once. The weight gradients
+    (ComputeWeightUpdateFn, LstmLayer.cu:289-512) accumulate IN-KERNEL into
+    revisited per-direction output blocks — one [P, CH*B] x [CH*B, 4H] MXU
+    matmul per chunk for dW_in, one for dW_rec, VPU row-reductions for
+    dpeep/dbias — so the delta tensor is not re-read from HBM three times
+    by outside einsums."""
     d = pl.program_id(0)
     k = pl.program_id(1)
 
@@ -163,10 +200,15 @@ def _bwd_kernel(lengths_ref, dh_ref, g_ref, c_ref, c_nb_ref,
         da_scr[...] = jnp.zeros_like(da_scr)
         cse_scr[...] = jnp.zeros_like(cse_scr)
         fg_scr[...] = jnp.zeros_like(fg_scr)
+        dwin_ref[...] = jnp.zeros_like(dwin_ref)
+        dwrec_ref[...] = jnp.zeros_like(dwrec_ref)
+        dpeep_ref[...] = jnp.zeros_like(dpeep_ref)
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
 
-    H = cse_scr.shape[-1]
+    B, H = cse_scr.shape
     chunk = _chunk_of(d, k, NC, True)
     w = w_rec_ref[0]
+    sdtype = da_ref.dtype
     p_ig = peep_ref[0, 0:1, :]
     p_fg = peep_ref[0, 1:2, :]
     p_og = peep_ref[0, 2:3, :]
@@ -175,6 +217,8 @@ def _bwd_kernel(lengths_ref, dh_ref, g_ref, c_ref, c_nb_ref,
         da_next = da_scr[...]
         cse_next = cse_scr[...]
         fg_next = fg_scr[...]
+        da_rows = [None] * CH
+        cprev_rows = [None] * CH
         for j in js:
             t = chunk * CH + j
             m = _valid(lengths_ref, t)
@@ -182,20 +226,22 @@ def _bwd_kernel(lengths_ref, dh_ref, g_ref, c_ref, c_nb_ref,
             if ascending_scan:
                 has_prev = (t > 0).astype(jnp.float32)
                 c_prev = (c_ref[0, j - 1] if j > 0
-                          else c_nb_ref[0, CH - 1] * has_prev)
+                          else cb_ref[0, 0] * has_prev)
             else:
                 has_prev = (t < T - 1).astype(jnp.float32)
                 c_prev = (c_ref[0, j + 1] if j < CH - 1
-                          else c_nb_ref[0, 0] * has_prev)
+                          else cb_ref[0, 0] * has_prev)
             c = c_ref[0, j]
-            gg = g_ref[0, j]
+            gg = g_ref[0, j].astype(jnp.float32)
             ni = gg[:, 0 * H:1 * H]
             ig = gg[:, 1 * H:2 * H]
             fg = gg[:, 2 * H:3 * H]
             og = gg[:, 3 * H:4 * H]
 
-            e = dh_ref[0, j] + jnp.dot(da_next.astype(w.dtype), w.T,
-                                       preferred_element_type=jnp.float32)
+            e = dh_ref[0, j].astype(jnp.float32) + jax.lax.dot_general(
+                da_next.astype(w.dtype), w,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
 
             tanh_c = tanh2(c)
             og_delta = og * (1.0 - og) * tanh_c * e
@@ -223,10 +269,41 @@ def _bwd_kernel(lengths_ref, dh_ref, g_ref, c_ref, c_nb_ref,
             da_next = da
             cse_next = cs_err * m
             fg_next = fg * m
-            da_ref[0, j] = da
+            da_rows[j] = da
+            cprev_rows[j] = c_prev * has_prev
+            da_ref[0, j] = da.astype(sdtype)
         da_scr[...] = da_next
         cse_scr[...] = cse_next
         fg_scr[...] = fg_next
+
+        # ---- chunk-level weight-gradient accumulation (all rows masked) ----
+        da_all = jnp.concatenate([r[None] for r in da_rows], axis=0)
+        da_flat = da_all.reshape(CH * B, 4 * H)
+        P = x_ref.shape[-1]
+        dwin_ref[0] += jax.lax.dot_general(
+            x_ref[...].reshape(CH * B, P), da_flat.astype(x_ref.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        # scan-previous h rows: shift within the chunk, boundary row from
+        # the neighbor chunk's scan-final output (zero at the sequence edge)
+        hh = h_ref[0]
+        if ascending_scan:
+            hb = hb_ref[0, 0] * (chunk > 0).astype(jnp.float32)
+            h_prev = jnp.concatenate([hb[None], hh[:CH - 1].astype(jnp.float32)], axis=0)
+        else:
+            hb = hb_ref[0, 0] * (chunk < NC - 1).astype(jnp.float32)
+            h_prev = jnp.concatenate([hh[1:].astype(jnp.float32), hb[None]], axis=0)
+        dwrec_ref[0] += jax.lax.dot_general(
+            h_prev.reshape(CH * B, H).astype(w.dtype), da_flat.astype(w.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        cprev_all = jnp.concatenate([r[None] for r in cprev_rows], axis=0)
+        cprev_flat = cprev_all.reshape(CH * B, H)
+        c_flat = c_ref[0].reshape(CH * B, H)
+        dpeep_ref[0, 0] += jnp.sum(cprev_flat * da_flat[:, 1 * H:2 * H], axis=0)
+        dpeep_ref[0, 1] += jnp.sum(cprev_flat * da_flat[:, 2 * H:3 * H], axis=0)
+        dpeep_ref[0, 2] += jnp.sum(c_flat * da_flat[:, 3 * H:4 * H], axis=0)
+        dbias_ref[0, 0, :] += jnp.sum(da_flat, axis=0)
 
     # d=0's scan ascends time -> BPTT walks the chunk descending; d=1's scan
     # descends -> BPTT ascends
@@ -239,28 +316,54 @@ def _bwd_kernel(lengths_ref, dh_ref, g_ref, c_ref, c_nb_ref,
         run(range(CH), False)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def lstm_scan_fused(acts, w_rec, peep, bias, lengths, bias_mult: float = 1.0,
-                    clip: bool = True, interpret: bool = False):
-    """Fused LSTM scan. acts [D,T,B,4H] natural order (WITHOUT bias; the
-    kernel adds bias_mult*bias), bias [D,4H] -> h [D,T,B,H]."""
-    h, _, _ = _fwd_impl(acts, w_rec, peep, bias, lengths, bias_mult, interpret)
+def _storage(compute_dtype):
+    return (jnp.dtype(jnp.bfloat16)
+            if jnp.dtype(compute_dtype) == jnp.dtype(jnp.bfloat16)
+            else jnp.dtype(jnp.float32))
+
+
+def _precision_of(compute_dtype):
+    return (jax.lax.Precision.DEFAULT
+            if jnp.dtype(compute_dtype) == jnp.dtype(jnp.bfloat16)
+            else jax.lax.Precision.HIGHEST)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def lstm_scan_fused(x, w_in, w_rec, peep, bias, lengths,
+                    bias_mult: float = 1.0, clip: bool = True,
+                    interpret: bool = False, compute_dtype=jnp.float32):
+    """Fused LSTM scan with in-kernel input projection.
+
+    x [T,B,P] natural order, w_in [D,P,4H], bias [D,4H] (the kernel adds
+    bias_mult*bias) -> h [D,T,B,H] in the storage dtype (bf16 in bf16 mode).
+    """
+    h, *_ = _fwd_impl(x, w_in, w_rec, peep, bias, lengths, bias_mult,
+                      interpret, compute_dtype)
     return h
 
 
-def _fwd_impl(acts, w_rec, peep, bias, lengths, bias_mult, interpret):
-    D, T, B, H4 = acts.shape
+def _fwd_impl(x, w_in, w_rec, peep, bias, lengths, bias_mult, interpret,
+              compute_dtype):
+    T, B, P = x.shape
+    D, _, H4 = w_in.shape
     H = H4 // 4
     CH = _pick_chunk(T)
     NC = T // CH
+    sdtype = _storage(compute_dtype)
+    prec = _precision_of(compute_dtype)
     lengths_2d = jnp.broadcast_to(lengths.astype(jnp.int32)[:, None], (B, 128))
+
+    xs = x.astype(compute_dtype)
+    w_in_c = w_in.astype(compute_dtype)
+    w_rec_c = w_rec.astype(compute_dtype)
 
     idx = _dir_index(NC, False)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0, grid=(D, NC),
         in_specs=[
             _block((B, 128), lambda d, k: (0, 0)),
-            _block((1, CH, B, H4), idx),
+            _block((CH, B, P), _x_index(NC, False)),
+            _block((1, P, H4), lambda d, k: (d, 0, 0)),
             _block((1, H, H4), lambda d, k: (d, 0, 0)),
             _block((1, 3, H), lambda d, k: (d, 0, 0)),
             _block((D, H4), lambda d, k: (0, 0)),
@@ -269,41 +372,56 @@ def _fwd_impl(acts, w_rec, peep, bias, lengths, bias_mult, interpret):
             _block((1, CH, B, H), idx),
             _block((1, CH, B, H), idx),
             _block((1, CH, B, H4), idx),
+            _block((1, 1, B, H), lambda d, k: (d, _chunk_of(d, k, NC, False),
+                                               0, 0)),
+            _block((1, 1, B, H), lambda d, k: (d, _chunk_of(d, k, NC, False),
+                                               0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((B, H), jnp.float32),
             pltpu.VMEM((B, H), jnp.float32),
         ],
     )
-    h, c, gates = pl.pallas_call(
-        functools.partial(_fwd_kernel, T=T, CH=CH, NC=NC, bias_mult=bias_mult),
+    h, c, gates, cb, hb = pl.pallas_call(
+        functools.partial(_fwd_kernel, T=T, CH=CH, NC=NC,
+                          bias_mult=bias_mult, precision=prec),
         grid_spec=grid_spec,
         out_shape=[
+            jax.ShapeDtypeStruct((D, T, B, H), sdtype),
             jax.ShapeDtypeStruct((D, T, B, H), jnp.float32),
-            jax.ShapeDtypeStruct((D, T, B, H), jnp.float32),
-            jax.ShapeDtypeStruct((D, T, B, H4), jnp.float32),
+            jax.ShapeDtypeStruct((D, T, B, H4), sdtype),
+            jax.ShapeDtypeStruct((D, NC, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((D, NC, B, H), sdtype),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * D * T * B * H * H4 + 14 * D * T * B * H,
-            bytes_accessed=4 * D * T * B * (2 * H4 + 2 * H),
+            flops=2 * D * T * B * (P + H) * H4 + 14 * D * T * B * H,
+            bytes_accessed=(2 * T * B * P * sdtype.itemsize
+                            + D * T * B * (2 * H4 + 2 * H) * sdtype.itemsize
+                            + 4 * D * T * B * H),
             transcendentals=4 * D * T * B * H,
         ),
-    )(lengths_2d, acts, w_rec, peep, bias)
-    return h, c, gates
+    )(lengths_2d, xs, w_in_c, w_rec_c, peep, bias)
+    return h, c, gates, cb, hb, w_in_c, w_rec_c
 
 
-def _fused_fwd(acts, w_rec, peep, bias, lengths, bias_mult, clip, interpret):
-    h, c, gates = _fwd_impl(acts, w_rec, peep, bias, lengths, bias_mult, interpret)
-    return h, (w_rec, peep, lengths, h, c, gates)
+def _fused_fwd(x, w_in, w_rec, peep, bias, lengths, bias_mult, clip,
+               interpret, compute_dtype):
+    h, c, gates, cb, hb, w_in_c, w_rec_c = _fwd_impl(
+        x, w_in, w_rec, peep, bias, lengths, bias_mult, interpret,
+        compute_dtype)
+    return h, (x, w_in_c, w_rec_c, peep, lengths, h, c, gates, cb, hb)
 
 
-def _fused_bwd(bias_mult, clip, interpret, residuals, dh):
-    w_rec, peep, lengths, h, c, gates = residuals
+def _fused_bwd(bias_mult, clip, interpret, compute_dtype, residuals, dh):
+    x, w_in_c, w_rec_c, peep, lengths, h, c, gates, cb, hb = residuals
     D, T, B, H = h.shape
     H4 = 4 * H
+    P = w_in_c.shape[1]
     CH = _pick_chunk(T)
     NC = T // CH
+    sdtype = _storage(compute_dtype)
+    prec = _precision_of(compute_dtype)
     lengths_2d = jnp.broadcast_to(lengths.astype(jnp.int32)[:, None], (B, 128))
 
     idx = _dir_index(NC, True)
@@ -311,54 +429,56 @@ def _fused_bwd(bias_mult, clip, interpret, residuals, dh):
         num_scalar_prefetch=0, grid=(D, NC),
         in_specs=[
             _block((B, 128), lambda d, k: (0, 0)),
+            _block((CH, B, P), _x_index(NC, True)),  # layer input
             _block((1, CH, B, H), idx),     # dh
             _block((1, CH, B, H4), idx),    # saved gates
             _block((1, CH, B, H), idx),     # c
-            _block((1, CH, B, H), _nb_index(NC)),  # c neighbor chunk
+            _block((1, 1, B, H), _nb_index(NC)),  # scan-prev chunk's last c
+            _block((1, CH, B, H), idx),     # h (for dW_rec's h_prev)
+            _block((1, 1, B, H), _nb_index(NC)),  # scan-prev chunk's last h
             _block((1, H, H4), lambda d, k: (d, 0, 0)),
             _block((1, 3, H), lambda d, k: (d, 0, 0)),
         ],
-        out_specs=[_block((1, CH, B, H4), idx)],
+        out_specs=[
+            _block((1, CH, B, H4), idx),
+            _block((1, P, H4), lambda d, k: (d, 0, 0)),   # dW_in accum
+            _block((1, H, H4), lambda d, k: (d, 0, 0)),   # dW_rec accum
+            _block((1, 3, H), lambda d, k: (d, 0, 0)),    # dpeep accum
+            _block((1, 1, H4), lambda d, k: (d, 0, 0)),   # dbias accum
+        ],
         scratch_shapes=[
             pltpu.VMEM((B, H4), jnp.float32),
             pltpu.VMEM((B, H), jnp.float32),
             pltpu.VMEM((B, H), jnp.float32),
         ],
     )
-    (da,) = pl.pallas_call(
-        functools.partial(_bwd_kernel, T=T, CH=CH, NC=NC, clip=clip),
+    da, dw_in, dw_rec, dpeep, dbias = pl.pallas_call(
+        functools.partial(_bwd_kernel, T=T, CH=CH, NC=NC, clip=clip,
+                          precision=prec),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((D, T, B, H4), jnp.float32)],
+        out_shape=[
+            jax.ShapeDtypeStruct((D, T, B, H4), sdtype),
+            jax.ShapeDtypeStruct((D, P, H4), jnp.float32),
+            jax.ShapeDtypeStruct((D, H, H4), jnp.float32),
+            jax.ShapeDtypeStruct((D, 3, H), jnp.float32),
+            jax.ShapeDtypeStruct((D, 1, H4), jnp.float32),
+        ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=4 * D * T * B * H * H4 + 30 * D * T * B * H,
-            bytes_accessed=4 * D * T * B * (2 * H4 + 3 * H),
+            flops=2 * D * T * B * (2 * H + P) * H4 + 30 * D * T * B * H,
+            bytes_accessed=(D * T * B * (2 * H4 + 2 * H) * sdtype.itemsize
+                            + 2 * T * B * P * sdtype.itemsize
+                            + 4 * D * T * B * H),
             transcendentals=D * T * B * H,
         ),
-    )(lengths_2d, dh, gates, c, c, w_rec, peep)
+    )(lengths_2d, x.astype(compute_dtype), dh.astype(sdtype), gates, c, cb,
+      h, hb, w_rec_c, peep)
 
-    # weight gradients as big MXU reductions over the stored deltas
-    # (ComputeWeightUpdateFn semantics). The scan-previous output/cell state
-    # is t-1 for the forward direction and t+1 for the backward one.
-    def scan_prev(x):
-        parts = [jnp.concatenate([jnp.zeros_like(x[0:1, :1]),
-                                  x[0:1, :-1]], axis=1)]
-        if x.shape[0] == 2:
-            parts.append(jnp.concatenate([x[1:2, 1:],
-                                          jnp.zeros_like(x[1:2, :1])], axis=1))
-        return jnp.concatenate(parts, axis=0)
-
-    h_prev = scan_prev(h)
-    c_prev = scan_prev(c)
-    dw_rec = jnp.einsum("dtbh,dtbg->dhg", h_prev, da,
-                        preferred_element_type=jnp.float32).astype(w_rec.dtype)
-    dpeep = jnp.stack([
-        jnp.einsum("dtbh,dtbh->dh", c_prev, da[..., 1 * H:2 * H]),
-        jnp.einsum("dtbh,dtbh->dh", c_prev, da[..., 2 * H:3 * H]),
-        jnp.einsum("dtbh,dtbh->dh", c, da[..., 3 * H:4 * H]),
-    ], axis=1)
-    dbias = bias_mult * jnp.sum(da, axis=(1, 2))
-    return da, dw_rec, dpeep, dbias, None
+    dx = jnp.einsum("dtbg,dpg->tbp", da, w_in_c,
+                    preferred_element_type=jnp.float32,
+                    precision=prec).astype(x.dtype)
+    dbias = bias_mult * dbias[:, 0, :]
+    return dx, dw_in, dw_rec, dpeep, dbias, None
 
 
 lstm_scan_fused.defvjp(_fused_fwd, _fused_bwd)

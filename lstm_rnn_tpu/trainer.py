@@ -245,13 +245,18 @@ class Trainer:
         return inputs, targets, pattypes
 
     def _b_multiple(self) -> int:
-        """Batch padding granule: lcm(8 sublanes, mesh size) so every
-        fraction — including the short last one — shards evenly."""
+        """Batch padding granule: lcm(sublane granule, mesh size) so every
+        fraction — including the short last one — shards evenly. The fused
+        kernels store bf16 streams in bf16 mode, whose TPU tile needs 16
+        batch rows (vs 8 for float32)."""
+        base = 8
+        if self.padded and self.net.compute_dtype == jnp.dtype(jnp.bfloat16):
+            base = 16
         if self.mesh is None:
-            return 8
+            return base
         import math
         n = int(self.mesh.devices.size)
-        return 8 * n // math.gcd(8, n)
+        return base * n // math.gcd(base, n)
 
     def _device_batch(self, frac: Fraction):
         """Place a fraction on device, batch axis sharded over the mesh."""

@@ -18,6 +18,26 @@ def _setup(rng, D, T, B, H, scale=1.2):
     return acts, w_rec, peep, lengths
 
 
+def _identity_w_in(D, H4):
+    """Per-direction selector so arbitrary precomputed acts can be fed
+    through the in-kernel input projection: x = [acts_0 | acts_1],
+    w_in[d] = rows selecting direction d."""
+    w_in = np.zeros((D, D * H4, H4), np.float32)
+    for d in range(D):
+        w_in[d, d * H4:(d + 1) * H4] = np.eye(H4, dtype=np.float32)
+    return jnp.asarray(w_in)
+
+
+def _fused_from_acts(acts, w_rec, peep, bias, lengths, bias_mult, clip,
+                     interpret):
+    """acts [D,T,B,4H] -> lstm_scan_fused via the identity projection."""
+    D = acts.shape[0]
+    H4 = acts.shape[-1]
+    x = jnp.concatenate([acts[d] for d in range(D)], axis=-1)
+    return lstm_scan_fused(x, _identity_w_in(D, H4), w_rec, peep, bias,
+                           lengths, bias_mult, clip, interpret)
+
+
 def _scan_reference(acts, w_rec, peep, lengths, clip=True):
     """Run the lax.scan path on the same NATURAL-order [D,T,B,4H] layout
     (the scan path needs the bw direction's acts/mask time-reversed and its
@@ -48,9 +68,9 @@ def test_forward_matches_scan(rng, D):
     acts, w_rec, peep, lengths = _setup(rng, D, T, B, H)
     y_ref = _scan_reference(acts, w_rec, peep, lengths)
     zb = jnp.zeros((acts.shape[0], acts.shape[-1]), jnp.float32)
-    y_pal = lstm_scan_fused(jnp.asarray(acts), jnp.asarray(w_rec),
-                            jnp.asarray(peep), zb, jnp.asarray(lengths),
-                            0.0, True, True)
+    y_pal = _fused_from_acts(jnp.asarray(acts), jnp.asarray(w_rec),
+                             jnp.asarray(peep), zb, jnp.asarray(lengths),
+                             0.0, True, True)
     # fp32 matmul-order differences amplified by the recurrence: ~4e-5 over
     # 12 steps at weight scale 1.2
     np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
@@ -66,7 +86,8 @@ def test_backward_matches_scan(rng, D, clip):
 
     def loss_pal(a, w, p):
         zb = jnp.zeros((a.shape[0], a.shape[-1]), jnp.float32)
-        y = lstm_scan_fused(a, w, p, zb, jnp.asarray(lengths), 0.0, clip, True)
+        y = _fused_from_acts(a, w, p, zb, jnp.asarray(lengths), 0.0, clip,
+                             True)
         return jnp.sum(y * dy)
 
     def loss_ref(a, w, p):

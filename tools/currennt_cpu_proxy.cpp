@@ -1,0 +1,283 @@
+// CURRENNT-CPU throughput proxy for the TIMIT flagship recipe.
+//
+// The reference (/root/reference) cannot be built in this image: it needs
+// boost headers, the CUDA toolkit's Thrust and nvcc, none of which are
+// installed (only a libnetcdf runtime .so exists). Its CPU mode
+// (`--cuda false`, README:125-130) runs the IDENTICAL layer code on
+// thrust::host_vector — i.e. serial element loops — with GEMMs going
+// through the hand-rolled generic functors in helpers/Matrix.cu:41-184
+// (naive column-major triple loops; cuBLAS is Gpu-only).
+//
+// This program reproduces that execution structure faithfully for one
+// training fraction of the flagship recipe (117 -> 5 x BLSTM(250) ->
+// softmax(183), parallel_sequences 50) so a real wall-clock frames/sec for
+// "CURRENNT on this machine's CPU" can be measured:
+//   - input projections: 4 GEMMs per direction per layer over all
+//     timesteps at once (LstmLayer.cu:772-786), naive triple loop;
+//   - recurrent loop over t: 4 small GEMMs + the ComputeBlockOutputFn
+//     element loop (LstmLayer.cu:47-137, 812-829);
+//   - backward loop: 4 small GEMMs + ComputeBlockErrorsFn per element
+//     (LstmLayer.cu:190-287);
+//   - weight update: ONE loop per weight over all T*parSeq patterns with a
+//     serial reduction (ComputeWeightUpdateFn, LstmLayer.cu:289-512) —
+//     the reference's second hot loop;
+//   - softmax layer fwd/bwd + preceding-layer error GEMMs.
+// Values are numerically plausible (real tanh/sigmoid math on random data)
+// but the POINT is the loop structure and memory traffic, not parity.
+//
+// Build & run:  g++ -O2 -o /tmp/currennt_cpu_proxy tools/currennt_cpu_proxy.cpp
+//               /tmp/currennt_cpu_proxy [T] [B]
+// Prints frames/sec for one fraction (linear in T: extrapolation-safe).
+
+#include <chrono>
+#include <cmath>
+#include <cstdio>
+#include <cstdlib>
+#include <vector>
+
+using real_t = float;
+using std::vector;
+
+static inline real_t logistic(real_t x) { return 1.f / (1.f + std::exp(-x)); }
+static inline real_t tanh2(real_t x) { return 2.f * logistic(2.f * x) - 1.f; }
+
+// helpers/Matrix.cu generic fallback: column-major C[m,n] = A[m,k]*B[k,n],
+// one serial loop per output element (thrust::for_each on host is serial).
+static void gemm(const real_t* a, const real_t* b, real_t* c,
+                 int m, int k, int n, bool accumulate) {
+    for (int j = 0; j < n; ++j)
+        for (int i = 0; i < m; ++i) {
+            real_t s = accumulate ? c[j * m + i] : 0.f;
+            for (int l = 0; l < k; ++l)
+                s += a[l * m + i] * b[j * k + l];
+            c[j * m + i] = s;
+        }
+}
+
+struct BlstmLayer {
+    int pls, els;          // preceding layer size, effective size (L/2)
+    int T, B;
+    // weights per direction: input 4*els*pls, internal 4*els*els, bias,
+    // peepholes (LstmLayer.hpp:36-55)
+    vector<real_t> w_in[2], w_rec[2], bias[2], peep[2];
+    // per-timestep state kept for the whole fraction
+    // (forward_backward_info_t, LstmLayer.hpp:88-114)
+    vector<real_t> acts[2][4];   // ni/ig/fg/og activations [T*B*els]
+    vector<real_t> cells[2], outputs[2], deltas[2][4], cellErr[2];
+
+    void init(int pls_, int els_, int T_, int B_) {
+        pls = pls_; els = els_; T = T_; B = B_;
+        for (int d = 0; d < 2; ++d) {
+            w_in[d].assign(4 * els * pls, 0.01f);
+            w_rec[d].assign(4 * els * els, 0.01f);
+            bias[d].assign(4 * els, 0.1f);
+            peep[d].assign(3 * els, 0.01f);
+            for (int g = 0; g < 4; ++g) {
+                acts[d][g].assign((size_t)T * B * els, 0.f);
+                deltas[d][g].assign((size_t)T * B * els, 0.f);
+            }
+            cells[d].assign((size_t)T * B * els, 0.f);
+            outputs[d].assign((size_t)T * B * els, 0.f);
+            cellErr[d].assign((size_t)T * B * els, 0.f);
+        }
+    }
+
+    void forward(const vector<real_t>& x) {
+        for (int d = 0; d < 2; ++d) {
+            // input projections: 4 big GEMMs over ALL timesteps
+            for (int g = 0; g < 4; ++g)
+                gemm(&w_in[d][ (size_t)g * els * pls], x.data(),
+                     acts[d][g].data(), els, pls, T * B, false);
+            // recurrent loop (sequential dependency)
+            for (int step = 0; step < T; ++step) {
+                int t = d == 0 ? step : T - 1 - step;
+                if (step > 0) {
+                    int tp = d == 0 ? t - 1 : t + 1;
+                    for (int g = 0; g < 4; ++g)
+                        gemm(&w_rec[d][(size_t)g * els * els],
+                             &outputs[d][(size_t)tp * B * els],
+                             &acts[d][g][(size_t)t * B * els],
+                             els, els, B, true);
+                }
+                // ComputeBlockOutputFn per element
+                for (int i = 0; i < B * els; ++i) {
+                    size_t o = (size_t)t * B * els + i;
+                    int u = i % els;
+                    real_t cprev = step == 0 ? 0.f
+                        : cells[d][(size_t)(d == 0 ? t - 1 : t + 1) * B * els + i];
+                    real_t ni = tanh2(acts[d][0][o] + bias[d][0 * els + u]);
+                    real_t ig = logistic(acts[d][1][o] + bias[d][1 * els + u]
+                                         + peep[d][0 * els + u] * cprev);
+                    real_t fg = logistic(acts[d][2][o] + bias[d][2 * els + u]
+                                         + peep[d][1 * els + u] * cprev);
+                    real_t c = ni * ig + fg * cprev;
+                    real_t og = logistic(acts[d][3][o] + bias[d][3 * els + u]
+                                         + peep[d][2 * els + u] * c);
+                    acts[d][0][o] = ni; acts[d][1][o] = ig;
+                    acts[d][2][o] = fg; acts[d][3][o] = og;
+                    cells[d][o] = c;
+                    outputs[d][o] = og * tanh2(c);
+                }
+            }
+        }
+    }
+
+    void backward(const vector<real_t>& err, vector<real_t>* prevErr,
+                  const vector<real_t>& x) {
+        for (int d = 0; d < 2; ++d) {
+            for (int step = T - 1; step >= 0; --step) {
+                int t = d == 0 ? step : T - 1 - step;
+                // recurrent error GEMMs from the next step's deltas
+                vector<real_t> rec((size_t)B * els, 0.f);
+                if (step < T - 1) {
+                    int tn = d == 0 ? t + 1 : t - 1;
+                    for (int g = 0; g < 4; ++g)
+                        gemm(&w_rec[d][(size_t)g * els * els],
+                             &deltas[d][g][(size_t)tn * B * els],
+                             rec.data(), els, els, B, true);
+                }
+                // ComputeBlockErrorsFn per element (clipped +-1 deltas)
+                for (int i = 0; i < B * els; ++i) {
+                    size_t o = (size_t)t * B * els + i;
+                    int u = i % els;
+                    real_t e = err[o % err.size()] + rec[i];
+                    real_t c = cells[d][o], tc = tanh2(c);
+                    real_t og = acts[d][3][o];
+                    real_t ogd = og * (1 - og) * tc * e;
+                    real_t cse = og * (1 - tc * tc) * e
+                        + peep[d][2 * els + u] * ogd;
+                    if (step < T - 1) {
+                        size_t on = (size_t)(d == 0 ? t + 1 : t - 1) * B * els + i;
+                        cse += acts[d][2][on] * cellErr[d][on]
+                             + peep[d][0 * els + u] * deltas[d][1][on]
+                             + peep[d][1 * els + u] * deltas[d][2][on];
+                    }
+                    real_t ni = acts[d][0][o], ig = acts[d][1][o],
+                           fg = acts[d][2][o];
+                    real_t cprev = step == 0 ? 0.f
+                        : cells[d][(size_t)(d == 0 ? t - 1 : t + 1) * B * els + i];
+                    auto clip = [](real_t v) {
+                        return v > 1.f ? 1.f : (v < -1.f ? -1.f : v); };
+                    cellErr[d][o] = cse;
+                    deltas[d][0][o] = clip(ig * (1 - ni * ni) * cse);
+                    deltas[d][1][o] = clip(ig * (1 - ig) * ni * cse);
+                    deltas[d][2][o] = clip(fg * (1 - fg) * cprev * cse);
+                    deltas[d][3][o] = clip(ogd);
+                }
+            }
+            // error to preceding layer: 4 GEMMs (LstmLayer.cu:990-1009)
+            if (prevErr)
+                for (int g = 0; g < 4; ++g)
+                    gemm(&w_in[d][(size_t)g * els * pls], deltas[d][g].data(),
+                         prevErr->data(), pls, els, T * B, true);
+        }
+    }
+
+    // ComputeWeightUpdateFn: ONE serial reduction PER WEIGHT over all
+    // T*B patterns (LstmLayer.cu:289-512) — the reference's hot loop #2.
+    double weight_update(const vector<real_t>& x) {
+        double sink = 0;
+        for (int d = 0; d < 2; ++d) {
+            for (int g = 0; g < 4; ++g)
+                for (int u = 0; u < els; ++u)
+                    for (int p = 0; p < pls; ++p) {
+                        real_t s = 0;
+                        for (size_t n = 0; n < (size_t)T * B; ++n)
+                            s += x[n * pls + p]
+                               * deltas[d][g][n * els + u];
+                        sink += s;
+                    }
+            for (int g = 0; g < 4; ++g)              // internal weights
+                for (int u = 0; u < els; ++u)
+                    for (int v = 0; v < els; ++v) {
+                        real_t s = 0;
+                        for (size_t n = 0; n < (size_t)T * B; ++n)
+                            s += outputs[d][n * els + v]
+                               * deltas[d][g][n * els + u];
+                        sink += s;
+                    }
+            for (int g = 0; g < 4; ++g)              // bias
+                for (int u = 0; u < els; ++u) {
+                    real_t s = 0;
+                    for (size_t n = 0; n < (size_t)T * B; ++n)
+                        s += deltas[d][g][n * els + u];
+                    sink += s;
+                }
+            for (int pk = 0; pk < 3; ++pk)           // peepholes
+                for (int u = 0; u < els; ++u) {
+                    real_t s = 0;
+                    for (size_t n = 0; n < (size_t)T * B; ++n)
+                        s += cells[d][n * els + u]
+                           * deltas[d][pk + 1 == 4 ? 3 : pk + 1][n * els + u];
+                    sink += s;
+                }
+        }
+        return sink;
+    }
+};
+
+int main(int argc, char** argv) {
+    int T = argc > 1 ? std::atoi(argv[1]) : 25;
+    int B = argc > 2 ? std::atoi(argv[2]) : 50;
+    const int IN = 117, ELS = 125, LAYERS = 5, OUT = 183;
+
+    vector<BlstmLayer> layers(LAYERS);
+    layers[0].init(IN, ELS, T, B);
+    for (int l = 1; l < LAYERS; ++l) layers[l].init(2 * ELS, ELS, T, B);
+    vector<real_t> sm_w((size_t)2 * ELS * OUT, 0.01f);
+
+    vector<vector<real_t>> acts(LAYERS + 1);
+    acts[0].assign((size_t)T * B * IN, 0.5f);
+    for (int l = 1; l <= LAYERS; ++l)
+        acts[l].assign((size_t)T * B * 2 * ELS, 0.f);
+    vector<real_t> sm_out((size_t)T * B * OUT, 0.f);
+    vector<real_t> sm_err((size_t)T * B * OUT, 0.1f);
+
+    auto t0 = std::chrono::steady_clock::now();
+    double sink = 0;
+    // forward
+    for (int l = 0; l < LAYERS; ++l) {
+        layers[l].forward(acts[l]);
+        // ResortOutputsFn: interleave fw|bw halves (LstmLayer.cu:869-885)
+        for (size_t n = 0; n < (size_t)T * B; ++n)
+            for (int u = 0; u < ELS; ++u) {
+                acts[l + 1][n * 2 * ELS + u] = layers[l].outputs[0][n * ELS + u];
+                acts[l + 1][n * 2 * ELS + ELS + u] = layers[l].outputs[1][n * ELS + u];
+            }
+    }
+    gemm(sm_w.data(), acts[LAYERS].data(), sm_out.data(), OUT, 2 * ELS, T * B, false);
+    for (size_t n = 0; n < (size_t)T * B; ++n) {          // softmax fwd
+        real_t mx = sm_out[n * OUT], mn = mx;
+        for (int u = 1; u < OUT; ++u) {
+            mx = std::max(mx, sm_out[n * OUT + u]);
+            mn = std::min(mn, sm_out[n * OUT + u]);
+        }
+        real_t off = 0.5f * (mx + mn), s = 0;
+        for (int u = 0; u < OUT; ++u)
+            s += (sm_out[n * OUT + u] = std::exp(sm_out[n * OUT + u] - off));
+        for (int u = 0; u < OUT; ++u) sm_out[n * OUT + u] /= s;
+    }
+    // backward: softmax Jacobian + output weight grads + prev errors
+    vector<real_t> top_err((size_t)T * B * 2 * ELS, 0.f);
+    gemm(sm_w.data(), sm_err.data(), top_err.data(), 2 * ELS, OUT, T * B, false);
+    for (int u = 0; u < OUT; ++u)
+        for (int p = 0; p < 2 * ELS; ++p) {
+            real_t s = 0;
+            for (size_t n = 0; n < (size_t)T * B; ++n)
+                s += acts[LAYERS][n * 2 * ELS + p] * sm_err[n * OUT + u];
+            sink += s;
+        }
+    for (int l = LAYERS - 1; l >= 0; --l) {
+        vector<real_t> prev(l > 0 ? acts[l].size() : 0, 0.f);
+        layers[l].backward(top_err, l > 0 ? &prev : nullptr, acts[l]);
+        sink += layers[l].weight_update(acts[l]);
+        if (l > 0) top_err.swap(prev);
+    }
+    auto t1 = std::chrono::steady_clock::now();
+    double secs = std::chrono::duration<double>(t1 - t0).count();
+    double frames = (double)T * B;
+    std::printf("{\"frames\": %.0f, \"seconds\": %.3f, "
+                "\"frames_per_sec\": %.1f, \"sink\": %g}\n",
+                frames, secs, frames / secs, sink);
+    return 0;
+}
