@@ -41,11 +41,14 @@ def _state_sequence(rng, length, n_classes, hold=8):
     return states
 
 
-def _make_classification_nc(path, rng, n_seqs, len_range, in_size, n_classes):
+def _make_classification_nc(path, rng, n_seqs, len_range, in_size, n_classes,
+                            means=None):
     lengths = rng.randint(len_range[0], len_range[1] + 1, n_seqs)
     total = int(lengths.sum())
-    # class-conditional means: low-rank so 39/117 dims stay informative
-    means = rng.randn(n_classes, in_size).astype(np.float32) * 0.8
+    # class-conditional means (shared between train/val so validation
+    # measures the same task)
+    if means is None:
+        means = rng.randn(n_classes, in_size).astype(np.float32) * 0.8
     inputs = np.empty((total, in_size), np.float32)
     classes = np.empty(total, np.int32)
     pos = 0
@@ -118,10 +121,11 @@ def main(argv=None):
 
     if "chime_recognition" in recipes:
         d = os.path.join(args.out_root, "speech_recognition_chime")
+        means = rng.randn(51, 39).astype(np.float32) * 0.8
         _make_classification_nc(os.path.join(d, "train_1_speaker.nc"),
-                                rng, args.seqs, (lo, hi), 39, 51)
+                                rng, args.seqs, (lo, hi), 39, 51, means)
         _make_classification_nc(os.path.join(d, "val_1_speaker.nc"),
-                                rng, n_val, (lo, hi), 39, 51)
+                                rng, n_val, (lo, hi), 39, 51, means)
     if "chime_autoencoding" in recipes:
         d = os.path.join(args.out_root, "speech_autoencoding_chime")
         _make_regression_nc(os.path.join(d, "train_1_speaker.nc"),
@@ -131,10 +135,11 @@ def main(argv=None):
     if "timit" in recipes:
         d = os.path.join(args.out_root, "alignments")
         os.makedirs(d, exist_ok=True)
+        means = rng.randn(183, 117).astype(np.float32) * 0.8
         _make_classification_nc(os.path.join(d, "timit_trainD117.nc"),
-                                rng, args.seqs, (lo, hi), 117, 183)
+                                rng, args.seqs, (lo, hi), 117, 183, means)
         _make_classification_nc(os.path.join(d, "timit_cvD117.nc"),
-                                rng, n_val, (lo, hi), 117, 183)
+                                rng, n_val, (lo, hi), 117, 183, means)
     return 0
 
 

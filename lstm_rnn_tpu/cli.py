@@ -154,7 +154,8 @@ def train_mode(cfg: Config) -> int:
         validate_every=cfg.validate_every, test_every=cfg.test_every,
         hybrid_online_batch=cfg.hybrid_online_batch,
         weight_noise_sigma=cfg.weight_noise_sigma, seed=cfg.random_seed,
-        fuse_fractions=cfg.fuse_fractions, mesh=mesh)
+        fuse_fractions=cfg.fuse_fractions, mesh=mesh,
+        device_cache=cfg.device_cache)
 
     info_rows = ""
     if cfg.continue_file:

@@ -124,6 +124,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--fuse_fractions", type=int, default=1,
                    help="run K same-shape stochastic updates in one jitted "
                         "scan (identical results, less dispatch overhead)")
+    g.add_argument("--device_cache", type=_str2bool, default=None,
+                   help="keep assembled fractions resident in device HBM "
+                        "across epochs (default: on for TPU); numerically "
+                        "identical — noise-augmented data is never cached")
     g.add_argument("--profile_dir", default="",
                    help="write a jax profiler trace of the first epoch here")
     return p

@@ -94,6 +94,7 @@ class SequenceRef:
     original_idx: int  # chunk index k within its source sequence
     inputs: object  # [length, input_size] float32 (array or cache ref)
     targets: object  # [length, target_size] float32 / [length] int32
+    uid: int = -1   # stable corpus-wide id (assigned after load/truncation)
 
 
 @dataclass
@@ -103,6 +104,10 @@ class Fraction:
     pattypes: np.ndarray      # [T, B] int8
     targets: np.ndarray       # [T, B, out] float32 or [T, B] int32 (classes)
     seq_info: List[dict] = field(default_factory=list)  # {tag, length, originalSeqIdx}
+    # stable identity of the member sequences when the fraction's contents
+    # are epoch-invariant (no input noise); None = not cacheable. Lets the
+    # Trainer keep assembled fractions resident in device HBM across epochs.
+    key: object = None
 
     @property
     def max_seq_length(self) -> int:
@@ -190,6 +195,8 @@ class DataSet:
             self.output_stdevs = np.ones(self.output_pattern_size, np.float32)
         if sort_by_length:
             self.sequences.sort(key=lambda s: s.length)
+        for i, s in enumerate(self.sequences):
+            s.uid = i  # stable id for fraction-level device caching
         self._buckets = (_bucket_lengths(self.max_seq_length)
                          if (bucket_lengths and self.sequences) else None)
 
@@ -273,13 +280,17 @@ class DataSet:
         return (len(self.sequences) + b - 1) // b
 
     def _shuffle(self):
+        """Per-epoch shuffling; returns the fraction start indices in
+        emission order. shuffle_fractions permutes the ORDER fractions are
+        emitted while keeping each fraction's membership fixed — including
+        the short last one (DataSet.cpp:225-248); shuffle_sequences
+        reshuffles membership itself."""
         if self.sequence_shuffling:
             self._rng.shuffle(self.sequences)
+        starts = list(range(0, len(self.sequences), self.parallel_sequences))
         if self.fraction_shuffling:
-            b = self.parallel_sequences
-            blocks = [self.sequences[i : i + b] for i in range(0, len(self.sequences), b)]
-            self._rng.shuffle(blocks)
-            self.sequences = [s for blk in blocks for s in blk]
+            self._rng.shuffle(starts)
+        return starts
 
     def _padded_length(self, max_len: int) -> int:
         ctx = self.left_context + self.right_context
@@ -302,6 +313,9 @@ class DataSet:
     def _make_fraction(self, first_idx: int) -> Fraction:
         b = self.parallel_sequences
         seqs = self.sequences[first_idx : first_idx + b]
+        # epoch-invariant identity (input noise redraws per epoch -> None)
+        key = (tuple(s.uid for s in seqs)
+               if self.noise_deviation == 0.0 else None)
         max_len = max(s.length for s in seqs)
         t_pad = self._padded_length(max_len)
         ctx_len = self.left_context + self.right_context + 1
@@ -322,7 +336,7 @@ class DataSet:
             info = [{"tag": s.tag, "length": s.length,
                      "originalSeqIdx": s.original_idx} for s in seqs]
             return Fraction(inputs=inputs, pattypes=pattypes, targets=targets,
-                            seq_info=info)
+                            seq_info=info, key=key)
 
         inputs = np.zeros((t_pad, b, in_size), np.float32)
         pattypes = np.full((t_pad, b), PATTYPE_NONE, np.int8)
@@ -369,14 +383,13 @@ class DataSet:
             info.append({"tag": seq.tag, "length": L,
                          "originalSeqIdx": seq.original_idx})
         return Fraction(inputs=inputs, pattypes=pattypes, targets=targets,
-                        seq_info=info)
+                        seq_info=info, key=key)
 
     # --------------------------------------------------------------- iteration
     def fractions(self):
         """One epoch of fractions; shuffles (if enabled) at epoch start and
         prefetches assembly on a background thread (DataSet.cpp:632-668)."""
-        self._shuffle()
-        starts = list(range(0, len(self.sequences), self.parallel_sequences))
+        starts = self._shuffle()
         if not self.prefetch:
             for s in starts:
                 yield self._make_fraction(s)

@@ -51,7 +51,9 @@ class Trainer:
                  hybrid_online_batch: bool = False,
                  weight_noise_sigma: float = 0.0,
                  seed: int = 1, mesh=None, fuse_fractions: int = 1,
-                 padded_pipeline: Optional[bool] = None):
+                 padded_pipeline: Optional[bool] = None,
+                 device_cache: Optional[bool] = None,
+                 device_cache_bytes: int = 6 * 1024**3):
         self.net = net
         self.train_set = train_set
         self.validation_set = validation_set
@@ -71,6 +73,18 @@ class Trainer:
         # transfer instead of K small ones)
         self.fuse_fractions = max(1, fuse_fractions)
         self._noise_rng = np.random.RandomState(seed & 0x7FFFFFFF)
+
+        # Device-resident fraction cache (TPU-native replacement for the
+        # reference's per-epoch disk-cache re-reads, DataSet.cpp:550-566):
+        # assembled fractions that are epoch-invariant (Fraction.key set)
+        # stay in HBM after their first transfer, so epochs 2+ stream no
+        # input data from the host at all. Bounded by device_cache_bytes.
+        if device_cache is None:
+            device_cache = jax.default_backend() == "tpu"
+        self.device_cache = device_cache
+        self._dev_cache: Dict[Any, tuple] = {}
+        self._dev_cache_budget = device_cache_bytes
+        self._dev_cache_bytes = 0
 
         # per-layer learning rates (>=0 overrides global,
         # SteepestDescentOptimizer.cu:78-80)
@@ -258,14 +272,40 @@ class Trainer:
         n = int(self.mesh.devices.size)
         return base * n // math.gcd(base, n)
 
+    def _transfer_dtype(self, inputs):
+        """In bf16 mode, cast inputs on the HOST so the device transfer
+        moves half the bytes (the first LSTM layer casts to the compute
+        dtype anyway). Matters doubly on remote-TPU tunnels."""
+        if self.padded and self.net.compute_dtype == jnp.dtype(jnp.bfloat16):
+            import ml_dtypes
+            return inputs.astype(ml_dtypes.bfloat16)
+        return inputs
+
     def _device_batch(self, frac: Fraction):
-        """Place a fraction on device, batch axis sharded over the mesh."""
+        """Place a fraction on device, batch axis sharded over the mesh;
+        epoch-invariant fractions stay cached in HBM."""
+        key = getattr(frac, "key", None)
+        if self.device_cache and key is not None:
+            hit = self._dev_cache.get(key)
+            if hit is not None:
+                return hit
         inputs, targets, pattypes = self._pad_fraction(
             frac.inputs, frac.targets, frac.pattypes, self._b_multiple())
-        if self.mesh is None:
+        inputs = self._transfer_dtype(inputs)
+        if self.mesh is not None:
+            from lstm_rnn_tpu.parallel.mesh import shard_fraction
+            triple = shard_fraction(self.mesh, inputs, targets, pattypes)
+        elif self.device_cache and key is not None:
+            triple = (jnp.asarray(inputs), jnp.asarray(targets),
+                      jnp.asarray(pattypes))
+        else:
             return inputs, targets, pattypes
-        from lstm_rnn_tpu.parallel.mesh import shard_fraction
-        return shard_fraction(self.mesh, inputs, targets, pattypes)
+        if self.device_cache and key is not None:
+            nbytes = sum(int(a.nbytes) for a in triple)
+            if self._dev_cache_bytes + nbytes <= self._dev_cache_budget:
+                self._dev_cache[key] = triple
+                self._dev_cache_bytes += nbytes
+        return triple
 
     def _process_dataset(self, ds: DataSet, update: bool):
         use_noise = update and self.weight_noise_sigma > 0
@@ -289,18 +329,29 @@ class Trainer:
             def flush():
                 if not pending:
                     return
-                if len(pending) == 1:
-                    f = pending[0]
-                    inputs, targets, pattypes = self._device_batch(f)
-                    self.params, self.velocity, err, corr = self._train_step(
-                        self.params, self.velocity, inputs, targets, pattypes)
+                if len(pending) < fuse:
+                    # partial groups run as single steps: a fused scan is
+                    # shape-specialized on K, and shuffled fraction orders
+                    # produce many distinct K values — each a fresh XLA
+                    # compile (minutes each on the flagship). Full groups +
+                    # singles bound the compile surface to 2 per shape.
+                    for f in pending:
+                        inputs, targets, pattypes = self._device_batch(f)
+                        self.params, self.velocity, err, corr = self._train_step(
+                            self.params, self.velocity, inputs, targets, pattypes)
+                        errs.append(err)
+                        corrs.append(corr)
+                    pending.clear()
+                    return
                 else:
-                    padded = [self._pad_fraction(f.inputs, f.targets,
-                                                 f.pattypes, self._b_multiple())
-                              for f in pending]
-                    xk = np.stack([p[0] for p in padded])
-                    tk = np.stack([p[1] for p in padded])
-                    pk = np.stack([p[2] for p in padded])
+                    # per-fraction device batches (cache-aware), stacked ON
+                    # DEVICE — cached fractions transfer nothing
+                    devs = [self._device_batch(f) for f in pending]
+                    stack = (jnp.stack if isinstance(devs[0][0], jax.Array)
+                             else np.stack)
+                    xk = stack([p[0] for p in devs])
+                    tk = stack([p[1] for p in devs])
+                    pk = stack([p[2] for p in devs])
                     if self.mesh is not None:
                         from lstm_rnn_tpu.parallel.mesh import shard_batch
                         xk = shard_batch(self.mesh, xk, 2)

@@ -104,3 +104,71 @@ def test_padded_pipeline_equals_exact():
         for kk, v in leafs.items():
             if kk == "W_rec":
                 assert float(np.abs(np.asarray(v)[:, 5:, :, :]).max()) == 0.0
+
+
+@requires_reference
+def test_device_cache_equals_uncached():
+    """The device-resident fraction cache must be numerically invisible:
+    2 epochs (with fraction shuffling re-ordering the cached fractions)
+    produce identical results, and epoch 2 hits the cache only."""
+    ds = DataSet([NC], parallel_sequences=6, fraction=0.2,
+                 sort_by_length=True, prefetch=False, fraction_shuffling=True,
+                 seed=7)
+    net1 = Network.from_json_file(NET)
+    t1 = Trainer(net1, ds, learning_rate=1e-4, momentum=0.9, max_epochs=2,
+                 hybrid_online_batch=True, device_cache=False)
+    while not t1.train_epoch():
+        pass
+
+    ds2 = DataSet([NC], parallel_sequences=6, fraction=0.2,
+                  sort_by_length=True, prefetch=False, fraction_shuffling=True,
+                  seed=7)
+    net2 = Network.from_json_file(NET)
+    t2 = Trainer(net2, ds2, learning_rate=1e-4, momentum=0.9, max_epochs=2,
+                 hybrid_online_batch=True, device_cache=True)
+    t2.train_epoch()
+    n_entries = len(t2._dev_cache)
+    assert n_entries > 0 and t2._dev_cache_bytes > 0
+    t2.train_epoch()
+    assert len(t2._dev_cache) == n_entries  # epoch 2: pure cache hits
+
+    assert t1.cur_training_error == pytest.approx(t2.cur_training_error,
+                                                  rel=1e-6)
+    for name in t1.params:
+        for kk in t1.params[name]:
+            np.testing.assert_allclose(
+                np.asarray(t1.params[name][kk]), np.asarray(t2.params[name][kk]),
+                rtol=1e-6, atol=1e-8, err_msg=f"{name}.{kk}")
+
+
+@requires_reference
+def test_device_cache_fused_and_noise_gate():
+    """Cache + fuse_fractions compose (device-side stacking); input-noise
+    datasets are never cached (fractions differ per epoch)."""
+    ds = DataSet([NC], parallel_sequences=6, fraction=0.2,
+                 sort_by_length=True, prefetch=False, bucket_lengths=True)
+    net1 = Network.from_json_file(NET)
+    t1 = Trainer(net1, ds, learning_rate=1e-4, momentum=0.9, max_epochs=1,
+                 hybrid_online_batch=True, device_cache=False)
+    t1.train_epoch()
+
+    net2 = Network.from_json_file(NET)
+    t2 = Trainer(net2, ds, learning_rate=1e-4, momentum=0.9, max_epochs=1,
+                 hybrid_online_batch=True, device_cache=True, fuse_fractions=2)
+    t2.train_epoch()
+    assert len(t2._dev_cache) > 0
+    assert t1.cur_training_error == pytest.approx(t2.cur_training_error,
+                                                  rel=1e-6)
+    for name in t1.params:
+        for kk in t1.params[name]:
+            np.testing.assert_allclose(
+                np.asarray(t1.params[name][kk]), np.asarray(t2.params[name][kk]),
+                rtol=1e-6, atol=1e-8, err_msg=f"{name}.{kk}")
+
+    dsn = DataSet([NC], parallel_sequences=6, fraction=0.1,
+                  sort_by_length=True, prefetch=False, noise_deviation=0.1)
+    net3 = Network.from_json_file(NET)
+    t3 = Trainer(net3, dsn, learning_rate=1e-4, momentum=0.9, max_epochs=1,
+                 hybrid_online_batch=True, device_cache=True)
+    t3.train_epoch()
+    assert len(t3._dev_cache) == 0  # noise-augmented data never cached
