@@ -144,10 +144,8 @@ def lstm_forward(params, x, pattypes, bias_mult: float, bidirectional: bool,
         ys = lstm_scan_fused(xx, w_in, w_rec.reshape(d, hp, 4 * hp),
                              peep, b, lengths, float(bias_mult),
                              clip_gradients, interp, jnp.dtype(compute_dtype))
-        ys = ys[:, :t, :bsz]
-        if bidirectional:
-            return jnp.concatenate([ys[0], ys[1]], axis=-1)  # [fw_pad|bw_pad]
-        return ys[0]
+        # kernel emits [T, B, D*Hp] = [fw_pad|bw_pad] per frame directly
+        return ys[:t, :bsz]
 
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "scan"
@@ -200,10 +198,11 @@ def lstm_forward(params, x, pattypes, bias_mult: float, bidirectional: bool,
                              float(bias_mult), clip_gradients,
                              backend == "pallas_interpret",
                              jnp.dtype(compute_dtype))
-        ys = ys[:, :t, :bsz, :hdim].astype(x.dtype)  # strip padding
+        ys = ys[:t, :bsz].astype(x.dtype)  # [T, B, D*hp]; strip padding
         if bidirectional:
-            return jnp.concatenate([ys[0], ys[1]], axis=-1)
-        return ys[0]
+            return jnp.concatenate([ys[..., :hdim], ys[..., hp:hp + hdim]],
+                                   axis=-1)
+        return ys[..., :hdim]
 
     # lax.scan path
     acts = jnp.einsum("tbp,dpgh->tdbgh", x.astype(compute_dtype),

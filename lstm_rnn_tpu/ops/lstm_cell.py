@@ -42,7 +42,8 @@ Mosaic program per direction:
 
 Shapes: x [T, B, P] in NATURAL time order, w_in [D, P, 4H], w_rec
 [D, H, 4H], peep [D, 3, H], bias [D, 4H], lengths [B] int32. Returns h
-[D, T, B, H] (compute dtype) in natural time order. Requires H % 128 == 0,
+[T, B, D*H] ([fw|bw] per frame — already the next layer's input layout, so
+no direction re-interleave ever materializes) in natural time order. Requires H % 128 == 0,
 P % 128 == 0, B % 8 == 0 (float32) or B % 16 == 0 (bfloat16) and
 T % chunk == 0 — callers pad (zero-padding cells, batch rows, input
 features and trailing timesteps is numerically exact: padded slots produce
@@ -159,7 +160,7 @@ def _fwd_kernel(lengths_ref, x_ref, w_in_ref, w_rec_ref, peep_ref, bias_ref,
             m = _valid(lengths_ref, t)
             h = h_new * m
             c = c_new * m
-            h_out_ref[0, j] = h.astype(sdtype)
+            h_out_ref[j] = h.astype(sdtype)
             c_out_ref[0, j] = c
             g_out_ref[0, j] = jnp.concatenate(
                 [ni, ig, fg, og], axis=-1).astype(sdtype)
@@ -238,7 +239,7 @@ def _bwd_kernel(lengths_ref, x_ref, dh_ref, g_ref, c_ref, cb_ref,
             fg = gg[:, 2 * H:3 * H]
             og = gg[:, 3 * H:4 * H]
 
-            e = dh_ref[0, j].astype(jnp.float32) + jax.lax.dot_general(
+            e = dh_ref[j].astype(jnp.float32) + jax.lax.dot_general(
                 da_next.astype(w.dtype), w,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision)
@@ -286,7 +287,7 @@ def _bwd_kernel(lengths_ref, x_ref, dh_ref, g_ref, c_ref, cb_ref,
             preferred_element_type=jnp.float32, precision=precision)
         # scan-previous h rows: shift within the chunk, boundary row from
         # the neighbor chunk's scan-final output (zero at the sequence edge)
-        hh = h_ref[0]
+        hh = h_ref[...]
         if ascending_scan:
             hb = hb_ref[0, 0] * (chunk > 0).astype(jnp.float32)
             h_prev = jnp.concatenate([hb[None], hh[:CH - 1].astype(jnp.float32)], axis=0)
@@ -335,7 +336,8 @@ def lstm_scan_fused(x, w_in, w_rec, peep, bias, lengths,
     """Fused LSTM scan with in-kernel input projection.
 
     x [T,B,P] natural order, w_in [D,P,4H], bias [D,4H] (the kernel adds
-    bias_mult*bias) -> h [D,T,B,H] in the storage dtype (bf16 in bf16 mode).
+    bias_mult*bias) -> h [T,B,D*H] ([fw|bw] per frame, already in the next
+    layer's layout) in the storage dtype (bf16 in bf16 mode).
     """
     h, *_ = _fwd_impl(x, w_in, w_rec, peep, bias, lengths, bias_mult,
                       interpret, compute_dtype)
@@ -369,7 +371,10 @@ def _fwd_impl(x, w_in, w_rec, peep, bias, lengths, bias_mult, interpret,
             _block((D, H4), lambda d, k: (0, 0)),
         ],
         out_specs=[
-            _block((1, CH, B, H), idx),
+            # h written straight into the NEXT layer's [T, B, D*H] layout
+            # (block column d) — no [fw|bw] concatenation ever materializes
+            _block((CH, B, H), lambda d, k: (_chunk_of(d, k, NC, False),
+                                             0, d)),
             _block((1, CH, B, H), idx),
             _block((1, CH, B, H4), idx),
             _block((1, 1, B, H), lambda d, k: (d, _chunk_of(d, k, NC, False),
@@ -387,7 +392,7 @@ def _fwd_impl(x, w_in, w_rec, peep, bias, lengths, bias_mult, interpret,
                           bias_mult=bias_mult, precision=prec),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((D, T, B, H), sdtype),
+            jax.ShapeDtypeStruct((T, B, D * H), sdtype),
             jax.ShapeDtypeStruct((D, T, B, H), jnp.float32),
             jax.ShapeDtypeStruct((D, T, B, H4), sdtype),
             jax.ShapeDtypeStruct((D, NC, B, H), jnp.float32),
@@ -415,9 +420,9 @@ def _fused_fwd(x, w_in, w_rec, peep, bias, lengths, bias_mult, clip,
 
 def _fused_bwd(bias_mult, clip, interpret, compute_dtype, residuals, dh):
     x, w_in_c, w_rec_c, peep, lengths, h, c, gates, cb, hb = residuals
-    D, T, B, H = h.shape
-    H4 = 4 * H
-    P = w_in_c.shape[1]
+    T, B, _ = h.shape
+    D, P, H4 = w_in_c.shape
+    H = H4 // 4
     CH = _pick_chunk(T)
     NC = T // CH
     sdtype = _storage(compute_dtype)
@@ -430,11 +435,13 @@ def _fused_bwd(bias_mult, clip, interpret, compute_dtype, residuals, dh):
         in_specs=[
             _block((B, 128), lambda d, k: (0, 0)),
             _block((CH, B, P), _x_index(NC, True)),  # layer input
-            _block((1, CH, B, H), idx),     # dh
+            _block((CH, B, H), lambda d, k: (_chunk_of(d, k, NC, True),
+                                             0, d)),  # dh (direction column)
             _block((1, CH, B, H4), idx),    # saved gates
             _block((1, CH, B, H), idx),     # c
             _block((1, 1, B, H), _nb_index(NC)),  # scan-prev chunk's last c
-            _block((1, CH, B, H), idx),     # h (for dW_rec's h_prev)
+            _block((CH, B, H), lambda d, k: (_chunk_of(d, k, NC, True),
+                                             0, d)),  # h (for dW_rec)
             _block((1, 1, B, H), _nb_index(NC)),  # scan-prev chunk's last h
             _block((1, H, H4), lambda d, k: (d, 0, 0)),
             _block((1, 3, H), lambda d, k: (d, 0, 0)),

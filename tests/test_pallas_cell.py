@@ -30,12 +30,15 @@ def _identity_w_in(D, H4):
 
 def _fused_from_acts(acts, w_rec, peep, bias, lengths, bias_mult, clip,
                      interpret):
-    """acts [D,T,B,4H] -> lstm_scan_fused via the identity projection."""
+    """acts [D,T,B,4H] -> lstm_scan_fused via the identity projection;
+    re-splits the kernel's [T,B,D*H] output into [D,T,B,H] for comparison."""
     D = acts.shape[0]
     H4 = acts.shape[-1]
+    H = H4 // 4
     x = jnp.concatenate([acts[d] for d in range(D)], axis=-1)
-    return lstm_scan_fused(x, _identity_w_in(D, H4), w_rec, peep, bias,
-                           lengths, bias_mult, clip, interpret)
+    y = lstm_scan_fused(x, _identity_w_in(D, H4), w_rec, peep, bias,
+                        lengths, bias_mult, clip, interpret)
+    return jnp.stack([y[..., i * H:(i + 1) * H] for i in range(D)], axis=0)
 
 
 def _scan_reference(acts, w_rec, peep, lengths, clip=True):
