@@ -213,11 +213,23 @@ class Trainer:
                 body, (params, velocity), (inputs_k, targets_k, pattypes_k))
             return params, velocity, jnp.sum(errs), jnp.sum(corrs)
 
+        def eval_scan(params, inputs_k, targets_k, pattypes_k):
+            """K stacked same-shape fractions evaluated in one jit (no
+            carry — grouping changes nothing but dispatch count)."""
+            def body(carry, batch):
+                x, t, pt = batch
+                return carry, loss_and_metrics(params, x, t, pt)
+
+            _, (errs, corrs) = jax.lax.scan(
+                body, 0, (inputs_k, targets_k, pattypes_k))
+            return jnp.sum(errs), jnp.sum(corrs)
+
         donate = dict(donate_argnums=(0, 1))
         self._train_scan = jax.jit(train_scan, **donate)
         self._train_step = jax.jit(train_step, **donate)
         self._train_step_noisy = jax.jit(train_step_noisy, **donate)
         self._eval_step = jax.jit(eval_step)
+        self._eval_scan = jax.jit(eval_scan)
         self._accum_step = jax.jit(accum_step, donate_argnums=(1,))
         self._sgd_update = jax.jit(sgd_update, **donate)
 
@@ -320,47 +332,62 @@ class Trainer:
         errs = []
         corrs = []
 
-        # fused stochastic path: group same-shape fractions, one scan per group
-        fuse = (self.fuse_fractions if (update and self.hybrid_online_batch
-                                        and not use_noise) else 1)
+        # fused paths: group runs of same-shape fractions and run each FULL
+        # group as one jitted scan — sequential updates in stochastic mode
+        # (identical results) or carry-free evaluation. Partial groups run
+        # as single steps: a fused scan is shape-specialized on K, and
+        # shuffled fraction orders produce many distinct K values — each a
+        # fresh XLA compile (minutes each on the flagship). Full groups +
+        # singles bound the compile surface to 2 per shape.
+        fuse = (self.fuse_fractions
+                if ((update and self.hybrid_online_batch and not use_noise)
+                    or not update) else 1)
         if fuse > 1:
+
+            def stack_group(pending):
+                """Per-fraction device batches (cache-aware), stacked ON
+                DEVICE — cached fractions transfer nothing."""
+                devs = [self._device_batch(f) for f in pending]
+                stack = (jnp.stack if isinstance(devs[0][0], jax.Array)
+                         else np.stack)
+                xk = stack([p[0] for p in devs])
+                tk = stack([p[1] for p in devs])
+                pk = stack([p[2] for p in devs])
+                if self.mesh is not None:
+                    from lstm_rnn_tpu.parallel.mesh import shard_batch
+                    xk = shard_batch(self.mesh, xk, 2)
+                    tk = shard_batch(self.mesh, tk, 2)
+                    pk = shard_batch(self.mesh, pk, 2)
+                return xk, tk, pk
+
             pending = []
 
             def flush():
                 if not pending:
                     return
                 if len(pending) < fuse:
-                    # partial groups run as single steps: a fused scan is
-                    # shape-specialized on K, and shuffled fraction orders
-                    # produce many distinct K values — each a fresh XLA
-                    # compile (minutes each on the flagship). Full groups +
-                    # singles bound the compile surface to 2 per shape.
                     for f in pending:
                         inputs, targets, pattypes = self._device_batch(f)
-                        self.params, self.velocity, err, corr = self._train_step(
-                            self.params, self.velocity, inputs, targets, pattypes)
+                        if update:
+                            self.params, self.velocity, err, corr = \
+                                self._train_step(self.params, self.velocity,
+                                                 inputs, targets, pattypes)
+                        else:
+                            err, corr = self._eval_step(
+                                self.params, inputs, targets, pattypes)
                         errs.append(err)
                         corrs.append(corr)
-                    pending.clear()
-                    return
-                else:
-                    # per-fraction device batches (cache-aware), stacked ON
-                    # DEVICE — cached fractions transfer nothing
-                    devs = [self._device_batch(f) for f in pending]
-                    stack = (jnp.stack if isinstance(devs[0][0], jax.Array)
-                             else np.stack)
-                    xk = stack([p[0] for p in devs])
-                    tk = stack([p[1] for p in devs])
-                    pk = stack([p[2] for p in devs])
-                    if self.mesh is not None:
-                        from lstm_rnn_tpu.parallel.mesh import shard_batch
-                        xk = shard_batch(self.mesh, xk, 2)
-                        tk = shard_batch(self.mesh, tk, 2)
-                        pk = shard_batch(self.mesh, pk, 2)
+                elif update:
+                    xk, tk, pk = stack_group(pending)
                     self.params, self.velocity, err, corr = self._train_scan(
                         self.params, self.velocity, xk, tk, pk)
-                errs.append(err)
-                corrs.append(corr)
+                    errs.append(err)
+                    corrs.append(corr)
+                else:
+                    xk, tk, pk = stack_group(pending)
+                    err, corr = self._eval_scan(self.params, xk, tk, pk)
+                    errs.append(err)
+                    corrs.append(corr)
                 pending.clear()
 
             last_shape = None
