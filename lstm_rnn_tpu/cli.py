@@ -58,6 +58,11 @@ def _load_dataset(cfg: Config, which: str) -> Optional[DataSet]:
         noise, trunc, sort = cfg.input_noise_sigma, 0, False
     if not files:
         return None
+    # forward mode always buckets fraction lengths: with unsorted sequences
+    # every distinct max length is a fresh XLA compile (minutes each on the
+    # flagship — hours for a corpus); padding is numerically inert and
+    # get_outputs slices by true length, so bucketing never changes output
+    bucket = cfg.bucket_lengths or which == "ff"
     print(f"Loading {which} set " + " ".join(f"'{f}'" for f in files) + " ...")
     ds = DataSet(files, parallel_sequences=cfg.parallel_sequences, fraction=frac,
                  trunc_seq_length=trunc, fraction_shuffling=frac_shuf,
@@ -65,7 +70,7 @@ def _load_dataset(cfg: Config, which: str) -> Optional[DataSet]:
                  input_left_context=cfg.input_left_context,
                  input_right_context=cfg.input_right_context,
                  output_time_lag=cfg.output_time_lag, sort_by_length=sort,
-                 seed=cfg.random_seed, bucket_lengths=cfg.bucket_lengths,
+                 seed=cfg.random_seed, bucket_lengths=bucket,
                  cache_path=cfg.cache_path)
     print(f"Loaded fraction:  {int(frac*100)}%")
     print(f"Sequences:        {ds.total_sequences}")

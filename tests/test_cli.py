@@ -250,3 +250,28 @@ def test_test1_cli_golden_vs_oracle(tmp_path):
             err = np.abs(upd_cli - upd_ref).max()
             assert err < 2e-3 * scale + 5e-8, (
                 f"{name}.{kk}: max update err {err:.3e} vs scale {scale:.3e}")
+
+
+def test_forward_mode_buckets_lengths(tmp_path, rng):
+    """Forward mode always buckets fraction lengths (every distinct max
+    length is otherwise a fresh XLA compile — hours on a real corpus) and
+    bucketing must not change the written outputs."""
+    nc, net_path = _toy_setup(tmp_path, rng)
+    r = _cli("--network", net_path, "--train", "true", "--train_file", nc,
+             "--max_epochs", "1", cwd=tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    from lstm_rnn_tpu.config import parse_config
+    from lstm_rnn_tpu.cli import _load_dataset
+    cfg = parse_config(["--network", net_path, "--train", "false",
+                        "--ff_input_file", nc, "--device", "cpu"])
+    ds = _load_dataset(cfg, "ff")
+    assert ds._buckets is not None  # bucketing forced for ff mode
+
+    r = _cli("--network", str(tmp_path / "trained_network.jsn"),
+             "--train", "false", "--ff_input_file", nc,
+             "--ff_output_format", "csv", "--ff_output_file", "bucketed",
+             cwd=tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    rows = (tmp_path / "bucketed/seq0.csv").read_text().strip().split("\n")
+    assert len(rows) == 6  # true sequence length, not the padded bucket
