@@ -81,6 +81,9 @@ class _DiskCache:
             pass
 
 
+_DATASET_COUNTER = 0
+
+
 @dataclass
 class SequenceRef:
     """One (possibly truncated chunk of a) sequence in the corpus.
@@ -148,6 +151,13 @@ class DataSet:
         self.parallel_sequences = parallel_sequences
         self.fraction_shuffling = fraction_shuffling
         self.sequence_shuffling = sequence_shuffling
+        # unique token namespacing Fraction.key: the Trainer's device cache
+        # is shared across train/val/test passes, and per-DataSet uids
+        # restart at 0 — without the namespace a validation fraction would
+        # hit the TRAIN fraction cached under the same uid tuple
+        global _DATASET_COUNTER
+        _DATASET_COUNTER += 1
+        self._cache_token = _DATASET_COUNTER
         self.noise_deviation = noise_deviation
         self.left_context = input_left_context
         self.right_context = input_right_context
@@ -313,9 +323,11 @@ class DataSet:
     def _make_fraction(self, first_idx: int) -> Fraction:
         b = self.parallel_sequences
         seqs = self.sequences[first_idx : first_idx + b]
-        # epoch-invariant identity (input noise redraws per epoch -> None)
-        key = (tuple(s.uid for s in seqs)
-               if self.noise_deviation == 0.0 else None)
+        # epoch-invariant identity (input noise redraws per epoch, sequence
+        # shuffling re-partitions membership per epoch -> None, not cacheable)
+        key = None
+        if self.noise_deviation == 0.0 and not self.sequence_shuffling:
+            key = (self._cache_token,) + tuple(s.uid for s in seqs)
         max_len = max(s.length for s in seqs)
         t_pad = self._padded_length(max_len)
         ctx_len = self.left_context + self.right_context + 1

@@ -202,15 +202,22 @@ class NetCDF3File:
         for s in v.shape[1:]:
             inner *= s
         item = v.dtype.itemsize
-        if v.is_record:
-            # records interleave one slab per record variable; gather ours
+        if v.is_record and self._recsize != inner * item:
+            # records interleave one slab per record variable: one bulk read
+            # of the span, then a strided gather of our slabs (a seek+read
+            # per record would multiply corpus-streaming I/O by orders of
+            # magnitude)
             slab = inner * item
-            chunks = []
-            for r in range(start, start + count):
-                self._f.seek(v.begin + r * self._recsize)
-                chunks.append(self._f.read(slab))
-            buf = b"".join(chunks)
+            self._f.seek(v.begin + start * self._recsize)
+            span = self._f.read((count - 1) * self._recsize + slab
+                                if count else 0)
+            a = np.frombuffer(span, np.uint8)
+            rows = np.lib.stride_tricks.as_strided(
+                a, (count, slab), (self._recsize, 1)).copy()
+            buf = rows.tobytes()
         else:
+            # fixed-size variable, or the single record variable (whose
+            # records are packed contiguously: recsize == slab)
             self._f.seek(v.begin + start * inner * item)
             buf = self._f.read(count * inner * item)
         arr = np.frombuffer(buf, dtype=v.dtype).reshape((count,) + v.shape[1:])

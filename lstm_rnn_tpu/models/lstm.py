@@ -150,21 +150,15 @@ def lstm_forward(params, x, pattypes, bias_mult: float, bidirectional: bool,
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "scan"
         if backend == "pallas":
-            # VMEM guard: the backward kernel keeps W_rec + double-buffered
-            # chunked blocks resident; fall back to lax.scan when that would
-            # not fit.
-            from lstm_rnn_tpu.ops.lstm_cell import (DEFAULT_CHUNK, _storage,
+            # VMEM guard: fall back to lax.scan when the fused kernels'
+            # resident set would not fit
+            from lstm_rnn_tpu.ops.lstm_cell import (_storage, fused_fits,
                                                     round_up)
             hp = round_up(hdim, 128)
             sz = _storage(compute_dtype).itemsize
             bp = round_up(bsz, 16 if sz == 2 else 8)
             pp = round_up(x.shape[-1], 128)
-            vmem = (sz * (pp * 4 * hp + hp * 4 * hp)  # W_in + W_rec resident
-                    + 2 * DEFAULT_CHUNK * bp * (
-                        sz * (pp + hp + 2 * 4 * hp)   # x, h, gates, dA
-                        + 4 * 2 * hp)                 # c + dh(f32-equiv slack)
-                    + 4 * bp * (3 * hp + 4 * hp))     # scratch
-            if vmem > 12 * 1024 * 1024:
+            if not fused_fits(hp, pp, bp, compute_dtype):
                 backend = "scan"
 
     if backend in ("pallas", "pallas_interpret"):

@@ -218,8 +218,6 @@ def _bwd_kernel(lengths_ref, x_ref, dh_ref, g_ref, c_ref, cb_ref,
         da_next = da_scr[...]
         cse_next = cse_scr[...]
         fg_next = fg_scr[...]
-        da_rows = [None] * CH
-        cprev_rows = [None] * CH
         for j in js:
             t = chunk * CH + j
             m = _valid(lengths_ref, t)
@@ -270,41 +268,48 @@ def _bwd_kernel(lengths_ref, x_ref, dh_ref, g_ref, c_ref, cb_ref,
             da_next = da
             cse_next = cs_err * m
             fg_next = fg * m
-            da_rows[j] = da
-            cprev_rows[j] = c_prev * has_prev
             da_ref[0, j] = da.astype(sdtype)
         da_scr[...] = da_next
         cse_scr[...] = cse_next
         fg_scr[...] = fg_next
 
         # ---- chunk-level weight-gradient accumulation (all rows masked) ----
-        da_all = jnp.concatenate([r[None] for r in da_rows], axis=0)
-        da_flat = da_all.reshape(CH * B, 4 * H)
+        # the chunk's deltas are READ BACK from the just-written (still
+        # VMEM-resident) output block and the scan-previous h/c rows are
+        # rebuilt from the h/c blocks + the neighbor chunk's boundary row —
+        # keeping per-row f32 value lists alive across the unrolled loop
+        # blew Mosaic's scoped-vmem stack (observed 18.7M > 16M in f32)
+        da_flat = da_ref[0].reshape(CH * B, 4 * H)
         P = x_ref.shape[-1]
         dwin_ref[0] += jax.lax.dot_general(
             x_ref[...].reshape(CH * B, P), da_flat.astype(x_ref.dtype),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision)
-        # scan-previous h rows: shift within the chunk, boundary row from
-        # the neighbor chunk's scan-final output (zero at the sequence edge)
-        hh = h_ref[...]
-        if ascending_scan:
-            hb = hb_ref[0, 0] * (chunk > 0).astype(jnp.float32)
-            h_prev = jnp.concatenate([hb[None], hh[:CH - 1].astype(jnp.float32)], axis=0)
-        else:
-            hb = hb_ref[0, 0] * (chunk < NC - 1).astype(jnp.float32)
-            h_prev = jnp.concatenate([hh[1:].astype(jnp.float32), hb[None]], axis=0)
+
+        def scan_prev_rows(full, bound):
+            """[CH, B, H] scan-previous rows: shift within the chunk, the
+            boundary row from the neighbor chunk's scan-final output
+            (zeroed at the sequence edge)."""
+            if ascending_scan:
+                bv = bound * (chunk > 0).astype(jnp.float32)
+                return jnp.concatenate(
+                    [bv[None], full[:CH - 1].astype(jnp.float32)], axis=0)
+            bv = bound * (chunk < NC - 1).astype(jnp.float32)
+            return jnp.concatenate(
+                [full[1:].astype(jnp.float32), bv[None]], axis=0)
+
+        h_prev = scan_prev_rows(h_ref[...], hb_ref[0, 0].astype(jnp.float32))
         dwrec_ref[0] += jax.lax.dot_general(
             h_prev.reshape(CH * B, H).astype(w.dtype), da_flat.astype(w.dtype),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision)
-        cprev_all = jnp.concatenate([r[None] for r in cprev_rows], axis=0)
-        cprev_flat = cprev_all.reshape(CH * B, H)
+        cprev_flat = scan_prev_rows(c_ref[0], cb_ref[0, 0]).reshape(CH * B, H)
         c_flat = c_ref[0].reshape(CH * B, H)
-        dpeep_ref[0, 0] += jnp.sum(cprev_flat * da_flat[:, 1 * H:2 * H], axis=0)
-        dpeep_ref[0, 1] += jnp.sum(cprev_flat * da_flat[:, 2 * H:3 * H], axis=0)
-        dpeep_ref[0, 2] += jnp.sum(c_flat * da_flat[:, 3 * H:4 * H], axis=0)
-        dbias_ref[0, 0, :] += jnp.sum(da_flat, axis=0)
+        da_f32 = da_flat.astype(jnp.float32)
+        dpeep_ref[0, 0] += jnp.sum(cprev_flat * da_f32[:, 1 * H:2 * H], axis=0)
+        dpeep_ref[0, 1] += jnp.sum(cprev_flat * da_f32[:, 2 * H:3 * H], axis=0)
+        dpeep_ref[0, 2] += jnp.sum(c_flat * da_f32[:, 3 * H:4 * H], axis=0)
+        dbias_ref[0, 0, :] += jnp.sum(da_f32, axis=0)
 
     # d=0's scan ascends time -> BPTT walks the chunk descending; d=1's scan
     # descends -> BPTT ascends
@@ -321,6 +326,60 @@ def _storage(compute_dtype):
     return (jnp.dtype(jnp.bfloat16)
             if jnp.dtype(compute_dtype) == jnp.dtype(jnp.bfloat16)
             else jnp.dtype(jnp.float32))
+
+
+VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def fused_vmem_bytes(hp: int, pp: int, bp: int, compute_dtype=jnp.float32,
+                     ch: int = DEFAULT_CHUNK) -> int:
+    """Worst-case VMEM residency of the fused kernels (the backward kernel
+    dominates): double-buffered chunk streams + resident weights + the f32
+    dW accumulator blocks + scratch. Used by pick_chunk and the callers'
+    fall-back-to-scan guards — interpret-mode tests cannot catch device
+    VMEM overflows."""
+    s = _storage(compute_dtype).itemsize
+    h4 = 4 * hp
+    fwd = (2 * s * (pp * h4 + hp * h4)              # W_in + W_rec
+           + 2 * ch * bp * (s * (pp + hp + h4) + 4 * hp)  # x, h, gates, c
+           + 4 * ch * bp * h4                        # a_all f32 temp
+           + 4 * bp * 2 * hp)                        # scratch
+    bwd = (2 * s * hp * h4                           # W_rec
+           + 4 * (pp * h4 + hp * h4)                 # dW_in + dW_rec accum
+           + 2 * ch * bp * (s * (pp + 2 * hp + 2 * h4) + 4 * hp)  # streams
+           + 4 * bp * (h4 + 2 * hp))                 # scratch
+    return max(fwd, bwd)
+
+
+def pick_chunk(T: int, hp: int, pp: int, bp: int,
+               compute_dtype=jnp.float32) -> int:
+    """Largest chunk that divides T AND whose kernel residency fits the
+    VMEM budget (wide cells shrink the chunk instead of losing the fused
+    path; callers fall back to lax.scan only when even the smallest chunk
+    cannot fit — see fused_fits).
+
+    The analytic model underestimates Mosaic's scoped-vmem stack (unrolled
+    per-step liveness is scheduler-dependent), so the starting cap is
+    DEVICE-VALIDATED per storage dtype on the flagship shapes: bf16
+    CH=16 compiles and runs; f32 CH=8 was observed to overflow (17.7M >
+    16M scoped vmem), f32 caps at 4. The model then handles width scaling
+    relative to those anchors."""
+    cap = DEFAULT_CHUNK if _storage(compute_dtype).itemsize == 2 else 4
+    ch = cap
+    while T % ch:
+        ch //= 2
+    ch = max(ch, 1)
+    while ch > 1 and fused_vmem_bytes(hp, pp, bp, compute_dtype,
+                                      ch) > VMEM_BUDGET:
+        ch //= 2
+        while ch > 1 and T % ch:
+            ch //= 2
+    return max(ch, 1)
+
+
+def fused_fits(hp: int, pp: int, bp: int, compute_dtype=jnp.float32) -> bool:
+    """True when the fused kernels can run at SOME chunk size."""
+    return fused_vmem_bytes(hp, pp, bp, compute_dtype, 1) <= VMEM_BUDGET
 
 
 def _precision_of(compute_dtype):
@@ -349,7 +408,7 @@ def _fwd_impl(x, w_in, w_rec, peep, bias, lengths, bias_mult, interpret,
     T, B, P = x.shape
     D, _, H4 = w_in.shape
     H = H4 // 4
-    CH = _pick_chunk(T)
+    CH = pick_chunk(T, H, P, B, compute_dtype)
     NC = T // CH
     sdtype = _storage(compute_dtype)
     prec = _precision_of(compute_dtype)
@@ -423,7 +482,7 @@ def _fused_bwd(bias_mult, clip, interpret, compute_dtype, residuals, dh):
     T, B, _ = h.shape
     D, P, H4 = w_in_c.shape
     H = H4 // 4
-    CH = _pick_chunk(T)
+    CH = pick_chunk(T, H, P, B, compute_dtype)
     NC = T // CH
     sdtype = _storage(compute_dtype)
     prec = _precision_of(compute_dtype)

@@ -102,14 +102,21 @@ class Trainer:
                 or (net.backend == "auto" and jax.default_backend() == "tpu"))
             if padded_pipeline:
                 # VMEM guard: very wide cells would not fit the fused
-                # kernels' resident blocks; fall back to the exact layout
-                # (lstm_forward's own guard then picks lax.scan)
-                from lstm_rnn_tpu.ops.lstm_cell import round_up
-                max_h = max((s.size // (2 if s.type == "blstm" else 1)
-                             for s in net.specs if s.type in ("lstm", "blstm")),
-                            default=0)
-                if round_up(max_h, 128) > 384:
-                    padded_pipeline = False
+                # kernels' resident blocks (weights, dW accumulators and
+                # double-buffered streams); fall back to the exact layout
+                # (lstm_forward's own guard then picks lax.scan). Uses the
+                # same per-layer estimate as lstm_forward's auto path.
+                from lstm_rnn_tpu.ops.lstm_cell import fused_fits, round_up
+                bp = round_up(
+                    max(1, getattr(train_set, "parallel_sequences", 8)), 16)
+                for spec, (kind, _idx, prev_w, hp) in zip(
+                        net.specs[1:-1], net._pad_plan()):
+                    if kind != "lstm":
+                        continue
+                    if not fused_fits(hp, round_up(prev_w, 128), bp,
+                                      net.compute_dtype):
+                        padded_pipeline = False
+                        break
         self.padded = padded_pipeline
         self._pad_mask = None
         if self.padded:

@@ -172,3 +172,48 @@ def test_device_cache_fused_and_noise_gate():
                  hybrid_online_batch=True, device_cache=True)
     t3.train_epoch()
     assert len(t3._dev_cache) == 0  # noise-augmented data never cached
+
+
+def test_device_cache_keys_not_shared_across_datasets(tmp_path):
+    """Regression: Fraction keys are namespaced per DataSet — with a shared
+    Trainer cache, a validation fraction must never hit the TRAIN fraction
+    cached under the same uid tuple (this silently evaluated validation on
+    training data and corrupted best-weight tracking)."""
+    from .test_data import _write_classification_nc
+
+    tr = str(tmp_path / "tr.nc")
+    va = str(tmp_path / "va.nc")
+    _write_classification_nc(tr, [6, 5, 4, 7], in_size=3, num_labels=4, seed=1)
+    _write_classification_nc(va, [5, 6, 7, 4], in_size=3, num_labels=4, seed=99)
+    layers = [
+        {"name": "input", "type": "input", "size": 3},
+        {"name": "l1", "type": "lstm", "size": 4, "bias": 1.0},
+        {"name": "output", "type": "softmax", "size": 4, "bias": 1.0},
+        {"name": "postoutput", "type": "multiclass_classification", "size": 4},
+    ]
+    ds_tr = DataSet([tr], parallel_sequences=2, sort_by_length=True,
+                    prefetch=False)
+    ds_va = DataSet([va], parallel_sequences=2, sort_by_length=True,
+                    prefetch=False)
+
+    net1 = Network(layers)
+    net1.init_params(3)
+    t1 = Trainer(net1, ds_tr, validation_set=ds_va, learning_rate=1e-3,
+                 momentum=0.9, max_epochs=2, hybrid_online_batch=True,
+                 device_cache=False)
+    while not t1.train_epoch():
+        pass
+
+    net2 = Network(layers)
+    net2.init_params(3)
+    t2 = Trainer(net2, ds_tr, validation_set=ds_va, learning_rate=1e-3,
+                 momentum=0.9, max_epochs=2, hybrid_online_batch=True,
+                 device_cache=True)
+    while not t2.train_epoch():
+        pass
+    # train and validation fractions cached under distinct namespaces
+    assert len(t2._dev_cache) == 4
+    assert t2.cur_validation_error == pytest.approx(t1.cur_validation_error,
+                                                    rel=1e-6)
+    assert t2.cur_training_error == pytest.approx(t1.cur_training_error,
+                                                  rel=1e-6)
