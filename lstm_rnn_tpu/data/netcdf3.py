@@ -208,9 +208,13 @@ class NetCDF3File:
             # per record would multiply corpus-streaming I/O by orders of
             # magnitude)
             slab = inner * item
+            need = (count - 1) * self._recsize + slab if count else 0
             self._f.seek(v.begin + start * self._recsize)
-            span = self._f.read((count - 1) * self._recsize + slab
-                                if count else 0)
+            span = self._f.read(need)
+            if len(span) < need:  # as_strided does NOT bounds-check
+                raise ValueError(
+                    f"{self.path}: truncated record data for '{name}' "
+                    f"(needed {need} bytes, got {len(span)})")
             a = np.frombuffer(span, np.uint8)
             rows = np.lib.stride_tricks.as_strided(
                 a, (count, slab), (self._recsize, 1)).copy()

@@ -68,13 +68,6 @@ def round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _pick_chunk(T: int) -> int:
-    ch = DEFAULT_CHUNK
-    while T % ch:
-        ch //= 2
-    return max(ch, 1)
-
-
 def _block(shape, index_map):
     return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
 
@@ -328,7 +321,12 @@ def _storage(compute_dtype):
             else jnp.dtype(jnp.float32))
 
 
-VMEM_BUDGET = 12 * 1024 * 1024
+# Budgets for the analytic model, anchored at DEVICE-VALIDATED points (the
+# model underestimates Mosaic's scoped-vmem stack, f32 worse than bf16):
+# bf16 — flagship CH=16 (model 8.6M) and hp=256 CH=8 (model 10.7M) both
+# compile+run, so 12M; f32 — flagship CH=8 (model 7.4M) OVERFLOWED on
+# device (17.7M observed) while CH=4 (model 4.8M) runs, so 6M.
+VMEM_BUDGET = {2: 12 * 1024 * 1024, 4: 6 * 1024 * 1024}
 
 
 def fused_vmem_bytes(hp: int, pp: int, bp: int, compute_dtype=jnp.float32,
@@ -364,13 +362,14 @@ def pick_chunk(T: int, hp: int, pp: int, bp: int,
     CH=16 compiles and runs; f32 CH=8 was observed to overflow (17.7M >
     16M scoped vmem), f32 caps at 4. The model then handles width scaling
     relative to those anchors."""
-    cap = DEFAULT_CHUNK if _storage(compute_dtype).itemsize == 2 else 4
-    ch = cap
+    sz = _storage(compute_dtype).itemsize
+    budget = VMEM_BUDGET[sz]
+    ch = DEFAULT_CHUNK if sz == 2 else 4
     while T % ch:
         ch //= 2
     ch = max(ch, 1)
     while ch > 1 and fused_vmem_bytes(hp, pp, bp, compute_dtype,
-                                      ch) > VMEM_BUDGET:
+                                      ch) > budget:
         ch //= 2
         while ch > 1 and T % ch:
             ch //= 2
@@ -379,7 +378,8 @@ def pick_chunk(T: int, hp: int, pp: int, bp: int,
 
 def fused_fits(hp: int, pp: int, bp: int, compute_dtype=jnp.float32) -> bool:
     """True when the fused kernels can run at SOME chunk size."""
-    return fused_vmem_bytes(hp, pp, bp, compute_dtype, 1) <= VMEM_BUDGET
+    budget = VMEM_BUDGET[_storage(compute_dtype).itemsize]
+    return fused_vmem_bytes(hp, pp, bp, compute_dtype, 1) <= budget
 
 
 def _precision_of(compute_dtype):

@@ -106,9 +106,11 @@ class Trainer:
                 # double-buffered streams); fall back to the exact layout
                 # (lstm_forward's own guard then picks lax.scan). Uses the
                 # same per-layer estimate as lstm_forward's auto path.
-                from lstm_rnn_tpu.ops.lstm_cell import fused_fits, round_up
+                from lstm_rnn_tpu.ops.lstm_cell import (_storage, fused_fits,
+                                                        round_up)
+                bgran = 16 if _storage(net.compute_dtype).itemsize == 2 else 8
                 bp = round_up(
-                    max(1, getattr(train_set, "parallel_sequences", 8)), 16)
+                    max(1, getattr(train_set, "parallel_sequences", 8)), bgran)
                 for spec, (kind, _idx, prev_w, hp) in zip(
                         net.specs[1:-1], net._pad_plan()):
                     if kind != "lstm":
