@@ -5,6 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from jax.sharding import Mesh
 from lstm_rnn_tpu.data.dataset import DataSet
 from lstm_rnn_tpu.network import Network
 from lstm_rnn_tpu.parallel.mesh import make_mesh, replicate, shard_fraction
@@ -127,3 +128,44 @@ def test_graft_entry_compiles():
     y = jax.jit(fn)(*args)
     assert y.shape == (64, 8, 183)
     assert bool(jnp.isfinite(y).all())
+
+
+@pytest.mark.parametrize("bidirectional", [False, True])
+def test_tensor_parallel_lstm_matches_single_device(rng, bidirectional):
+    """Megatron-style cell sharding over a "model" mesh axis: forward and
+    all parameter gradients must equal the single-device scan path (the
+    per-step all_gather / backward reduce_scatter is the same sum)."""
+    from lstm_rnn_tpu.models.lstm import lstm_forward
+    from lstm_rnn_tpu.ops.masking import pattypes_from_lengths
+    from lstm_rnn_tpu.parallel.tensor import lstm_forward_tp, shard_lstm_params
+
+    T, B, P, L = 11, 4, 5, 32  # h = 16 (or 32 uni) divides the 8-way axis
+    d = 2 if bidirectional else 1
+    h = L // d
+    params = {
+        "W_in": jnp.asarray(rng.uniform(-1, 1, (d, P, 4, h)), jnp.float32),
+        "W_rec": jnp.asarray(rng.uniform(-1, 1, (d, h, 4, h)), jnp.float32),
+        "b": jnp.asarray(rng.uniform(-1, 1, (d, 4, h)), jnp.float32),
+        "peep": jnp.asarray(rng.uniform(-1, 1, (d, 3, h)), jnp.float32),
+    }
+    x = jnp.asarray(rng.uniform(-1, 1, (T, B, P)), jnp.float32)
+    pt = jnp.asarray(pattypes_from_lengths([11, 6, 9, 4], T, B))
+    dy = jnp.asarray(rng.uniform(-2, 2, (T, B, L)), jnp.float32)
+
+    mesh = Mesh(np.asarray(jax.devices()), ("model",))
+    p_sh = shard_lstm_params(mesh, params)
+
+    def loss_ref(p):
+        return jnp.sum(lstm_forward(p, x, pt, 1.0, bidirectional,
+                                    backend="scan") * dy)
+
+    def loss_tp(p):
+        return jnp.sum(lstm_forward_tp(p, x, pt, 1.0, bidirectional,
+                                       mesh) * dy)
+
+    (l_ref, g_ref) = jax.value_and_grad(loss_ref)(params)
+    (l_tp, g_tp) = jax.value_and_grad(jax.jit(loss_tp))(p_sh)
+    assert float(l_tp) == pytest.approx(float(l_ref), rel=1e-5)
+    for k in g_ref:
+        np.testing.assert_allclose(np.asarray(g_tp[k]), np.asarray(g_ref[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
