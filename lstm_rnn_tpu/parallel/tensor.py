@@ -46,12 +46,14 @@ def shard_lstm_params(mesh: Mesh, params, axis: str = "model"):
 
 def lstm_forward_tp(params, x, pattypes, bias_mult: float,
                     bidirectional: bool, mesh: Mesh, axis: str = "model",
-                    clip_gradients: bool = True):
+                    clip_gradients: bool = True, batch_axis=None):
     """Tensor-parallel equivalent of `lstm_forward` (lax.scan cell).
 
-    x: [T, B, P] replicated; params as in models/lstm.py with H divisible
-    by the mesh axis size. Returns [T, B, L] ([fw | bw] per frame),
-    replicated.
+    x: [T, B, P]; params as in models/lstm.py with H divisible by the mesh
+    axis size. Returns [T, B, L] ([fw | bw] per frame). On a 2-D mesh, pass
+    `batch_axis` to compose with data parallelism: B shards over that axis
+    while the cells shard over `axis` (the per-step all_gather then runs
+    only within each model group).
     """
     d = params["W_in"].shape[0]
     h = params["W_in"].shape[-1]
@@ -71,6 +73,7 @@ def lstm_forward_tp(params, x, pattypes, bias_mult: float,
     def local(w_in, w_rec, b, peep, x, mask):
         """Per-device: my h/n cells' scan; h re-assembled per step."""
         h_loc = w_in.shape[-1]
+        b_loc = x.shape[1]  # local batch (sharded when batch_axis is set)
         # acts for MY cells, all timesteps at once (natural order for d=0,
         # reversed for d=1 — same convention as the scan path)
         acts = jnp.einsum("tbp,dpgh->tdbgh", x, w_in,
@@ -98,10 +101,11 @@ def lstm_forward_tp(params, x, pattypes, bias_mult: float,
             h_new = tanh2(c_new) * og * m
             return (h_new, c_new * m), h_new
 
-        # mark the zero-init carry as device-varying over the model axis
-        # (shard_map's replication typing: the loop body's outputs vary)
-        zero = jax.lax.pcast(jnp.zeros((d, bsz, h_loc), x.dtype),
-                             axis, to="varying")
+        # mark the zero-init carry as device-varying over every axis the
+        # body's outputs vary over (shard_map's replication typing)
+        vary = (axis,) if batch_axis is None else (axis, batch_axis)
+        zero = jax.lax.pcast(jnp.zeros((d, b_loc, h_loc), x.dtype),
+                             vary, to="varying")
         init = (zero, zero)
         _, ys = jax.lax.scan(step, init, (acts, mask))
         return ys  # [T, D, B, h/n]
@@ -110,8 +114,9 @@ def lstm_forward_tp(params, x, pattypes, bias_mult: float,
     ys = shard_map(
         local, mesh=mesh,
         in_specs=(P(None, None, None, axis), P(None, None, None, axis),
-                  P(None, None, axis), P(None, None, axis), P(), P()),
-        out_specs=P(None, None, None, axis),
+                  P(None, None, axis), P(None, None, axis),
+                  P(None, batch_axis, None), P(None, None, batch_axis, None)),
+        out_specs=P(None, None, batch_axis, axis),
     )(params["W_in"], params["W_rec"], params["b"], params["peep"], x, mask)
 
     if bidirectional:

@@ -169,3 +169,32 @@ def test_tensor_parallel_lstm_matches_single_device(rng, bidirectional):
     for k in g_ref:
         np.testing.assert_allclose(np.asarray(g_tp[k]), np.asarray(g_ref[k]),
                                    rtol=1e-4, atol=1e-5, err_msg=k)
+
+
+def test_tensor_parallel_composes_with_data_parallel(rng):
+    """2-D mesh: B sharded on "data" (4) x cells sharded on "model" (2) must
+    still equal the single-device cell."""
+    from lstm_rnn_tpu.models.lstm import lstm_forward
+    from lstm_rnn_tpu.ops.masking import pattypes_from_lengths
+    from lstm_rnn_tpu.parallel.tensor import lstm_forward_tp, shard_lstm_params
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    T, B, P_in, L = 9, 8, 5, 16  # h = 8, divisible by the 2-way model axis
+    params = {
+        "W_in": jnp.asarray(rng.uniform(-1, 1, (2, P_in, 4, 8)), jnp.float32),
+        "W_rec": jnp.asarray(rng.uniform(-1, 1, (2, 8, 4, 8)), jnp.float32),
+        "b": jnp.asarray(rng.uniform(-1, 1, (2, 4, 8)), jnp.float32),
+        "peep": jnp.asarray(rng.uniform(-1, 1, (2, 3, 8)), jnp.float32),
+    }
+    x = jnp.asarray(rng.uniform(-1, 1, (T, B, P_in)), jnp.float32)
+    pt = jnp.asarray(pattypes_from_lengths([9, 4, 7, 6, 9, 3, 8, 5], T, B))
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(4, 2), ("data", "model"))
+    p_sh = shard_lstm_params(mesh, params)
+    x_sh = jax.device_put(x, NamedSharding(mesh, P(None, "data", None)))
+
+    y_tp = jax.jit(lambda p, xx: lstm_forward_tp(
+        p, xx, pt, 1.0, True, mesh, batch_axis="data"))(p_sh, x_sh)
+    y_1d = lstm_forward(params, x, pt, 1.0, True, backend="scan")
+    np.testing.assert_allclose(np.asarray(y_tp), np.asarray(y_1d),
+                               rtol=1e-5, atol=1e-6)
