@@ -17,9 +17,11 @@ import time
 import numpy as np
 
 # Estimated CURRENNT frames/sec for the TIMIT recipe on a period GPU.
-# The repo ships no numbers (BASELINE.json: published={}); this constant is
-# our recorded reference point for vs_baseline and is revisited when a real
-# CURRENNT measurement lands.
+# The repo ships no numbers (BASELINE.json: published={}). This constant is
+# now ANCHORED by a real measurement: tools/currennt_cpu_proxy.cpp
+# reproduces the reference's serial CPU execution structure and measures
+# ~110 frames/sec on this host (BASELINE.md), making 10k a generous ~90x
+# GPU-vs-serial-CPU allowance for period hardware.
 BASELINE_FPS = 10_000.0
 
 
@@ -70,7 +72,7 @@ def main():
     # steps chain through donated params; one scalar sync at the end bounds
     # the whole pipeline (matches the trainer's device-side error
     # accumulation). float(err) of the final step forces every prior step.
-    iters = 20
+    iters = 50  # ~0.33 s of device time: averages out tunnel jitter
     t0 = time.perf_counter()
     for _ in range(iters):
         params, velocity, err = step(params, velocity, x, tc, pt)
