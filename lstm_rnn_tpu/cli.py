@@ -116,6 +116,8 @@ def train_mode(cfg: Config) -> int:
     print("done.\n")
 
     train_set = _load_dataset(cfg, "train")
+    if train_set is None:
+        raise RuntimeError("no train_file given")
     val_set = _load_dataset(cfg, "val")
     test_set = _load_dataset(cfg, "test")
 
@@ -267,7 +269,16 @@ def forward_mode(cfg: Config) -> int:
         apply_fn = jax.jit(net.apply)
 
     means = stdevs = None
-    if cfg.revert_std and not ff_set.is_classification:
+    if (cfg.revert_std and not ff_set.is_classification
+            and ff_set.has_output_standardization):
+        if ff_set.output_pattern_size != net.output_size:
+            # silently broadcasting a mismatched mean/stdev vector over the
+            # outputs would corrupt every written value
+            raise RuntimeError(
+                f"revert_std: the data's target size "
+                f"({ff_set.output_pattern_size}) does not match the "
+                f"network's output size ({net.output_size}); pass "
+                "--revert_std false for dummy-target inference data")
         means, stdevs = ff_set.output_means, ff_set.output_stdevs
         print("Outputs will be scaled by mean and standard deviation specified in NC file.")
 

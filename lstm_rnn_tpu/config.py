@@ -193,10 +193,29 @@ def parse_config(argv: Optional[List[str]] = None) -> Config:
     opts_file = ns.options_file or ns.options_file_flag
     if opts_file:
         # CLI takes priority over the options file (README:110-117): parse
-        # file first, then re-apply the CLI on top.
+        # file first, then re-apply the CLI on top — with the options-file
+        # reference itself removed (for the --options_file flag form, BOTH
+        # the flag token and its value; naive value filtering left a bare
+        # '--options_file' behind and crashed argparse)
         file_argv = _read_options_file(opts_file)
         ns = parser.parse_args(file_argv)
-        ns = parser.parse_args([a for a in argv if a != opts_file], namespace=ns)
+        cli_argv = []
+        strip_positional = opts_file if ns.options_file else None
+        skip_next = False
+        for a in argv:
+            if skip_next:
+                skip_next = False
+                continue
+            if a == "--options_file":
+                skip_next = True
+                continue
+            if a.startswith("--options_file="):
+                continue
+            if strip_positional is not None and a == strip_positional:
+                strip_positional = None  # the positional form, once
+                continue
+            cli_argv.append(a)
+        ns = parser.parse_args(cli_argv, namespace=ns)
 
     if ns.continue_file:
         # --continue ignores all other flags: re-parse the configuration
@@ -214,6 +233,10 @@ def parse_config(argv: Optional[List[str]] = None) -> Config:
                      (ns.test_fraction, "test")):
         if not (0 < frac <= 1):
             raise ValueError(f"Invalid {nm} set fraction. Should be 0 < x <= 1")
+    for val, nm in ((ns.validate_every, "validate_every"),
+                    (ns.test_every, "test_every")):
+        if val < 1:
+            raise ValueError(f"Invalid {nm}: must be >= 1")
 
     # random seed auto-generation (Configuration.cpp:272-274)
     if ns.random_seed == 0:

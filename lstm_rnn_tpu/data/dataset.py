@@ -191,6 +191,7 @@ class DataSet:
         self.is_classification = False
         self.output_means: Optional[np.ndarray] = None
         self.output_stdevs: Optional[np.ndarray] = None
+        self.has_output_standardization = False
 
         first = True
         for path in ncfiles:
@@ -279,6 +280,7 @@ class DataSet:
                 if "outputMeans" in f.variables and "outputStdevs" in f.variables:
                     self.output_means = f.read("outputMeans").astype(np.float32)
                     self.output_stdevs = f.read("outputStdevs").astype(np.float32)
+                    self.has_output_standardization = True
 
     # ------------------------------------------------------------------- misc
     @property
@@ -344,7 +346,7 @@ class DataSet:
                 inputs_cat, targets_cat, offsets, lengths,
                 self.is_classification, t_pad, b, self.input_pattern_size,
                 self.output_pattern_size, self.left_context, self.right_context,
-                lag, 0.0, 0)
+                lag)
             info = [{"tag": s.tag, "length": s.length,
                      "originalSeqIdx": s.original_idx} for s in seqs]
             return Fraction(inputs=inputs, pattypes=pattypes, targets=targets,

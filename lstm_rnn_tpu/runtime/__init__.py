@@ -41,7 +41,7 @@ def load(build: bool = True) -> Optional[ctypes.CDLL]:
     c = ctypes.c_int
     lib.lrt_assemble_fraction.argtypes = [
         f32p, ctypes.c_void_p, i32p, i32p, c, c, c, c, c, c, c, c, c,
-        ctypes.c_float, ctypes.c_uint64, f32p, ctypes.c_void_p, i8p,
+        f32p, ctypes.c_void_p, i8p,
     ]
     lib.lrt_assemble_fraction.restype = None
     _lib = lib
@@ -52,8 +52,10 @@ def assemble_fraction(inputs_cat: np.ndarray, targets_cat: np.ndarray,
                       offsets: np.ndarray, lengths: np.ndarray,
                       is_classification: bool, t_pad: int, b: int,
                       f_size: int, o_size: int, left: int, right: int,
-                      lag: int, noise_sigma: float, noise_seed: int):
-    """Native fraction assembly; returns (inputs, targets, pattypes)."""
+                      lag: int):
+    """Native fraction assembly; returns (inputs, targets, pattypes).
+    Input noise is a Python-path concern (dataset.py gates native assembly
+    on noise_deviation == 0: the RNG streams differ)."""
     lib = load()
     if lib is None:
         raise RuntimeError("native runtime unavailable")
@@ -72,6 +74,6 @@ def assemble_fraction(inputs_cat: np.ndarray, targets_cat: np.ndarray,
         np.ascontiguousarray(offsets, np.int32),
         np.ascontiguousarray(lengths, np.int32),
         len(lengths), int(is_classification), t_pad, b, f_size, o_size,
-        left, right, lag, float(noise_sigma), int(noise_seed) & (2**64 - 1),
+        left, right, lag,
         out_inputs, out_targets.ctypes.data_as(ctypes.c_void_p), out_pattypes)
     return out_inputs, out_targets, out_pattypes

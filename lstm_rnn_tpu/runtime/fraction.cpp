@@ -84,14 +84,6 @@ void lrt_fill_target_patterns(const float* src, float* dst, int T, int B,
   }
 }
 
-// Gaussian input noise (DataSet.cpp:250-265). mt19937 + normal_distribution;
-// the stream differs from boost's but the distribution matches.
-void lrt_add_noise(float* data, long n, float sigma, uint64_t seed) {
-  std::mt19937 gen((uint32_t)seed);
-  std::normal_distribution<float> dist(0.0f, sigma);
-  for (long i = 0; i < n; ++i) data[i] += dist(gen);
-}
-
 // Assemble a whole fraction in one call (avoids per-sequence ctypes
 // round-trips). Sequences are given as concatenated feature/target buffers
 // with offsets.
@@ -101,9 +93,10 @@ void lrt_add_noise(float* data, long n, float sigma, uint64_t seed) {
 void lrt_assemble_fraction(
     const float* inputs_cat, const void* targets_cat, const int32_t* offsets,
     const int32_t* lengths, int n_seqs, int is_classification, int T, int B,
-    int F, int O, int left, int right, int lag, float noise_sigma,
-    uint64_t noise_seed, float* out_inputs, void* out_targets,
-    int8_t* out_pattypes) {
+    int F, int O, int left, int right, int lag, float* out_inputs,
+    void* out_targets, int8_t* out_pattypes) {
+  // NB: input noise is handled on the Python path only (dataset.py gates
+  // native assembly on noise_deviation == 0 — the RNG streams differ)
   const int ctx = left + right + 1;
   // zero-initialize
   std::memset(out_inputs, 0, sizeof(float) * (long)T * B * ctx * F);
@@ -115,20 +108,10 @@ void lrt_assemble_fraction(
     std::memset(out_targets, 0, sizeof(float) * (long)T * B * O);
   }
 
-  std::mt19937 gen((uint32_t)noise_seed);
-  std::normal_distribution<float> dist(0.0f, noise_sigma);
-
   for (int i = 0; i < n_seqs; ++i) {
     const int len = lengths[i];
     const float* src = inputs_cat + (long)offsets[i] * F;
-    float* noisy = nullptr;
-    if (noise_sigma > 0.0f) {
-      noisy = new float[(long)len * F];
-      for (long k = 0; k < (long)len * F; ++k) noisy[k] = src[k] + dist(gen);
-      src = noisy;
-    }
     lrt_splice_inputs(src, out_inputs, T, B, i, len, F, left, right);
-    delete[] noisy;
     if (is_classification) {
       lrt_fill_target_classes((const int32_t*)targets_cat + offsets[i],
                               (int32_t*)out_targets, T, B, i, len, lag);

@@ -36,14 +36,14 @@ from lstm_rnn_tpu.data.netcdf3 import strings_to_chars, write_netcdf
 
 def read_htk(path: str, header_only: bool = False):
     """Big-endian HTK file: {nSamples u32, samplePeriod u32, sampleSize u16,
-    parmKind u16} + float32 frames (htk2nc.cpp:93-153)."""
-    with open(path, "rb") as f:
-        n, period, ssize, kind = struct.unpack(">IIHH", f.read(12))
-        comps = ssize // 4
-        if header_only:
-            return n, comps, period, kind
-        data = np.frombuffer(f.read(n * ssize), dtype=">f4").reshape(n, comps)
-    return data.astype(np.float32), period, kind
+    parmKind u16} + float32 frames (htk2nc.cpp:93-153). The payload reader
+    is shared with writers.read_htk (one HTK parser in the codebase)."""
+    if header_only:
+        with open(path, "rb") as f:
+            n, period, ssize, kind = struct.unpack(">IIHH", f.read(12))
+        return n, ssize // 4, period, kind
+    from lstm_rnn_tpu.writers import read_htk as _full
+    return _full(path)
 
 
 def read_label_lines(path: str) -> List[str]:
@@ -92,11 +92,10 @@ def main(argv=None) -> int:
             files = tokens[1:]
             n_local = int(files[0])
             files = files[1:]
-            if not (0 < n_local < len(files) + 1) or n_local >= len(files):
-                if n_local <= 0 or n_local >= len(files):
-                    print("Number of input HTK files (2nd column) is out of range!",
-                          file=sys.stderr)
-                    return 1
+            if n_local <= 0 or n_local >= len(files):
+                print("Number of input HTK files (2nd column) is out of range!",
+                      file=sys.stderr)
+                return 1
             first = n_inputs is None
             if first:
                 n_inputs = n_local
@@ -137,6 +136,7 @@ def main(argv=None) -> int:
                     elif vect_sizes[fidx] != comps:
                         print(f"Vector size mismatch: {comps} vs. {vect_sizes[fidx]}",
                               file=sys.stderr)
+                        return 1
                     this_len = n
                 if fidx > 0 and this_len != seq_len:
                     print(f"WARNING: sequence length mismatch in files: "

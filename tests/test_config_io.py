@@ -102,3 +102,22 @@ def test_single_csv_lag(tmp_path):
     # lag=1: frame i reads i+1; last frame repeats
     got = np.array([float(v) for v in vals[1:]]).reshape(4, 2)
     np.testing.assert_array_equal(got, np.array([[2, 3], [4, 5], [6, 7], [6, 7]]))
+
+
+def test_options_file_flag_form(tmp_path):
+    """Both CURRENNT spellings work: positional `currennt opts.cfg` AND
+    `--options_file opts.cfg` (regression: the flag form crashed argparse
+    when re-applying the CLI on top of the file), with CLI priority."""
+    from lstm_rnn_tpu.config import parse_config
+
+    cfg_path = tmp_path / "o.cfg"
+    cfg_path.write_text("learning_rate = 1e-3\nmax_epochs = 7\n")
+
+    c1 = parse_config([str(cfg_path), "--max_epochs", "9"])
+    assert c1.learning_rate == 1e-3 and c1.max_epochs == 9
+
+    c2 = parse_config(["--options_file", str(cfg_path), "--max_epochs", "9"])
+    assert c2.learning_rate == 1e-3 and c2.max_epochs == 9
+
+    c3 = parse_config([f"--options_file={cfg_path}"])
+    assert c3.learning_rate == 1e-3 and c3.max_epochs == 7
