@@ -27,6 +27,13 @@ from lstm_rnn_tpu import writers
 
 def _select_device(cfg: Config):
     import jax
+    if cfg.compilation_cache_dir:
+        # persistent XLA executable cache: repeat runs (same shapes) skip
+        # the first-epoch compiles entirely
+        os.makedirs(cfg.compilation_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir",
+                          cfg.compilation_cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     if cfg.device == "cpu" or (cfg.device == "auto" and not cfg.cuda):
         jax.config.update("jax_platforms", "cpu")
         devs = jax.devices()

@@ -128,6 +128,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="keep assembled fractions resident in device HBM "
                         "across epochs (default: on for TPU); numerically "
                         "identical — noise-augmented data is never cached")
+    g.add_argument("--compilation_cache_dir", default="",
+                   help="persistent XLA compilation cache directory: repeat "
+                        "runs skip the first-epoch compiles (minutes on the "
+                        "flagship)")
     g.add_argument("--profile_dir", default="",
                    help="write a jax profiler trace of the first epoch here")
     return p

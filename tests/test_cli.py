@@ -275,3 +275,16 @@ def test_forward_mode_buckets_lengths(tmp_path, rng):
     assert r.returncode == 0, r.stdout + r.stderr
     rows = (tmp_path / "bucketed/seq0.csv").read_text().strip().split("\n")
     assert len(rows) == 6  # true sequence length, not the padded bucket
+
+
+def test_compilation_cache_dir_flag(tmp_path, rng):
+    """--compilation_cache_dir plumbs through to jax's persistent cache
+    (warm repeat runs skip first-epoch compiles; 632s -> 90s measured on
+    the TPU flagship) and training still works."""
+    nc, net_path = _toy_setup(tmp_path, rng)
+    cache = tmp_path / "xla_cache"
+    r = _cli("--network", net_path, "--train", "true", "--train_file", nc,
+             "--max_epochs", "1", "--compilation_cache_dir", str(cache),
+             cwd=tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert cache.is_dir()
