@@ -52,12 +52,17 @@ def feedforward_forward(params, x, activation: str, bias_mult: float,
 def softmax_forward(params, x, bias_mult: float, compute_dtype=jnp.float32):
     """Feedforward-identity + CURRENNT softmax. x: [T, B, P] -> [T, B, L]."""
     a = feedforward_forward(params, x, "identity", bias_mult, compute_dtype)
-    # offset = 0.5*(min+max) per pattern (SoftmaxLayer.cu:74). Softmax is
-    # analytically invariant to the offset, and the reference backward pass
-    # (SoftmaxLayer.cu:317-353) is the plain softmax Jacobian, so we stop the
-    # gradient through the offset to match it exactly.
+    # offset = 0.5*(min+max) per pattern (SoftmaxLayer.cu:74); the
+    # reference's max-search STARTS at FLT_MIN (a positive number,
+    # SoftmaxLayer.cu:60), so its effective max is max(true_max, REAL_MIN) —
+    # matters when every preactivation is <= 0. Softmax is analytically
+    # invariant to the offset, and the reference backward pass
+    # (SoftmaxLayer.cu:317-353) is the plain softmax Jacobian, so we stop
+    # the gradient through the offset to match it exactly.
+    from lstm_rnn_tpu.ops.activations import REAL_MIN
     offset = jax.lax.stop_gradient(
-        0.5 * (jnp.min(a, axis=-1, keepdims=True) + jnp.max(a, axis=-1, keepdims=True))
+        0.5 * (jnp.min(a, axis=-1, keepdims=True)
+               + jnp.maximum(jnp.max(a, axis=-1, keepdims=True), REAL_MIN))
     )
     e = safe_exp(a - offset)
     return e / jnp.sum(e, axis=-1, keepdims=True)

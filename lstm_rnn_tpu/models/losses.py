@@ -184,8 +184,11 @@ def binary_classification(y, target_classes, pattypes):
     m = (pattypes != 0).astype(y.dtype)
     t = target_classes.astype(y.dtype)
     act = jnp.maximum(y[..., 0], REAL_MIN)
+    # targetProb is NOT clamped (BinaryClassificationLayer.cu:61-63): a
+    # confidently-wrong prediction (act == 1.0, target 0) reports +inf
+    # epoch error exactly like the reference
     p = jnp.where(t > 0, act, 1.0 - act)
-    return jnp.sum(-jnp.log(jnp.maximum(p, REAL_MIN)) * m)
+    return jnp.sum(-jnp.log(p) * m)
 
 
 def _bc_fwd(y, target_classes, pattypes):

@@ -49,6 +49,34 @@ from lstm_rnn_tpu.models.feedforward import _precision
 from lstm_rnn_tpu.ops.activations import grad_clip, logistic, tanh2
 
 
+def lstm_cell_step(a, c, peep, gclip):
+    """CURRENNT cell math from complete gate preactivations a [D, B, 4, H]
+    and cell state c [D, B, H] (ComputeBlockOutputFn, LstmLayer.cu:47-138),
+    including the split og-peephole path that makes autodiff reproduce the
+    clipped/unclipped delta quirk (see the step comments below). Shared by
+    the lax.scan path and the tensor-parallel cell (parallel/tensor.py) so
+    the carefully-pinned numerics live in exactly one place. Returns
+    (h_new, c_new), unmasked."""
+    ni = tanh2(gclip(a[:, :, 0]))
+    ig = logistic(gclip(a[:, :, 1] + c * peep[:, None, 0]))
+    fg = logistic(gclip(a[:, :, 2] + c * peep[:, None, 1]))
+    c_new = ni * ig + fg * c
+    # Output-gate preactivation: the reference clips the og delta before
+    # it reaches the weight/recurrent/peephole-WEIGHT gradients, but uses
+    # the UNCLIPPED og delta for the same-timestep cell-state error term
+    # `cellStateErr += ogPeepWeight * ogDelta` (LstmLayer.cu:246-250 vs
+    # the clipped store at :284). Split the peephole path so autodiff
+    # reproduces both: the gclip'd branch carries the gradient to a_og
+    # and p_og (clipped), the residual branch carries it to c_new
+    # (unclipped).
+    p_og = peep[:, None, 2]
+    c_sg = jax.lax.stop_gradient(c_new)
+    og_pre = gclip(a[:, :, 3] + c_sg * p_og)         + (c_new - c_sg) * jax.lax.stop_gradient(p_og)
+    og = logistic(og_pre)
+    h_new = tanh2(c_new) * og
+    return h_new, c_new
+
+
 def _lstm_scan(acts, w_rec, peep, mask, clip_gradients: bool):
     """Scan both (or one) directions at once.
 
@@ -64,26 +92,8 @@ def _lstm_scan(acts, w_rec, peep, mask, clip_gradients: bool):
         a = a + jnp.einsum("dbh,dhgj->dbgj", h.astype(w_rec.dtype), w_rec,
                            preferred_element_type=h.dtype,
                            precision=_precision(w_rec.dtype))
-        ni = tanh2(gclip(a[:, :, 0]))
-        ig = logistic(gclip(a[:, :, 1] + c * peep[:, None, 0]))
-        fg = logistic(gclip(a[:, :, 2] + c * peep[:, None, 1]))
-        c_new = ni * ig + fg * c
-        # Output-gate preactivation: the reference clips the og delta before
-        # it reaches the weight/recurrent/peephole-WEIGHT gradients, but uses
-        # the UNCLIPPED og delta for the same-timestep cell-state error term
-        # `cellStateErr += ogPeepWeight * ogDelta` (LstmLayer.cu:246-250 vs
-        # the clipped store at :284). Split the peephole path so autodiff
-        # reproduces both: the gclip'd branch carries the gradient to a_og
-        # and p_og (clipped), the residual branch carries it to c_new
-        # (unclipped).
-        p_og = peep[:, None, 2]
-        c_sg = jax.lax.stop_gradient(c_new)
-        og_pre = gclip(a[:, :, 3] + c_sg * p_og) + (c_new - c_sg) * jax.lax.stop_gradient(p_og)
-        og = logistic(og_pre)
-        h_new = tanh2(c_new) * og
-        h_new = h_new * m
-        c_new = c_new * m
-        return (h_new, c_new), h_new
+        h_new, c_new = lstm_cell_step(a, c, peep, gclip)
+        return (h_new * m, c_new * m), h_new * m
 
     d, b, h = acts.shape[1], acts.shape[2], acts.shape[4]
     init = (

@@ -24,6 +24,10 @@ def make_mesh(num_devices: int = 0, axis: str = "data") -> Mesh:
     """1-D data-parallel mesh over the first `num_devices` devices (0 = all)."""
     devs = jax.devices()
     if num_devices and num_devices > 0:
+        if num_devices > len(devs):
+            raise ValueError(
+                f"num_devices={num_devices} but only {len(devs)} devices "
+                "available")
         devs = devs[:num_devices]
     return Mesh(np.asarray(devs), (axis,))
 

@@ -23,8 +23,9 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from lstm_rnn_tpu.models.lstm import _pad_axis  # noqa: F401 (re-export site)
-from lstm_rnn_tpu.ops.activations import grad_clip, logistic, tanh2
+from lstm_rnn_tpu.models.feedforward import _precision
+from lstm_rnn_tpu.models.lstm import lstm_cell_step
+from lstm_rnn_tpu.ops.activations import grad_clip
 
 
 def shard_lstm_params(mesh: Mesh, params, axis: str = "model"):
@@ -77,7 +78,8 @@ def lstm_forward_tp(params, x, pattypes, bias_mult: float,
         # acts for MY cells, all timesteps at once (natural order for d=0,
         # reversed for d=1 — same convention as the scan path)
         acts = jnp.einsum("tbp,dpgh->tdbgh", x, w_in,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=_precision(x.dtype))
         acts = acts + bias_mult * b[None, :, None]
         if bidirectional:
             acts = jnp.concatenate([acts[:, 0:1], acts[::-1, 1:2]], axis=1)
@@ -88,18 +90,13 @@ def lstm_forward_tp(params, x, pattypes, bias_mult: float,
             # the ONE collective per step: everyone needs the full previous
             # output to feed the recurrent columns it owns
             h_full = jax.lax.all_gather(h_l, axis, axis=2, tiled=True)
-            a = a + jnp.einsum("dbh,dhgj->dbgj", h_full, w_rec,
-                               preferred_element_type=jnp.float32)
-            ni = tanh2(gclip(a[:, :, 0]))
-            ig = logistic(gclip(a[:, :, 1] + c_l * peep[:, None, 0]))
-            fg = logistic(gclip(a[:, :, 2] + c_l * peep[:, None, 1]))
-            c_new = ni * ig + fg * c_l
-            p_og = peep[:, None, 2]
-            c_sg = jax.lax.stop_gradient(c_new)
-            og = logistic(gclip(a[:, :, 3] + c_sg * p_og)
-                          + (c_new - c_sg) * jax.lax.stop_gradient(p_og))
-            h_new = tanh2(c_new) * og * m
-            return (h_new, c_new * m), h_new
+            a = a + jnp.einsum("dbh,dhgj->dbgj",
+                               h_full.astype(w_rec.dtype), w_rec,
+                               preferred_element_type=jnp.float32,
+                               precision=_precision(w_rec.dtype))
+            # the pinned CURRENNT cell math lives in ONE place
+            h_new, c_new = lstm_cell_step(a, c_l, peep, gclip)
+            return (h_new * m, c_new * m), h_new * m
 
         # mark the zero-init carry as device-varying over every axis the
         # body's outputs vary over (shard_map's replication typing)

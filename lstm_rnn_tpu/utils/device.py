@@ -4,8 +4,9 @@ The preinstalled remote-TPU plugin ('axon') is a single-client tunnel: while
 another process holds it (or for a short window after one exits), backend
 initialization fails with "Unable to initialize backend 'axon'". jax
 deregisters the failed factory in-process, so retrying within the process is
-futile — `ensure_backend` retries by RE-EXECUTING the interpreter, bounded
-by LSTM_RNN_TPU_BACKEND_RETRIES (default 20, ~10s apart).
+futile — `ensure_backend` retries by RE-EXECUTING the interpreter with a
+60s/5min/10min backoff ladder (6 attempts; the internal attempt counter
+rides the LSTM_RNN_TPU_BACKEND_RETRY env var across exec boundaries).
 """
 
 from __future__ import annotations
@@ -30,7 +31,11 @@ def ensure_backend(max_retries: int = len(_BACKOFF)):
     import jax
 
     try:
-        return jax.devices()
+        devs = jax.devices()
+        # clear the cross-exec attempt counter so child processes (and a
+        # later success) start the ladder from the beginning
+        os.environ.pop(_ENV, None)
+        return devs
     except RuntimeError as e:
         attempt = int(os.environ.get(_ENV, "0"))
         if attempt >= max_retries:
@@ -48,4 +53,7 @@ def ensure_backend(max_retries: int = len(_BACKOFF)):
         # connect while re-exec'd retries fail forever). Close everything
         # above stdio before exec'ing.
         os.closerange(3, 4096)
-        os.execv(sys.executable, [sys.executable] + sys.argv)
+        # sys.orig_argv preserves `-m package.module` launches; naive
+        # [sys.executable] + sys.argv re-runs cli.py in script mode where
+        # the package is not importable
+        os.execv(sys.executable, list(sys.orig_argv))

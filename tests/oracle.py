@@ -55,7 +55,9 @@ def feedforward_backward(params, x, y, err, act, bias_mult):
 
 def softmax(params, x, bias_mult):
     a = feedforward(params, x, "identity", bias_mult)
-    off = 0.5 * (a.min(axis=-1, keepdims=True) + a.max(axis=-1, keepdims=True))
+    # the reference's max-search starts at FLT_MIN (SoftmaxLayer.cu:60)
+    mx = np.maximum(a.max(axis=-1, keepdims=True), 1.1754944e-38)
+    off = 0.5 * (a.min(axis=-1, keepdims=True) + mx)
     e = np.exp(np.clip(a - off, -1e30, EXP_LIMIT))
     return e / e.sum(axis=-1, keepdims=True)
 
