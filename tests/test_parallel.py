@@ -193,8 +193,19 @@ def test_tensor_parallel_composes_with_data_parallel(rng):
     p_sh = shard_lstm_params(mesh, params)
     x_sh = jax.device_put(x, NamedSharding(mesh, P(None, "data", None)))
 
-    y_tp = jax.jit(lambda p, xx: lstm_forward_tp(
-        p, xx, pt, 1.0, True, mesh, batch_axis="data"))(p_sh, x_sh)
-    y_1d = lstm_forward(params, x, pt, 1.0, True, backend="scan")
-    np.testing.assert_allclose(np.asarray(y_tp), np.asarray(y_1d),
-                               rtol=1e-5, atol=1e-6)
+    dy = jnp.asarray(rng.uniform(-2, 2, (T, B, L)), jnp.float32)
+
+    def loss_tp(p, xx):
+        return jnp.sum(lstm_forward_tp(p, xx, pt, 1.0, True, mesh,
+                                       batch_axis="data") * dy)
+
+    def loss_1d(p):
+        return jnp.sum(lstm_forward(p, x, pt, 1.0, True,
+                                    backend="scan") * dy)
+
+    (l_tp, g_tp) = jax.value_and_grad(jax.jit(loss_tp))(p_sh, x_sh)
+    (l_1d, g_1d) = jax.value_and_grad(loss_1d)(params)
+    assert float(l_tp) == pytest.approx(float(l_1d), rel=1e-5)
+    for k in g_1d:
+        np.testing.assert_allclose(np.asarray(g_tp[k]), np.asarray(g_1d[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
