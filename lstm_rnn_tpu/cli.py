@@ -34,15 +34,25 @@ def _select_device(cfg: Config):
         jax.config.update("jax_compilation_cache_dir",
                           cfg.compilation_cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    # multi-host wiring must run BEFORE the first backend query: it extends
+    # device discovery to every process in the job (parallel/distributed.py)
+    from lstm_rnn_tpu.parallel.distributed import maybe_initialize
     if cfg.device == "cpu" or (cfg.device == "auto" and not cfg.cuda):
         jax.config.update("jax_platforms", "cpu")
+        maybe_initialize(cfg.coordinator_address, cfg.num_processes,
+                         cfg.process_id)
         devs = jax.devices()
     else:
+        maybe_initialize(cfg.coordinator_address, cfg.num_processes,
+                         cfg.process_id)
         # accelerator init can fail transiently on single-client tunnels;
         # ensure_backend retries by re-exec'ing the process
         from lstm_rnn_tpu.utils.device import ensure_backend
         devs = ensure_backend()
-    print(f"Using device #0 ({devs[0].device_kind}), {len(devs)} available")
+    n_proc = jax.process_count()
+    host = f" on {n_proc} hosts" if n_proc > 1 else ""
+    print(f"Using device #0 ({devs[0].device_kind}), {len(devs)} "
+          f"available{host}")
     return devs
 
 
@@ -104,7 +114,14 @@ def _print_layers(net: Network):
     print(f"Total weights: {total}\n")
 
 
+def _is_coordinator() -> bool:
+    import jax
+    return jax.process_index() == 0
+
+
 def _save_autosave(cfg: Config, net: Network, trainer: Trainer, info_rows: str):
+    # the state export launches jitted computations on global arrays, so
+    # EVERY process must run it (multi-host); only process 0 writes the file
     extra = {
         "configuration": cfg.serialized_options,
         "info_rows": info_rows.replace("\n", ";;;"),
@@ -113,7 +130,45 @@ def _save_autosave(cfg: Config, net: Network, trainer: Trainer, info_rows: str):
     prefix = cfg.autosave_prefix
     name = (prefix + "_" if prefix else "") + f"epoch{trainer.cur_epoch:03d}.autosave"
     net.params = trainer.exact_params()
-    net.save(name, extra=extra)
+    if _is_coordinator():
+        net.save(name, extra=extra)
+
+
+def _auto_model_devices(net: Network, parallel_sequences: int,
+                        n_devices: int) -> int:
+    """--model_devices 0: smallest TP shard count (a divisor of the device
+    count dividing every LSTM layer's cells) that brings each cell back
+    inside the single-chip fused-kernel VMEM budget. Heuristic: the TP path
+    runs the sharded lax.scan cell, so "fits the fused kernel" is a proxy
+    for "narrow enough per chip"; returns 1 when nothing is too wide (or no
+    valid shard count exists — lstm_forward then falls back to lax.scan)."""
+    if n_devices <= 1:
+        return 1
+    import jax
+    from lstm_rnn_tpu import io_currennt as ioc
+    from lstm_rnn_tpu.ops.lstm_cell import (_storage, fused_fits, round_up)
+    if jax.default_backend() != "tpu" or net.backend == "scan":
+        return 1
+    bgran = 16 if _storage(net.compute_dtype).itemsize == 2 else 8
+    bp = round_up(max(1, parallel_sequences), bgran)
+    need = 1
+    for spec, (kind, _idx, prev_w, _hp) in zip(net.specs[1:-1],
+                                               net._pad_plan()):
+        if kind != "lstm":
+            continue
+        d = 2 if ioc.LSTM_TYPES[spec.type] else 1
+        h = spec.size // d
+        pp = round_up(prev_w, 128)
+        m = 1
+        while not fused_fits(round_up(-(-h // m), 128), pp, bp,
+                             net.compute_dtype):
+            nxt = next((k for k in range(m + 1, n_devices + 1)
+                        if n_devices % k == 0 and h % k == 0), None)
+            if nxt is None:
+                return need
+            m = nxt
+        need = max(need, m)
+    return need
 
 
 def train_mode(cfg: Config) -> int:
@@ -144,21 +199,44 @@ def train_mode(cfg: Config) -> int:
     if cfg.optimizer != "steepest_descent":
         raise RuntimeError("Unknown optimizer type")
 
-    # multi-chip data parallelism (replaces the reference's single-GPU
+    # multi-chip parallelism (replaces the reference's single-GPU
     # selection, main.cpp:507-541): shard the fraction batch axis over a
-    # jax Mesh; --num_devices 0 = all available, 1 (default) = no mesh
+    # jax Mesh ("data"); --model_devices adds a second mesh axis sharding
+    # LSTM cells Megatron-style (parallel/tensor.py). --num_devices 0 =
+    # all available, 1 (default) = no mesh. Multi-host jobs always span
+    # every process's devices (collectives need all participants), riding
+    # ICI in-host and DCN across hosts.
+    import jax
     mesh = None
-    if cfg.num_devices != 1:
-        import jax
-        n_avail = len(jax.devices())
-        n = cfg.num_devices if cfg.num_devices > 0 else n_avail
-        if n > n_avail:
-            raise RuntimeError(
-                f"num_devices={n} but only {n_avail} devices available")
-        if n > 1:
-            from lstm_rnn_tpu.parallel.mesh import make_mesh
-            mesh = make_mesh(n)
-            print(f"Data-parallel mesh: {dict(mesh.shape)}")
+    multihost = jax.process_count() > 1
+    n_avail = len(jax.devices())
+    n = cfg.num_devices if cfg.num_devices > 0 else n_avail
+    if multihost:
+        n = n_avail
+    if n > n_avail:
+        raise RuntimeError(
+            f"num_devices={n} but only {n_avail} devices available")
+    if cfg.num_devices == 1 and not multihost:
+        n = 1
+    model_devices = cfg.model_devices
+    if model_devices == 0:
+        model_devices = _auto_model_devices(net, cfg.parallel_sequences, n)
+        if model_devices > 1:
+            print(f"Tensor parallelism auto-engaged: model_devices="
+                  f"{model_devices} (an LSTM layer exceeds the single-chip "
+                  "fused-kernel VMEM budget)")
+    if model_devices > 1:
+        if n <= 1:
+            raise RuntimeError("model_devices > 1 requires num_devices > 1")
+        from lstm_rnn_tpu.parallel.mesh import make_mesh_2d
+        mesh = make_mesh_2d(n, model_devices)
+        print(f"DP x TP mesh: {dict(mesh.shape)}")
+    elif n > 1:
+        from lstm_rnn_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(n)
+        hosts = (f" over {jax.process_count()} hosts"
+                 if multihost else "")
+        print(f"Data-parallel mesh: {dict(mesh.shape)}{hosts}")
 
     max_epochs = cfg.max_epochs if cfg.max_epochs != 2**32 - 1 else -1
     trainer = Trainer(
@@ -205,10 +283,15 @@ def train_mode(cfg: Config) -> int:
         row += f"{duration:8.1f} |"
         row += fmt_err(trainer.cur_training_error, trainer.cur_training_class_error)
 
-        did_val = val_set is not None and trainer.cur_epoch % cfg.validate_every == 0
+        # gate on ds.empty like the Trainer (trainer.py train_epoch): an
+        # empty validation .nc prints blank columns (main.cpp:251), not a
+        # stale error value
+        has_val = val_set is not None and not val_set.empty
+        did_val = has_val and trainer.cur_epoch % cfg.validate_every == 0
         row += (fmt_err(trainer.cur_validation_error, trainer.cur_validation_class_error)
                 if did_val else err_space)
-        did_test = test_set is not None and trainer.cur_epoch % cfg.test_every == 0
+        did_test = (test_set is not None and not test_set.empty
+                    and trainer.cur_epoch % cfg.test_every == 0)
         row += (fmt_err(trainer.cur_test_error, trainer.cur_test_class_error)
                 if did_test else err_space)
 
@@ -219,12 +302,20 @@ def train_mode(cfg: Config) -> int:
                 if cfg.autosave_best:
                     base = cfg.autosave_prefix or os.path.splitext(cfg.network)[0]
                     net.params = trainer.exact_params(trainer.best_params)
-                    net.save(base + ".best.jsn")
+                    if _is_coordinator():
+                        net.save(base + ".best.jsn")
             else:
                 row += "  no    "
         else:
             row += "        "
-        row += f"| {fps:,.0f} fr/s\n"
+        row += f"| {fps:,.0f} fr/s"
+        if trainer.device_cache:
+            st = trainer.device_cache_stats()
+            lookups = st["hits"] + st["misses"]
+            if lookups:
+                row += (f"  [cache {st['hits']}/{lookups} hit, "
+                        f"{st['bytes'] / 2**20:.0f} MiB]")
+        row += "\n"
         sys.stdout.write(row)
         sys.stdout.flush()
         info_rows += row
@@ -237,19 +328,23 @@ def train_mode(cfg: Config) -> int:
         print(f"No new lowest error since {cfg.max_epochs_no_best} epochs. Training stopped.")
     else:
         print("Maximum number of training epochs reached. Training stopped.")
-    if val_set is not None:
+    if val_set is not None and not val_set.empty:
         print(f"Lowest validation error: {trainer.lowest_validation_error}")
     else:
         print(f"Final training set error: {trainer.cur_training_error}")
     print()
     print(f"Storing the trained network in '{cfg.save_network}'... ", end="")
     net.params = trainer.exact_params()
-    net.save(cfg.save_network)
+    if _is_coordinator():
+        net.save(cfg.save_network)
     print("done.")
     return 0
 
 
 def forward_mode(cfg: Config) -> int:
+    if not _is_coordinator():
+        # forward mode is single-device; secondary hosts have nothing to do
+        return 0
     print(f"Reading network from '{cfg.network}'... ", end="")
     net_doc = ioc.load_network_json(cfg.network)
     print("done.\n")
@@ -366,8 +461,13 @@ def main(argv: Optional[List[str]] = None) -> int:
         for i, d in enumerate(devs):
             print(f"{i}: {d.device_kind}")
         return 0
-    _echo_settings(cfg)
     _select_device(cfg)
+    import jax
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        # secondary hosts participate in every computation but stay silent;
+        # file writes are separately gated on the coordinator
+        sys.stdout = open(os.devnull, "w")
+    _echo_settings(cfg)
     try:
         if cfg.train:
             return train_mode(cfg)

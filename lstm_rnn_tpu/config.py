@@ -115,6 +115,11 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--device", default="auto", choices=["auto", "cpu", "tpu"])
     g.add_argument("--num_devices", type=int, default=1,
                    help="data-parallel devices (0 = all available)")
+    g.add_argument("--model_devices", type=int, default=1,
+                   help="tensor-parallel shard count for LSTM cells "
+                        "(must divide num_devices; builds a 2-D DP x TP "
+                        "mesh). 0 = auto-engage when a cell exceeds the "
+                        "single-chip fused-kernel VMEM budget")
     g.add_argument("--bucket_lengths", type=_str2bool, default=False)
     g.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
@@ -134,6 +139,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "flagship)")
     g.add_argument("--profile_dir", default="",
                    help="write a jax profiler trace of the first epoch here")
+
+    g = p.add_argument_group("Multi-host options (extensions)")
+    g.add_argument("--coordinator_address", default="",
+                   help="host:port of process 0's coordination service; "
+                        "setting it (or JAX_COORDINATOR_ADDRESS) enables "
+                        "multi-host training over DCN")
+    g.add_argument("--num_processes", type=int, default=0,
+                   help="total number of hosts/processes in the job "
+                        "(0 = auto-detect from the cluster environment)")
+    g.add_argument("--process_id", type=int, default=-1,
+                   help="this process's rank (-1 = auto-detect)")
     return p
 
 
@@ -201,10 +217,14 @@ def parse_config(argv: Optional[List[str]] = None) -> Config:
         # reference itself removed (for the --options_file flag form, BOTH
         # the flag token and its value; naive value filtering left a bare
         # '--options_file' behind and crashed argparse)
+        # whether the CLI used the positional form must be captured BEFORE
+        # ns is rebound to the options-file parse (where the positional is
+        # never set — the file expands to --flag tokens only)
+        used_positional = bool(ns.options_file)
         file_argv = _read_options_file(opts_file)
         ns = parser.parse_args(file_argv)
         cli_argv = []
-        strip_positional = opts_file if ns.options_file else None
+        strip_positional = opts_file if used_positional else None
         skip_next = False
         for a in argv:
             if skip_next:
@@ -229,8 +249,12 @@ def parse_config(argv: Optional[List[str]] = None) -> Config:
             doc = json.load(f)
         stored = doc.get("configuration", "")
         cont = ns.continue_file
+        # process-identity flags are NOT stored in autosaves (each resumed
+        # job has its own coordinator/rank) — carry the live CLI values over
+        coord, nproc, pid = ns.coordinator_address, ns.num_processes, ns.process_id
         ns = parser.parse_args(shlex.split(stored))
         ns.continue_file = cont
+        ns.coordinator_address, ns.num_processes, ns.process_id = coord, nproc, pid
 
     # validation (Configuration.cpp:264-310)
     for frac, nm in ((ns.train_fraction, "training"), (ns.val_fraction, "validation"),
@@ -251,7 +275,11 @@ def parse_config(argv: Optional[List[str]] = None) -> Config:
     return Config(args=ns, serialized_options=serialized)
 
 
-_SERIALIZE_SKIP = {"options_file", "options_file_flag", "continue_file", "list_devices"}
+_SERIALIZE_SKIP = {"options_file", "options_file_flag", "continue_file",
+                   "list_devices",
+                   # process identity is per-job, never replayed from an
+                   # autosave (--continue keeps the live values instead)
+                   "coordinator_address", "num_processes", "process_id"}
 
 
 def serialize_options(ns: argparse.Namespace) -> str:

@@ -234,7 +234,10 @@ class DataSet:
                     raise ValueError("Number of outputs mismatch in NC files")
 
             n_seq = f.dimensions["numSeqs"]
-            n_seq = max(1, int(n_seq * fraction))
+            # max(1, ...) is the reference's subsetting floor
+            # (DataSet.cpp:516-517); clamp to the actual count so a genuinely
+            # empty file loads as an empty set instead of a read past EOF
+            n_seq = min(max(1, int(n_seq * fraction)), n_seq)
             lengths = f.read("seqLengths", 0, n_seq)
             tags = f.read_strings("seqTags")[:n_seq]
 

@@ -173,10 +173,24 @@ def lstm_forward(params, x, pattypes, bias_mult: float, bidirectional: bool,
 
     if backend in ("pallas", "pallas_interpret"):
         from lstm_rnn_tpu.ops.lstm_cell import (DEFAULT_CHUNK, _storage,
-                                                lstm_scan_fused, round_up)
+                                                fused_fits, lstm_scan_fused,
+                                                round_up)
 
         hp = round_up(hdim, 128)
         pp = round_up(x.shape[-1], 128)
+        if backend == "pallas" and jax.default_backend() == "tpu":
+            # explicit-pallas VMEM guard: a cell too wide even at chunk=1
+            # would otherwise die at device compile with an opaque Mosaic
+            # scoped-vmem overflow (the "auto" path falls back silently)
+            sz0 = _storage(compute_dtype).itemsize
+            bp0 = round_up(bsz, 16 if sz0 == 2 else 8)
+            if not fused_fits(hp, pp, bp0, compute_dtype):
+                raise ValueError(
+                    f"lstm_backend=pallas: layer (H={hdim}, P={x.shape[-1]}, "
+                    f"B={bsz}, {jnp.dtype(compute_dtype).name}) exceeds the "
+                    "fused kernels' VMEM budget at every chunk size; use "
+                    "lstm_backend=auto (falls back to lax.scan) or shard the "
+                    "cell with --model_devices")
         bgran = 16 if _storage(compute_dtype).itemsize == 2 else 8
         bp = round_up(bsz, bgran)
         tp = round_up(t, DEFAULT_CHUNK)

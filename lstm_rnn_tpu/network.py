@@ -115,6 +115,11 @@ class Network:
         self.clip_gradients = clip_gradients
         self.backend = backend  # LSTM scan backend: auto|scan|pallas
         self.compute_dtype = jnp.dtype(compute_dtype)  # matmul input dtype
+        # 2-D DP x TP mesh (parallel/mesh.make_mesh_2d): when set with a
+        # "model" axis > 1, apply() routes LSTM layers through the
+        # tensor-parallel cell (parallel/tensor.py) — cells sharded across
+        # chips, batch over "data". Set by the CLI for --model_devices.
+        self.mesh = None
         self.loss_fn, self.task_kind = losses_mod.LOSSES[specs[-1].type]
         self.is_classification = self.task_kind == "classification"
 
@@ -182,16 +187,45 @@ class Network:
         for s in self.specs[1:-1]:
             p = params[s.name]
             if s.type in ioc.LSTM_TYPES:
-                x = lstm_forward(p, x, pattypes, s.bias, ioc.LSTM_TYPES[s.type],
-                                 clip_gradients=self.clip_gradients,
-                                 backend=self.backend,
-                                 compute_dtype=self.compute_dtype)
+                if self._tp_axis_size() > 1:
+                    from lstm_rnn_tpu.parallel.tensor import lstm_forward_tp
+                    batch_axis = ("data" if "data" in self.mesh.axis_names
+                                  else None)
+                    x = lstm_forward_tp(
+                        p, x, pattypes, s.bias, ioc.LSTM_TYPES[s.type],
+                        self.mesh, clip_gradients=self.clip_gradients,
+                        batch_axis=batch_axis)
+                else:
+                    x = lstm_forward(p, x, pattypes, s.bias,
+                                     ioc.LSTM_TYPES[s.type],
+                                     clip_gradients=self.clip_gradients,
+                                     backend=self.backend,
+                                     compute_dtype=self.compute_dtype)
             elif s.type == "softmax":
                 x = softmax_forward(p, x, s.bias, self.compute_dtype)
             else:
                 x = feedforward_forward(p, x, ioc.FEEDFORWARD_TYPES[s.type],
                                         s.bias, self.compute_dtype)
         return x
+
+    def _tp_axis_size(self) -> int:
+        if self.mesh is None or "model" not in self.mesh.axis_names:
+            return 1
+        return int(self.mesh.shape["model"])
+
+    def validate_tp(self) -> None:
+        """Every LSTM layer's per-direction cell count must divide the
+        model axis (parallel/tensor.py shards the cell axis evenly)."""
+        n = self._tp_axis_size()
+        if n <= 1:
+            return
+        for s in self.specs[1:-1]:
+            if s.type in ioc.LSTM_TYPES:
+                d = 2 if ioc.LSTM_TYPES[s.type] else 1
+                if (s.size // d) % n:
+                    raise ValueError(
+                        f"model_devices={n} must divide layer '{s.name}' "
+                        f"cells per direction ({s.size // d})")
 
     def loss(self, params, inputs, targets, pattypes):
         """Total error over the fraction (reference calculateError sum)."""

@@ -1,0 +1,153 @@
+"""On-device VMEM validation for the fused LSTM kernel chunk size.
+
+Mosaic's scoped-vmem stack usage is scheduler-dependent and the analytic
+model in ops/lstm_cell.py admittedly underestimates it (its budgets are
+anchored on hand-run device measurements — VMEM_BUDGET). Rather than trust
+the model for NEW (width, dtype, chunk) points, this module AOT-compiles
+the actual forward+backward kernels at a candidate chunk size and records
+the verdict (compiled cleanly vs "Scoped allocation ... exceeded") in a
+small on-disk table keyed by device kind. `pick_chunk` consults the table
+first, so a shape point probed once auto-selects its chunk forever —
+including points the analytic model would get wrong in either direction.
+
+Probing happens EAGERLY (Trainer init / CLI setup), never inside a trace:
+an AOT `.lower().compile()` per candidate, nothing executed — safe on a
+single-client TPU tunnel. Each verdict costs one extra kernel compile,
+once per machine lifetime.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from typing import Dict, Optional
+
+_LOCK = threading.Lock()
+_MEM: Optional[Dict[str, bool]] = None
+
+_CANDIDATES = (16, 8, 4, 2, 1)  # descending powers of two <= DEFAULT_CHUNK
+
+
+def _cache_path() -> str:
+    return os.environ.get(
+        "LSTM_RNN_TPU_PROBE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "lstm_rnn_tpu",
+                     "vmem_probe.json"))
+
+
+def _load() -> Dict[str, bool]:
+    global _MEM
+    if _MEM is None:
+        try:
+            with open(_cache_path()) as f:
+                _MEM = {k: bool(v) for k, v in json.load(f).items()}
+        except (OSError, ValueError):
+            _MEM = {}
+    return _MEM
+
+
+def _save() -> None:
+    path = _cache_path()
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(_MEM, f, indent=0, sort_keys=True)
+        os.replace(tmp, path)
+    except OSError:
+        pass  # cache is an optimization; never fail the run for it
+
+
+def _device_kind() -> str:
+    import jax
+    return jax.devices()[0].device_kind.replace(" ", "_")
+
+
+def _key(hp: int, pp: int, bp: int, ch: int, compute_dtype) -> str:
+    from lstm_rnn_tpu.ops.lstm_cell import _storage
+    return (f"{_device_kind()}|h{hp}|p{pp}|b{bp}|c{ch}|"
+            f"{_storage(compute_dtype).name}")
+
+
+def lookup_chunk(T: int, hp: int, pp: int, bp: int,
+                 compute_dtype) -> Optional[int]:
+    """Largest device-VALIDATED chunk dividing T, or None if this shape
+    point has no positive verdict on record (pick_chunk then falls back to
+    the analytic model). Reads the table only — never compiles."""
+    table = _load()
+    for ch in _CANDIDATES:
+        if T % ch:
+            continue
+        if table.get(_key(hp, pp, bp, ch, compute_dtype)):
+            return ch
+    return None
+
+
+def _probe_compile(hp: int, pp: int, bp: int, ch: int, compute_dtype) -> bool:
+    """AOT-compile fwd+bwd fused kernels at chunk=ch; True iff Mosaic
+    accepts the scoped-VMEM footprint. Nothing is executed."""
+    import jax
+    import jax.numpy as jnp
+
+    from lstm_rnn_tpu.ops import lstm_cell as lc
+
+    T = 2 * ch  # two chunks per direction: exercises the revisit paths
+    D = 2
+    sdt = lc._storage(compute_dtype)
+
+    def loss(x, w_in, w_rec, peep, bias, lengths, dh):
+        h = lc.lstm_scan_fused(x, w_in, w_rec, peep, bias, lengths,
+                               1.0, True, False, jnp.dtype(compute_dtype))
+        return jnp.sum(h.astype(jnp.float32) * dh)
+
+    g = jax.grad(loss, argnums=(0, 1, 2, 3, 4))
+    shapes = (
+        jax.ShapeDtypeStruct((T, bp, pp), jnp.float32),
+        jax.ShapeDtypeStruct((D, pp, 4 * hp), jnp.float32),
+        jax.ShapeDtypeStruct((D, hp, 4 * hp), jnp.float32),
+        jax.ShapeDtypeStruct((D, 3, hp), jnp.float32),
+        jax.ShapeDtypeStruct((D, 4 * hp), jnp.float32),
+        jax.ShapeDtypeStruct((bp,), jnp.int32),
+        jax.ShapeDtypeStruct((T, bp, D * hp), jnp.float32),
+    )
+    old = lc._chunk_override
+    lc._chunk_override = ch
+    try:
+        jax.jit(g).lower(*shapes).compile()
+        return True
+    except Exception as e:  # Mosaic VMEM overflows surface as XlaRuntimeError
+        msg = str(e).lower()
+        if "scoped" in msg or "vmem" in msg or "exceeded" in msg:
+            return False
+        raise
+    finally:
+        lc._chunk_override = old
+
+
+def ensure_validated(T: int, hp: int, pp: int, bp: int, compute_dtype,
+                     verbose: bool = True) -> int:
+    """Probe candidate chunks (largest first) until one compiles on this
+    device; record every verdict on disk. Returns the validated chunk, or
+    0 when even chunk=1 overflows (caller falls back to lax.scan / TP).
+    Call EAGERLY on the target backend — never inside a trace."""
+    with _LOCK:
+        table = _load()
+        for ch in _CANDIDATES:
+            if T % ch:
+                continue
+            key = _key(hp, pp, bp, ch, compute_dtype)
+            verdict = table.get(key)
+            if verdict is None:
+                if verbose:
+                    from lstm_rnn_tpu.ops.lstm_cell import fused_vmem_bytes
+                    est = fused_vmem_bytes(hp, pp, bp, compute_dtype, ch)
+                    print(f"vmem_probe: compiling (h={hp}, p={pp}, b={bp}, "
+                          f"chunk={ch}) [model estimate {est / 2**20:.1f} "
+                          "MiB] ...", flush=True)
+                verdict = _probe_compile(hp, pp, bp, ch, compute_dtype)
+                table[key] = verdict
+                _save()
+            if verdict:
+                return ch
+        return 0

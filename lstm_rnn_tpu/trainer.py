@@ -41,6 +41,15 @@ def tree_zeros_like(tree):
     return jax.tree_util.tree_map(jnp.zeros_like, tree)
 
 
+# Jitted helpers shared by all Trainer instances. Multi-host runs hold
+# global (non-fully-addressable) arrays, on which EAGER jnp ops raise —
+# every op touching params/metrics must go through jit (outputs inherit /
+# replicate shardings). Single-process behavior is identical.
+_ZEROS_JIT = jax.jit(tree_zeros_like)
+_COPY_JIT = jax.jit(lambda tree: jax.tree_util.tree_map(jnp.copy, tree))
+_SUM_JIT = jax.jit(lambda xs: jnp.sum(jnp.stack(xs)))
+
+
 class Trainer:
     def __init__(self, net: Network, train_set: DataSet,
                  validation_set: Optional[DataSet] = None,
@@ -82,9 +91,19 @@ class Trainer:
         if device_cache is None:
             device_cache = jax.default_backend() == "tpu"
         self.device_cache = device_cache
-        self._dev_cache: Dict[Any, tuple] = {}
+        # key -> [triple, nbytes, last_used_epoch]. Eviction is
+        # staleness-based, NOT plain LRU: entries unused for >= 2 epochs are
+        # dead (e.g. shuffle_sequences regenerates keys every epoch) and get
+        # evicted; entries hit in the current/previous epoch are pinned.
+        # Plain LRU would thrash to a 0% hit rate on a cyclic epoch scan
+        # over a corpus just above budget — pinning the admitted prefix
+        # keeps hit rate ~= budget/corpus there instead.
+        self._dev_cache: Dict[Any, list] = {}
         self._dev_cache_budget = device_cache_bytes
         self._dev_cache_bytes = 0
+        # per-epoch observability (cli prints them in the epoch row)
+        self.cache_hits = 0
+        self.cache_misses = 0
 
         # per-layer learning rates (>=0 overrides global,
         # SteepestDescentOptimizer.cu:78-80)
@@ -92,6 +111,17 @@ class Trainer:
             s.name: (s.learning_rate if s.learning_rate >= 0 else learning_rate)
             for s in net.trainable_specs()
         }
+
+        # tensor parallelism (2-D mesh with a "model" axis): LSTM layers
+        # route through parallel/tensor.py's sharded scan cell — the padded
+        # fused-kernel view does not apply
+        self.tensor_parallel = (mesh is not None
+                                and "model" in mesh.axis_names
+                                and int(mesh.shape["model"]) > 1)
+        if self.tensor_parallel:
+            net.mesh = mesh
+            net.validate_tp()
+            padded_pipeline = False
 
         # padded training view (see Network.pad_params): default on when the
         # fused TPU kernels will run and the net has LSTM layers
@@ -132,7 +162,16 @@ class Trainer:
         if mesh is not None:
             from lstm_rnn_tpu.parallel.mesh import replicate
             self.params = replicate(mesh, self.params)
-        self.velocity = tree_zeros_like(self.params)
+            if self.tensor_parallel:
+                # LSTM weights live SHARDED on the model axis (their cell
+                # columns) so the TP scan never re-shards them per step
+                from lstm_rnn_tpu import io_currennt as ioc
+                from lstm_rnn_tpu.parallel.tensor import shard_lstm_params
+                for s in net.specs[1:-1]:
+                    if s.type in ioc.LSTM_TYPES:
+                        self.params[s.name] = shard_lstm_params(
+                            mesh, self.params[s.name])
+        self.velocity = _ZEROS_JIT(self.params)
         # snapshots must COPY: self.params buffers are donated into the next
         # jitted step, which deletes aliased references
         self.best_params = self._snapshot(self.params)
@@ -209,28 +248,50 @@ class Trainer:
             grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, grads)
             return grad_acc, err, correct
 
-        def train_scan(params, velocity, inputs_k, targets_k, pattypes_k):
-            """K stacked same-shape fractions, sequential updates in one jit."""
+        def sgd_update_masked(params, velocity, grads, valid):
+            """valid==1.0: exactly sgd_update; valid==0.0: params/velocity
+            pass through untouched (a padded dummy fraction must not even
+            apply the momentum decay). The selects fuse into the update's
+            elementwise chain — no extra HBM passes."""
+            new_v = {}
+            new_p = {}
+            for name, g in grads.items():
+                lr = lrs[name]
+                new_v[name] = jax.tree_util.tree_map(
+                    lambda v, gg: valid * (momentum * v - lr * gg)
+                    + (1.0 - valid) * v, velocity[name], g)
+                new_p[name] = jax.tree_util.tree_map(
+                    lambda p, v: p + valid * v, params[name], new_v[name])
+            return new_p, new_v
+
+        def train_scan(params, velocity, inputs_k, targets_k, pattypes_k,
+                       valid_k):
+            """K stacked same-shape fractions, sequential updates in one
+            jit. valid_k [K] masks padded dummy fractions (partial groups
+            pad to K by repeating a real fraction with valid=0) so one
+            compiled scan per shape serves every group size."""
             def body(carry, batch):
                 p, v = carry
-                x, t, pt = batch
+                x, t, pt, valid = batch
                 err, correct, grads = grad_fraction(p, x, t, pt)
-                p, v = sgd_update(p, v, grads)
-                return (p, v), (err, correct)
+                p, v = sgd_update_masked(p, v, grads, valid)
+                return (p, v), (err * valid, correct * valid.astype(correct.dtype))
 
             (params, velocity), (errs, corrs) = jax.lax.scan(
-                body, (params, velocity), (inputs_k, targets_k, pattypes_k))
+                body, (params, velocity),
+                (inputs_k, targets_k, pattypes_k, valid_k))
             return params, velocity, jnp.sum(errs), jnp.sum(corrs)
 
-        def eval_scan(params, inputs_k, targets_k, pattypes_k):
+        def eval_scan(params, inputs_k, targets_k, pattypes_k, valid_k):
             """K stacked same-shape fractions evaluated in one jit (no
             carry — grouping changes nothing but dispatch count)."""
             def body(carry, batch):
-                x, t, pt = batch
-                return carry, loss_and_metrics(params, x, t, pt)
+                x, t, pt, valid = batch
+                err, correct = loss_and_metrics(params, x, t, pt)
+                return carry, (err * valid, correct * valid.astype(correct.dtype))
 
             _, (errs, corrs) = jax.lax.scan(
-                body, 0, (inputs_k, targets_k, pattypes_k))
+                body, 0, (inputs_k, targets_k, pattypes_k, valid_k))
             return jnp.sum(errs), jnp.sum(corrs)
 
         donate = dict(donate_argnums=(0, 1))
@@ -247,15 +308,21 @@ class Trainer:
         sig = self.weight_noise_sigma
         if self._pad_mask is not None:
             # mask noise at padded positions so they stay exactly zero
-            return jax.tree_util.tree_map(
-                lambda p, m: jnp.asarray(
-                    (self._noise_rng.normal(0.0, sig, p.shape) * m
-                     ).astype(np.float32)),
+            tree = jax.tree_util.tree_map(
+                lambda p, m: (self._noise_rng.normal(0.0, sig, p.shape) * m
+                              ).astype(np.float32),
                 self.params, self._pad_mask)
-        return jax.tree_util.tree_map(
-            lambda p: jnp.asarray(
-                self._noise_rng.normal(0.0, sig, p.shape).astype(np.float32)),
-            self.params)
+        else:
+            tree = jax.tree_util.tree_map(
+                lambda p: self._noise_rng.normal(
+                    0.0, sig, p.shape).astype(np.float32), self.params)
+        if self.mesh is not None:
+            # replicated placement (required under multi-process: every
+            # jit input must be a global array; the host RNG streams are
+            # identical across processes, so the values agree)
+            from lstm_rnn_tpu.parallel.mesh import replicate
+            return replicate(self.mesh, tree)
+        return jax.tree_util.tree_map(jnp.asarray, tree)
 
     # ------------------------------------------------------------------ epoch
     @staticmethod
@@ -290,7 +357,8 @@ class Trainer:
         if self.mesh is None:
             return base
         import math
-        n = int(self.mesh.devices.size)
+        from lstm_rnn_tpu.parallel.mesh import data_axis_size
+        n = data_axis_size(self.mesh)
         return base * n // math.gcd(base, n)
 
     def _transfer_dtype(self, inputs):
@@ -302,6 +370,19 @@ class Trainer:
             return inputs.astype(ml_dtypes.bfloat16)
         return inputs
 
+    def _cache_evict_stale(self, need: int) -> None:
+        """Evict entries unused for >= 2 epochs until `need` bytes fit (or
+        nothing stale remains). Entries hit this or last epoch stay pinned —
+        see the policy note in __init__."""
+        if self._dev_cache_bytes + need <= self._dev_cache_budget:
+            return
+        horizon = self.cur_epoch - 1
+        for key in [k for k, e in self._dev_cache.items() if e[2] < horizon]:
+            entry = self._dev_cache.pop(key)
+            self._dev_cache_bytes -= entry[1]
+            if self._dev_cache_bytes + need <= self._dev_cache_budget:
+                return
+
     def _device_batch(self, frac: Fraction):
         """Place a fraction on device, batch axis sharded over the mesh;
         epoch-invariant fractions stay cached in HBM."""
@@ -309,7 +390,10 @@ class Trainer:
         if self.device_cache and key is not None:
             hit = self._dev_cache.get(key)
             if hit is not None:
-                return hit
+                hit[2] = self.cur_epoch
+                self.cache_hits += 1
+                return hit[0]
+            self.cache_misses += 1
         inputs, targets, pattypes = self._pad_fraction(
             frac.inputs, frac.targets, frac.pattypes, self._b_multiple())
         inputs = self._transfer_dtype(inputs)
@@ -323,16 +407,33 @@ class Trainer:
             return inputs, targets, pattypes
         if self.device_cache and key is not None:
             nbytes = sum(int(a.nbytes) for a in triple)
+            self._cache_evict_stale(nbytes)
             if self._dev_cache_bytes + nbytes <= self._dev_cache_budget:
-                self._dev_cache[key] = triple
+                self._dev_cache[key] = [triple, nbytes, self.cur_epoch]
                 self._dev_cache_bytes += nbytes
         return triple
+
+    def _stack_parts(self, parts):
+        """Stack K per-fraction [T, B, ...] arrays into [K, T, B, ...] with
+        the batch axis (now axis 2) still sharded over the mesh. Multi-host
+        meshes must stack under jit (eager ops on non-fully-addressable
+        arrays raise) with an explicit output sharding."""
+        if self.mesh is None:
+            stack = jnp.stack if isinstance(parts[0], jax.Array) else np.stack
+            return stack(parts)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = [None] * (parts[0].ndim + 1)
+        spec[2] = "data"
+        sh = NamedSharding(self.mesh, P(*spec))
+        if jax.process_count() == 1:
+            return jax.device_put(jnp.stack(parts), sh)
+        return jax.jit(lambda xs: jnp.stack(xs), out_shardings=sh)(list(parts))
 
     def _process_dataset(self, ds: DataSet, update: bool):
         use_noise = update and self.weight_noise_sigma > 0
         grad_acc = None
         if update and not self.hybrid_online_batch:
-            grad_acc = tree_zeros_like(self.params)
+            grad_acc = _ZEROS_JIT(self.params)
 
         # error/accuracy accumulate as DEVICE scalars and are fetched once at
         # the end of the epoch: a per-fraction float(err) would force a host
@@ -341,13 +442,15 @@ class Trainer:
         errs = []
         corrs = []
 
-        # fused paths: group runs of same-shape fractions and run each FULL
-        # group as one jitted scan — sequential updates in stochastic mode
-        # (identical results) or carry-free evaluation. Partial groups run
-        # as single steps: a fused scan is shape-specialized on K, and
-        # shuffled fraction orders produce many distinct K values — each a
-        # fresh XLA compile (minutes each on the flagship). Full groups +
-        # singles bound the compile surface to 2 per shape.
+        # fused paths: group runs of same-shape fractions and run each group
+        # as one jitted scan — sequential updates in stochastic mode
+        # (identical results) or carry-free evaluation. PARTIAL groups pad
+        # to the full fuse count by repeating the last fraction's (already
+        # device-resident) arrays with valid=0 — the masked scan skips their
+        # update and metrics exactly, so every group runs the ONE compiled
+        # scan per shape (a K-specialized compile per distinct partial size
+        # would cost minutes each on the flagship; K single steps per
+        # partial group cost dispatch round trips on the remote tunnel).
         fuse = (self.fuse_fractions
                 if ((update and self.hybrid_online_batch and not use_noise)
                     or not update) else 1)
@@ -355,48 +458,36 @@ class Trainer:
 
             def stack_group(pending):
                 """Per-fraction device batches (cache-aware), stacked ON
-                DEVICE — cached fractions transfer nothing."""
+                DEVICE — cached fractions transfer nothing. Pads the group
+                to `fuse` with the last fraction's arrays, valid=0."""
                 devs = [self._device_batch(f) for f in pending]
-                stack = (jnp.stack if isinstance(devs[0][0], jax.Array)
-                         else np.stack)
-                xk = stack([p[0] for p in devs])
-                tk = stack([p[1] for p in devs])
-                pk = stack([p[2] for p in devs])
+                n = len(devs)
+                devs = devs + [devs[-1]] * (fuse - n)
+                valid = np.zeros((fuse,), np.float32)
+                valid[:n] = 1.0
+                xk = self._stack_parts([p[0] for p in devs])
+                tk = self._stack_parts([p[1] for p in devs])
+                pk = self._stack_parts([p[2] for p in devs])
                 if self.mesh is not None:
-                    from lstm_rnn_tpu.parallel.mesh import shard_batch
-                    xk = shard_batch(self.mesh, xk, 2)
-                    tk = shard_batch(self.mesh, tk, 2)
-                    pk = shard_batch(self.mesh, pk, 2)
-                return xk, tk, pk
+                    from lstm_rnn_tpu.parallel.mesh import replicate
+                    vk = replicate(self.mesh, valid)
+                else:
+                    vk = jnp.asarray(valid)
+                return xk, tk, pk, vk
 
             pending = []
 
             def flush():
                 if not pending:
                     return
-                if len(pending) < fuse:
-                    for f in pending:
-                        inputs, targets, pattypes = self._device_batch(f)
-                        if update:
-                            self.params, self.velocity, err, corr = \
-                                self._train_step(self.params, self.velocity,
-                                                 inputs, targets, pattypes)
-                        else:
-                            err, corr = self._eval_step(
-                                self.params, inputs, targets, pattypes)
-                        errs.append(err)
-                        corrs.append(corr)
-                elif update:
-                    xk, tk, pk = stack_group(pending)
+                xk, tk, pk, vk = stack_group(pending)
+                if update:
                     self.params, self.velocity, err, corr = self._train_scan(
-                        self.params, self.velocity, xk, tk, pk)
-                    errs.append(err)
-                    corrs.append(corr)
+                        self.params, self.velocity, xk, tk, pk, vk)
                 else:
-                    xk, tk, pk = stack_group(pending)
-                    err, corr = self._eval_scan(self.params, xk, tk, pk)
-                    errs.append(err)
-                    corrs.append(corr)
+                    err, corr = self._eval_scan(self.params, xk, tk, pk, vk)
+                errs.append(err)
+                corrs.append(corr)
                 pending.clear()
 
             last_shape = None
@@ -407,11 +498,7 @@ class Trainer:
                 pending.append(frac)
                 last_shape = shape
             flush()
-            total_err = float(jnp.sum(jnp.stack(errs))) if errs else 0.0
-            correct = int(jnp.sum(jnp.stack(corrs))) if corrs else 0
-            total_err /= ds.total_sequences
-            class_err = 1.0 - correct / ds.total_timesteps
-            return total_err, class_err
+            return self._sum_metrics(errs, corrs)
 
         for frac in ds.fractions():
             inputs, targets, pattypes = self._device_batch(frac)
@@ -426,7 +513,8 @@ class Trainer:
                     self.params, self.velocity, err, corr = self._train_step(
                         self.params, self.velocity, inputs, targets, pattypes)
             else:
-                noise = self._draw_noise() if use_noise else tree_zeros_like(self.params)
+                noise = (self._draw_noise() if use_noise
+                         else _ZEROS_JIT(self.params))
                 grad_acc, err, corr = self._accum_step(
                     self.params, grad_acc, noise, inputs, targets, pattypes)
             errs.append(err)
@@ -436,11 +524,31 @@ class Trainer:
             self.params, self.velocity = self._sgd_update(
                 self.params, self.velocity, grad_acc)
 
-        total_err = float(jnp.sum(jnp.stack(errs))) if errs else 0.0
-        correct = int(jnp.sum(jnp.stack(corrs))) if corrs else 0
+        return self._sum_metrics(errs, corrs)
+
+    @staticmethod
+    def _sum_metrics(errs, corrs):
+        """Reduce per-flush metrics to two DEVICE scalars — nothing is
+        fetched here. train_epoch dispatches the validation/test passes
+        BEFORE converting these to floats, so their dispatch round trips
+        overlap the training tail instead of serializing after it."""
+        if not errs:
+            return None, None
+        return _SUM_JIT(list(errs)), _SUM_JIT(list(corrs))
+
+    @staticmethod
+    def _fetch_metrics(ds: DataSet, err_dev, corr_dev):
+        total_err = float(err_dev) if err_dev is not None else 0.0
+        correct = int(corr_dev) if corr_dev is not None else 0
         total_err /= ds.total_sequences
         class_err = 1.0 - correct / ds.total_timesteps
         return total_err, class_err
+
+    def device_cache_stats(self) -> Dict[str, int]:
+        """Last epoch's device-cache observability counters."""
+        return {"hits": self.cache_hits, "misses": self.cache_misses,
+                "entries": len(self._dev_cache),
+                "bytes": self._dev_cache_bytes}
 
     def train_epoch(self) -> bool:
         """One epoch; returns True when training is finished
@@ -448,14 +556,27 @@ class Trainer:
         if self.finished:
             return True
         self.cur_epoch += 1
+        self.cache_hits = 0
+        self.cache_misses = 0
 
-        self.cur_training_error, self.cur_training_class_error = \
-            self._process_dataset(self.train_set, update=True)
+        # dispatch all passes first (device work chains through the
+        # donated params), fetch the scalar results after
+        train_res = self._process_dataset(self.train_set, update=True)
 
         has_val = self.validation_set is not None and not self.validation_set.empty
-        if has_val and self.cur_epoch % self.validate_every == 0:
+        do_val = has_val and self.cur_epoch % self.validate_every == 0
+        val_res = (self._process_dataset(self.validation_set, update=False)
+                   if do_val else None)
+        has_test = self.test_set is not None and not self.test_set.empty
+        do_test = has_test and self.cur_epoch % self.test_every == 0
+        test_res = (self._process_dataset(self.test_set, update=False)
+                    if do_test else None)
+
+        self.cur_training_error, self.cur_training_class_error = \
+            self._fetch_metrics(self.train_set, *train_res)
+        if do_val:
             self.cur_validation_error, self.cur_validation_class_error = \
-                self._process_dataset(self.validation_set, update=False)
+                self._fetch_metrics(self.validation_set, *val_res)
             if self.cur_validation_error < self.lowest_validation_error:
                 self.lowest_validation_error = self.cur_validation_error
                 self.epochs_since_lowest = 0
@@ -466,10 +587,9 @@ class Trainer:
             self.epochs_since_lowest = 0
             self.best_params = self._snapshot(self.params)
 
-        has_test = self.test_set is not None and not self.test_set.empty
-        if has_test and self.cur_epoch % self.test_every == 0:
+        if do_test:
             self.cur_test_error, self.cur_test_class_error = \
-                self._process_dataset(self.test_set, update=False)
+                self._fetch_metrics(self.test_set, *test_res)
 
         if (self.epochs_since_lowest >= self.max_epochs_no_best
                 or (self.max_epochs >= 0 and self.cur_epoch >= self.max_epochs)):
@@ -524,14 +644,18 @@ class Trainer:
 
     @staticmethod
     def _snapshot(tree):
-        return jax.tree_util.tree_map(lambda a: jnp.array(a, copy=True), tree)
+        return _COPY_JIT(tree)
 
     def exact_params(self, tree=None):
         """Current (or given) parameter tree in the exact CURRENNT layout,
         stripping the padded training view if active."""
         tree = self.params if tree is None else tree
         if self.padded:
-            tree = self.net.unpad_params(tree)
+            if jax.process_count() > 1:
+                # global arrays: slice/reshape must run under jit
+                tree = jax.jit(self.net.unpad_params)(tree)
+            else:
+                tree = self.net.unpad_params(tree)
         return jax.tree_util.tree_map(np.asarray, tree)
 
     def export_state(self) -> Dict[str, Any]:
@@ -572,5 +696,9 @@ class Trainer:
         if self.padded:
             bw = self.net.pad_params(bw)
             vd = self.net.pad_params(vd)
+        if self.mesh is not None:
+            from lstm_rnn_tpu.parallel.mesh import replicate
+            bw = replicate(self.mesh, jax.tree_util.tree_map(np.asarray, bw))
+            vd = replicate(self.mesh, jax.tree_util.tree_map(np.asarray, vd))
         self.best_params = jax.tree_util.tree_map(jnp.asarray, bw)
         self.velocity = jax.tree_util.tree_map(jnp.asarray, vd)

@@ -107,6 +107,58 @@ def test_num_devices_mesh_matches_single_device(tmp_path, rng):
                 err_msg=f"{layer}.{sec}")
 
 
+def test_model_devices_tp_matches_single_device(tmp_path, rng):
+    """--num_devices 4 --model_devices 2 (2-D DP x TP mesh: batch over
+    'data', LSTM cells Megatron-sharded over 'model') must train to the
+    same trained_network.jsn as a plain single-device run."""
+    nc = str(tmp_path / "train.nc")
+    _write_classification_nc(nc, [6, 5, 4, 7], in_size=3, num_labels=4, seed=7)
+    net = {
+        "layers": [
+            {"name": "input", "type": "input", "size": 3},
+            {"name": "l1", "type": "blstm", "size": 4, "bias": 1.0},
+            {"name": "output", "type": "softmax", "size": 4, "bias": 1.0},
+            {"name": "postoutput", "type": "multiclass_classification", "size": 4},
+        ],
+    }
+    net_path = tmp_path / "net.jsn"
+    net_path.write_text(json.dumps(net))
+    common = ["--network", str(net_path), "--train", "true",
+              "--train_file", nc, "--stochastic", "true",
+              "--learning_rate", "1e-3", "--parallel_sequences", "2",
+              "--random_seed", "5", "--max_epochs", "2"]
+
+    d1 = tmp_path / "single"
+    d1.mkdir()
+    r = _cli(*common, cwd=d1)
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    d2 = tmp_path / "tp"
+    d2.mkdir()
+    r = _cli(*common, "--num_devices", "4", "--model_devices", "2", cwd=d2)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "DP x TP mesh" in r.stdout
+
+    w1 = json.loads((d1 / "trained_network.jsn").read_text())["weights"]
+    w2 = json.loads((d2 / "trained_network.jsn").read_text())["weights"]
+    for layer in w1:
+        for sec in w1[layer]:
+            np.testing.assert_allclose(
+                w1[layer][sec], w2[layer][sec], rtol=1e-5, atol=1e-7,
+                err_msg=f"{layer}.{sec}")
+
+
+def test_model_devices_must_divide_cells(tmp_path, rng):
+    """An LSTM layer whose per-direction cell count does not divide
+    model_devices fails with a clear error."""
+    nc, net_path = _toy_setup(tmp_path, rng)  # lstm size 4 -> h=4; 3 devices
+    r = _cli("--network", net_path, "--train", "true", "--train_file", nc,
+             "--max_epochs", "1", "--num_devices", "8",
+             "--model_devices", "8", cwd=tmp_path)
+    assert r.returncode == 2
+    assert "must divide layer" in r.stdout
+
+
 def test_rprop_rejected(tmp_path, rng):
     nc, net_path = _toy_setup(tmp_path, rng)
     r = _cli("--network", net_path, "--train", "true", "--train_file", nc,
@@ -275,6 +327,25 @@ def test_forward_mode_buckets_lengths(tmp_path, rng):
     assert r.returncode == 0, r.stdout + r.stderr
     rows = (tmp_path / "bucketed/seq0.csv").read_text().strip().split("\n")
     assert len(rows) == 6  # true sequence length, not the padded bucket
+
+
+def test_empty_validation_set_prints_blank_columns(tmp_path, rng):
+    """A 0-sequence validation .nc must behave like no validation set: the
+    epoch table prints blank validation / new-best cells (main.cpp:251),
+    not a stale 'inf' error, and the run reports the training error."""
+    nc, net_path = _toy_setup(tmp_path, rng)
+    empty_nc = str(tmp_path / "empty.nc")
+    _write_classification_nc(empty_nc, [], in_size=3, num_labels=4)
+    r = _cli("--network", net_path, "--train", "true", "--train_file", nc,
+             "--val_file", empty_nc, "--max_epochs", "2",
+             "--stochastic", "true", "--learning_rate", "1e-3", cwd=tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "inf" not in r.stdout
+    row = [l for l in r.stdout.splitlines() if l.strip().startswith("1 |")][0]
+    cells = row.split("|")
+    assert cells[3].strip() == ""  # validation column blank
+    assert cells[5].strip() == ""  # new-best column blank
+    assert "Final training set error" in r.stdout
 
 
 def test_compilation_cache_dir_flag(tmp_path, rng):

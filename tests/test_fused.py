@@ -174,6 +174,61 @@ def test_device_cache_fused_and_noise_gate():
     assert len(t3._dev_cache) == 0  # noise-augmented data never cached
 
 
+def test_device_cache_budget_pins_prefix_and_reports_stats(tmp_path):
+    """A corpus ~1.5x the cache budget: the admitted prefix stays pinned
+    (cyclic epoch scans would thrash a plain LRU to 0%), steady-state hit
+    rate ~= budget/corpus > 60%, and the hit/miss counters report it."""
+    from .test_data import _write_classification_nc
+
+    tr = str(tmp_path / "tr.nc")
+    _write_classification_nc(tr, [8] * 12, in_size=3, num_labels=4, seed=1)
+    layers = [
+        {"name": "input", "type": "input", "size": 3},
+        {"name": "l1", "type": "lstm", "size": 4, "bias": 1.0},
+        {"name": "output", "type": "softmax", "size": 4, "bias": 1.0},
+        {"name": "postoutput", "type": "multiclass_classification", "size": 4},
+    ]
+    ds = DataSet([tr], parallel_sequences=2, sort_by_length=True,
+                 prefetch=False)
+
+    # measure the full-corpus cache footprint first
+    net = Network(layers)
+    net.init_params(3)
+    t_full = Trainer(net, ds, learning_rate=1e-3, max_epochs=1,
+                     hybrid_online_batch=True, device_cache=True)
+    t_full.train_epoch()
+    full_bytes = t_full._dev_cache_bytes
+    assert len(t_full._dev_cache) == 6
+
+    net2 = Network(layers)
+    net2.init_params(3)
+    t = Trainer(net2, ds, learning_rate=1e-3, max_epochs=4,
+                hybrid_online_batch=True, device_cache=True,
+                device_cache_bytes=int(full_bytes / 1.5) + 1)
+    t.train_epoch()  # epoch 1: all misses, prefix admitted
+    st1 = t.device_cache_stats()
+    assert st1["misses"] == 6 and st1["hits"] == 0
+    assert 3 <= st1["entries"] < 6
+    n_pinned = st1["entries"]
+    t.train_epoch()  # epoch 2: pinned prefix hits, nothing evicted
+    st2 = t.device_cache_stats()
+    assert st2["entries"] == n_pinned  # no thrash: same entries survive
+    assert st2["hits"] == n_pinned and st2["hits"] / 6 > 0.6
+    t.train_epoch()
+    st3 = t.device_cache_stats()
+    assert st3["hits"] == n_pinned and st3["entries"] == n_pinned
+    assert st3["bytes"] <= int(full_bytes / 1.5) + 1
+
+    # staleness eviction: a key unused for >= 2 epochs gives up its bytes
+    dead = ("dead-token", 0)
+    t._dev_cache[dead] = [t._dev_cache[next(iter(t._dev_cache))][0],
+                          full_bytes, t.cur_epoch - 2]
+    t._dev_cache_bytes += full_bytes
+    t.train_epoch()  # over budget now -> the stale entry is evicted
+    assert dead not in t._dev_cache
+    assert t._dev_cache_bytes <= int(full_bytes / 1.5) + 1
+
+
 def test_device_cache_keys_not_shared_across_datasets(tmp_path):
     """Regression: Fraction keys are namespaced per DataSet — with a shared
     Trainer cache, a validation fraction must never hit the TRAIN fraction
