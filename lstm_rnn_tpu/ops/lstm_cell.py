@@ -328,6 +328,10 @@ def _storage(compute_dtype):
 # device (17.7M observed) while CH=4 (model 4.8M) runs, so 6M.
 VMEM_BUDGET = {2: 12 * 1024 * 1024, 4: 6 * 1024 * 1024}
 
+# Set only by ops/vmem_probe.py while AOT-compiling a candidate chunk size;
+# forces pick_chunk's answer so the probe measures exactly that chunk.
+_chunk_override = None
+
 
 def fused_vmem_bytes(hp: int, pp: int, bp: int, compute_dtype=jnp.float32,
                      ch: int = DEFAULT_CHUNK) -> int:
@@ -361,7 +365,18 @@ def pick_chunk(T: int, hp: int, pp: int, bp: int,
     DEVICE-VALIDATED per storage dtype on the flagship shapes: bf16
     CH=16 compiles and runs; f32 CH=8 was observed to overflow (17.7M >
     16M scoped vmem), f32 caps at 4. The model then handles width scaling
-    relative to those anchors."""
+    relative to those anchors. Shape points PROBED on this device
+    (ops/vmem_probe.py — Trainer init probes new shapes eagerly) override
+    the model entirely."""
+    if _chunk_override is not None:
+        if T % _chunk_override:
+            raise ValueError(
+                f"chunk override {_chunk_override} does not divide T={T}")
+        return _chunk_override
+    from lstm_rnn_tpu.ops.vmem_probe import lookup_chunk
+    probed = lookup_chunk(T, hp, pp, bp, compute_dtype)
+    if probed is not None:
+        return probed
     sz = _storage(compute_dtype).itemsize
     budget = VMEM_BUDGET[sz]
     ch = DEFAULT_CHUNK if sz == 2 else 4

@@ -39,11 +39,19 @@ def _cache_path() -> str:
 def _load() -> Dict[str, bool]:
     global _MEM
     if _MEM is None:
-        try:
-            with open(_cache_path()) as f:
-                _MEM = {k: bool(v) for k, v in json.load(f).items()}
-        except (OSError, ValueError):
-            _MEM = {}
+        # packaged defaults: verdicts probed on known device kinds ship with
+        # the framework (vmem_probe_defaults.json), so fresh machines get
+        # the validated flagship chunks without paying the probe compiles;
+        # the user cache overrides/extends them
+        _MEM = {}
+        defaults = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "vmem_probe_defaults.json")
+        for path in (defaults, _cache_path()):
+            try:
+                with open(path) as f:
+                    _MEM.update({k: bool(v) for k, v in json.load(f).items()})
+            except (OSError, ValueError):
+                pass
     return _MEM
 
 

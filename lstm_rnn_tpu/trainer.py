@@ -134,19 +134,36 @@ class Trainer:
                 # VMEM guard: very wide cells would not fit the fused
                 # kernels' resident blocks (weights, dW accumulators and
                 # double-buffered streams); fall back to the exact layout
-                # (lstm_forward's own guard then picks lax.scan). Uses the
-                # same per-layer estimate as lstm_forward's auto path.
+                # (lstm_forward's own guard then picks lax.scan).
+                # On a REAL TPU each distinct (width, dtype, batch) point is
+                # validated by an eager AOT compile probe recorded on disk
+                # (ops/vmem_probe.py) — the analytic model is only the
+                # CPU/interpret fallback, since interpret-mode tests cannot
+                # catch device scoped-vmem overflows.
                 from lstm_rnn_tpu.ops.lstm_cell import (_storage, fused_fits,
                                                         round_up)
+                on_tpu = (jax.default_backend() == "tpu"
+                          and net.backend in ("auto", "pallas"))
+                import math
                 bgran = 16 if _storage(net.compute_dtype).itemsize == 2 else 8
+                if mesh is not None:
+                    from lstm_rnn_tpu.parallel.mesh import data_axis_size
+                    nd = data_axis_size(mesh)
+                    bgran = bgran * nd // math.gcd(bgran, nd)
                 bp = round_up(
                     max(1, getattr(train_set, "parallel_sequences", 8)), bgran)
                 for spec, (kind, _idx, prev_w, hp) in zip(
                         net.specs[1:-1], net._pad_plan()):
                     if kind != "lstm":
                         continue
-                    if not fused_fits(hp, round_up(prev_w, 128), bp,
-                                      net.compute_dtype):
+                    pp = round_up(prev_w, 128)
+                    if on_tpu:
+                        from lstm_rnn_tpu.ops.vmem_probe import ensure_validated
+                        ok = ensure_validated(16, hp, pp, bp,
+                                              net.compute_dtype) > 0
+                    else:
+                        ok = fused_fits(hp, pp, bp, net.compute_dtype)
+                    if not ok:
                         padded_pipeline = False
                         break
         self.padded = padded_pipeline
