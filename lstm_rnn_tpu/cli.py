@@ -193,7 +193,8 @@ def train_mode(cfg: Config) -> int:
                     uniform_min=cfg.weights_uniform_min,
                     uniform_max=cfg.weights_uniform_max,
                     normal_mean=cfg.weights_normal_mean,
-                    normal_sigma=cfg.weights_normal_sigma)
+                    normal_sigma=cfg.weights_normal_sigma,
+                    init_rng=cfg.init_rng)
     _print_layers(net)
 
     if cfg.optimizer != "steepest_descent":

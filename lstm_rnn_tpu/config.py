@@ -110,6 +110,11 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--weights_uniform_max", type=float, default=0.1)
     g.add_argument("--weights_normal_sigma", type=float, default=0.1)
     g.add_argument("--weights_normal_mean", type=float, default=0.0)
+    g.add_argument("--init_rng", default="numpy",
+                   choices=["numpy", "currennt"],
+                   help="'currennt' replays the reference's boost::mt19937 "
+                        "init stream so same-seed runs start byte-identical "
+                        "to the reference (uniform init only)")
 
     g = p.add_argument_group("TPU options (extensions)")
     g.add_argument("--device", default="auto", choices=["auto", "cpu", "tpu"])

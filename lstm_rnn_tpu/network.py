@@ -150,9 +150,50 @@ class Network:
     # ------------------------------------------------------------------- init
     def init_params(self, seed: int, dist: str = "uniform",
                     uniform_min: float = -0.1, uniform_max: float = 0.1,
-                    normal_mean: float = 0.0, normal_sigma: float = 0.1) -> None:
+                    normal_mean: float = 0.0, normal_sigma: float = 0.1,
+                    init_rng: str = "numpy") -> None:
         """Randomly initialize any layer missing from the weights section
-        (TrainableLayer.cu:103-125 semantics; RNG stream differs)."""
+        (TrainableLayer.cu:103-125 semantics).
+
+        init_rng "numpy" (default) matches the reference's distributions
+        with an independent stream; "currennt" REPLAYS the reference's
+        boost::mt19937 stream exactly — one engine seeded once, each
+        layer's weights drawn sequentially in the flat
+        [input|bias|internal] storage order — so same-seed runs produce
+        byte-identical initial networks (utils/rng_compat.py)."""
+        if init_rng == "currennt":
+            from lstm_rnn_tpu.utils.rng_compat import (CurrenntInitStream,
+                                                       currennt_init_flat)
+            stream = CurrenntInitStream(seed)
+            prev = self.specs[0].size
+            for s in self.specs[1:-1]:
+                need = s.name not in self.params
+                if s.type in ioc.LSTM_TYPES:
+                    bidir = ioc.LSTM_TYPES[s.type]
+                    els = s.size // (2 if bidir else 1)
+                    # size*(inputWeightsPerBlock*(prev+1) + internalPerBlock)
+                    # with 4 input weights and 4*els+3 internal weights per
+                    # block (TrainableLayer.cu:104, LstmLayer.hpp:36-55)
+                    n = s.size * (4 * (prev + 1) + 4 * els + 3)
+                    if need:
+                        flat = currennt_init_flat(stream, n, dist,
+                                                  uniform_min, uniform_max)
+                        n_in = 4 * s.size * prev
+                        n_b = 4 * s.size
+                        self.params[s.name] = ioc.lstm_from_flat(
+                            flat[:n_in], flat[n_in:n_in + n_b],
+                            flat[n_in + n_b:], prev, s.size, bidir)
+                else:
+                    n = s.size * (prev + 1)
+                    if need:
+                        flat = currennt_init_flat(stream, n, dist,
+                                                  uniform_min, uniform_max)
+                        self.params[s.name] = ioc.ff_from_flat(
+                            flat[:s.size * prev], flat[s.size * prev:],
+                            prev, s.size)
+                prev = s.size
+            return
+
         rng = np.random.RandomState(seed & 0x7FFFFFFF)
 
         def draw(shape):

@@ -174,9 +174,10 @@ def _fwd_kernel(lengths_ref, x_ref, w_in_ref, w_rec_ref, peep_ref, bias_ref,
 
 
 def _bwd_kernel(lengths_ref, x_ref, dh_ref, g_ref, c_ref, cb_ref,
-                h_ref, hb_ref, w_rec_ref, peep_ref,
-                da_ref, dwin_ref, dwrec_ref, dpeep_ref, dbias_ref,
-                da_scr, cse_scr, fg_scr, *, T, CH, NC, clip, precision):
+                h_ref, hb_ref, w_in_ref, w_rec_ref, peep_ref,
+                dx_ref, dwin_ref, dwrec_ref, dpeep_ref, dbias_ref,
+                dac_scr, da_scr, cse_scr, fg_scr,
+                *, T, CH, NC, clip, precision):
     """BPTT over saved gates, walking each direction's scan in reverse.
 
     The cross-chunk c_prev / h_prev come from the forward pass's boundary
@@ -184,8 +185,11 @@ def _bwd_kernel(lengths_ref, x_ref, dh_ref, g_ref, c_ref, cb_ref,
     (ComputeWeightUpdateFn, LstmLayer.cu:289-512) accumulate IN-KERNEL into
     revisited per-direction output blocks — one [P, CH*B] x [CH*B, 4H] MXU
     matmul per chunk for dW_in, one for dW_rec, VPU row-reductions for
-    dpeep/dbias — so the delta tensor is not re-read from HBM three times
-    by outside einsums."""
+    dpeep/dbias. The preceding-layer error (LstmLayer.cu:990-1009) is ALSO
+    computed in-kernel per chunk (dx = da . W_in^T) while the deltas sit in
+    VMEM scratch — the [D, T, B, 4H] delta tensor never exists in HBM at
+    all (it used to be written once and re-read by an outside dx einsum:
+    the largest remaining HBM stream of the backward pass)."""
     d = pl.program_id(0)
     k = pl.program_id(1)
 
@@ -202,7 +206,7 @@ def _bwd_kernel(lengths_ref, x_ref, dh_ref, g_ref, c_ref, cb_ref,
     B, H = cse_scr.shape
     chunk = _chunk_of(d, k, NC, True)
     w = w_rec_ref[0]
-    sdtype = da_ref.dtype
+    sdtype = dac_scr.dtype
     p_ig = peep_ref[0, 0:1, :]
     p_fg = peep_ref[0, 1:2, :]
     p_og = peep_ref[0, 2:3, :]
@@ -261,18 +265,18 @@ def _bwd_kernel(lengths_ref, x_ref, dh_ref, g_ref, c_ref, cb_ref,
             da_next = da
             cse_next = cs_err * m
             fg_next = fg * m
-            da_ref[0, j] = da.astype(sdtype)
+            dac_scr[j] = da.astype(sdtype)
         da_scr[...] = da_next
         cse_scr[...] = cse_next
         fg_scr[...] = fg_next
 
         # ---- chunk-level weight-gradient accumulation (all rows masked) ----
-        # the chunk's deltas are READ BACK from the just-written (still
-        # VMEM-resident) output block and the scan-previous h/c rows are
-        # rebuilt from the h/c blocks + the neighbor chunk's boundary row —
-        # keeping per-row f32 value lists alive across the unrolled loop
-        # blew Mosaic's scoped-vmem stack (observed 18.7M > 16M in f32)
-        da_flat = da_ref[0].reshape(CH * B, 4 * H)
+        # the chunk's deltas are READ BACK from the (VMEM-resident) scratch
+        # block and the scan-previous h/c rows are rebuilt from the h/c
+        # blocks + the neighbor chunk's boundary row — keeping per-row f32
+        # value lists alive across the unrolled loop blew Mosaic's
+        # scoped-vmem stack (observed 18.7M > 16M in f32)
+        da_flat = dac_scr[...].reshape(CH * B, 4 * H)
         P = x_ref.shape[-1]
         dwin_ref[0] += jax.lax.dot_general(
             x_ref[...].reshape(CH * B, P), da_flat.astype(x_ref.dtype),
@@ -303,6 +307,15 @@ def _bwd_kernel(lengths_ref, x_ref, dh_ref, g_ref, c_ref, cb_ref,
         dpeep_ref[0, 1] += jnp.sum(cprev_flat * da_f32[:, 2 * H:3 * H], axis=0)
         dpeep_ref[0, 2] += jnp.sum(c_flat * da_f32[:, 3 * H:4 * H], axis=0)
         dbias_ref[0, 0, :] += jnp.sum(da_f32, axis=0)
+
+        # ---- preceding-layer error for this chunk (plErrors GEMMs,
+        # LstmLayer.cu:990-1009): one [CH*B, 4H] x [P, 4H]^T MXU matmul
+        # over the resident deltas; per-direction planes, summed outside
+        dx_ref[0] = jax.lax.dot_general(
+            da_flat, w_in_ref[0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision).reshape(CH, B, P).astype(dx_ref.dtype)
 
     # d=0's scan ascends time -> BPTT walks the chunk descending; d=1's scan
     # descends -> BPTT ascends
@@ -346,10 +359,11 @@ def fused_vmem_bytes(hp: int, pp: int, bp: int, compute_dtype=jnp.float32,
            + 2 * ch * bp * (s * (pp + hp + h4) + 4 * hp)  # x, h, gates, c
            + 4 * ch * bp * h4                        # a_all f32 temp
            + 4 * bp * 2 * hp)                        # scratch
-    bwd = (2 * s * hp * h4                           # W_rec
+    bwd = (2 * s * (hp + pp) * h4                    # W_rec + W_in resident
            + 4 * (pp * h4 + hp * h4)                 # dW_in + dW_rec accum
-           + 2 * ch * bp * (s * (pp + 2 * hp + 2 * h4) + 4 * hp)  # streams
-           + 4 * bp * (h4 + 2 * hp))                 # scratch
+           + 2 * ch * bp * (s * (2 * pp + 2 * hp + h4) + 4 * hp)  # streams
+           + ch * bp * h4 * s                        # delta scratch
+           + 4 * bp * (h4 + 2 * hp))                 # carry scratch
     return max(fwd, bwd)
 
 
@@ -517,28 +531,31 @@ def _fused_bwd(bias_mult, clip, interpret, compute_dtype, residuals, dh):
             _block((CH, B, H), lambda d, k: (_chunk_of(d, k, NC, True),
                                              0, d)),  # h (for dW_rec)
             _block((1, 1, B, H), _nb_index(NC)),  # scan-prev chunk's last h
+            _block((1, P, H4), lambda d, k: (d, 0, 0)),  # W_in (for dx)
             _block((1, H, H4), lambda d, k: (d, 0, 0)),
             _block((1, 3, H), lambda d, k: (d, 0, 0)),
         ],
         out_specs=[
-            _block((1, CH, B, H4), idx),
+            # per-direction preceding-layer error planes (summed outside)
+            _block((1, CH, B, P), idx),
             _block((1, P, H4), lambda d, k: (d, 0, 0)),   # dW_in accum
             _block((1, H, H4), lambda d, k: (d, 0, 0)),   # dW_rec accum
             _block((1, 3, H), lambda d, k: (d, 0, 0)),    # dpeep accum
             _block((1, 1, H4), lambda d, k: (d, 0, 0)),   # dbias accum
         ],
         scratch_shapes=[
+            pltpu.VMEM((CH, B, H4), sdtype),   # the chunk's deltas
             pltpu.VMEM((B, H4), jnp.float32),
             pltpu.VMEM((B, H), jnp.float32),
             pltpu.VMEM((B, H), jnp.float32),
         ],
     )
-    da, dw_in, dw_rec, dpeep, dbias = pl.pallas_call(
+    dxd, dw_in, dw_rec, dpeep, dbias = pl.pallas_call(
         functools.partial(_bwd_kernel, T=T, CH=CH, NC=NC, clip=clip,
                           precision=prec),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((D, T, B, H4), sdtype),
+            jax.ShapeDtypeStruct((D, T, B, P), sdtype),
             jax.ShapeDtypeStruct((D, P, H4), jnp.float32),
             jax.ShapeDtypeStruct((D, H, H4), jnp.float32),
             jax.ShapeDtypeStruct((D, 3, H), jnp.float32),
@@ -546,18 +563,17 @@ def _fused_bwd(bias_mult, clip, interpret, compute_dtype, residuals, dh):
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * D * T * B * (2 * H + P) * H4 + 30 * D * T * B * H,
-            bytes_accessed=(D * T * B * (2 * H4 + 2 * H) * sdtype.itemsize
+            flops=2 * D * T * B * (2 * H + 2 * P) * H4 + 30 * D * T * B * H,
+            bytes_accessed=(D * T * B * (H4 + 2 * H + P) * sdtype.itemsize
                             + 2 * T * B * P * sdtype.itemsize
                             + 4 * D * T * B * H),
             transcendentals=D * T * B * H,
         ),
     )(lengths_2d, x.astype(compute_dtype), dh.astype(sdtype), gates, c, cb,
-      h, hb, w_rec_c, peep)
+      h, hb, w_in_c, w_rec_c, peep)
 
-    dx = jnp.einsum("dtbg,dpg->tbp", da, w_in_c,
-                    preferred_element_type=jnp.float32,
-                    precision=prec).astype(x.dtype)
+    dx = (jnp.sum(dxd.astype(jnp.float32), axis=0) if D > 1
+          else dxd[0].astype(jnp.float32)).astype(x.dtype)
     dbias = bias_mult * dbias[:, 0, :]
     return dx, dw_in, dw_rec, dpeep, dbias, None
 

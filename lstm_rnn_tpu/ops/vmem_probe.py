@@ -72,9 +72,14 @@ def _device_kind() -> str:
     return jax.devices()[0].device_kind.replace(" ", "_")
 
 
+# Bump whenever the fused kernels' VMEM footprint changes shape — stale
+# verdicts for an older kernel must not leak into the new one.
+KERNEL_VERSION = "k2"
+
+
 def _key(hp: int, pp: int, bp: int, ch: int, compute_dtype) -> str:
     from lstm_rnn_tpu.ops.lstm_cell import _storage
-    return (f"{_device_kind()}|h{hp}|p{pp}|b{bp}|c{ch}|"
+    return (f"{_device_kind()}|{KERNEL_VERSION}|h{hp}|p{pp}|b{bp}|c{ch}|"
             f"{_storage(compute_dtype).name}")
 
 
