@@ -183,6 +183,9 @@ def train_mode(cfg: Config) -> int:
     val_set = _load_dataset(cfg, "val")
     test_set = _load_dataset(cfg, "test")
 
+    if cfg.f32_matmul == "3x":
+        from lstm_rnn_tpu.ops import lstm_cell
+        lstm_cell.F32_MATMUL_3X = True
     net = Network(net_doc["layers"], net_doc.get("weights"),
                   input_size_override=train_set.input_pattern_size,
                   backend=cfg.lstm_backend,

@@ -128,6 +128,11 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--bucket_lengths", type=_str2bool, default=False)
     g.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    g.add_argument("--f32_matmul", default="6x", choices=["6x", "3x"],
+                   help="float32 matmul emulation on the MXU: 6x = "
+                        "bit-faithful f32 (parity default), 3x = hi/lo "
+                        "bf16 decomposition (~2x throughput, ~5e-7 "
+                        "relative matmul error)")
     g.add_argument("--lstm_backend", default="auto",
                    choices=["auto", "scan", "pallas"],
                    help="LSTM recurrence implementation")

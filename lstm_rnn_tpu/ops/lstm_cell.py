@@ -63,6 +63,41 @@ from lstm_rnn_tpu.ops.activations import logistic, tanh2
 
 DEFAULT_CHUNK = 16
 
+# Process-wide float32 matmul mode (set via --f32_matmul 3x / bench flags):
+# False = 6-pass bf16 emulation (Precision.HIGHEST — bit-faithful f32, the
+# parity default); True = manual 3-pass hi/lo bf16 decomposition inside the
+# kernels (~2x the MXU throughput, ~5e-7 relative matmul error vs f32's
+# ~1e-7 — Mosaic supports only DEFAULT (1-pass bf16, 2e-3 error: too
+# lossy) and HIGHEST, so the 3-pass split is built by hand). Read at trace
+# time; irrelevant in bfloat16 mode.
+F32_MATMUL_3X = False
+
+
+def _use3(compute_dtype) -> bool:
+    return (F32_MATMUL_3X
+            and jnp.dtype(compute_dtype) == jnp.dtype(jnp.float32))
+
+
+def _kdot(a, b, dims, precision, use3: bool):
+    """dot_general with optional 3-pass bf16 decomposition for f32 operands:
+    a = hi(a) + lo(a) in bf16, product ~= hi.hi + hi.lo + lo.hi (the lo.lo
+    term is below f32 round-off). DEFAULT precision on the bf16 passes."""
+    if not use3:
+        return jax.lax.dot_general(a, b, dimension_numbers=dims,
+                                   preferred_element_type=jnp.float32,
+                                   precision=precision)
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def d(x, y):
+        return jax.lax.dot_general(x, y, dimension_numbers=dims,
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.DEFAULT)
+
+    return d(ah, bh) + d(ah, bl) + d(al, bh)
+
 
 def round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
@@ -104,9 +139,25 @@ def _valid(lengths_ref, t):
     return (lengths_ref[:, 0:1] > t).astype(jnp.float32)
 
 
+def _cell_acts(fast: bool):
+    """(sigma, tanh) used inside the kernels.
+
+    Parity mode (f32 storage): the CURRENNT-exact forms — logistic with the
+    reference's hard +-expLimit saturation branches and tanh as
+    2*sigma(2x)-1 (Tanh.cuh). bf16 fast mode: the saturation selects only
+    change values beyond |x|=88.7 (a denormal ~1e-38 vs an exact 0 — far
+    below bf16 resolution) and native tanh == 2*sigma(2x)-1 to f32
+    round-off, so both collapse to the plain VPU transcendentals; the cell
+    runs ~10 fewer vector ops per step, which matters because the forward
+    kernel is VPU-bound (RESULTS.md roofline)."""
+    if fast:
+        return jax.nn.sigmoid, jnp.tanh
+    return logistic, tanh2
+
+
 def _fwd_kernel(lengths_ref, x_ref, w_in_ref, w_rec_ref, peep_ref, bias_ref,
                 h_out_ref, c_out_ref, g_out_ref, cb_out_ref, hb_out_ref,
-                h_scr, c_scr, *, T, CH, NC, bias_mult, precision):
+                h_scr, c_scr, *, T, CH, NC, bias_mult, precision, use3, fast):
     """One direction's chunk per program. Blocks arrive pre-indexed (leading
     dim 1); the inner loop order and the mask time are direction-dependent."""
     d = pl.program_id(0)
@@ -121,6 +172,7 @@ def _fwd_kernel(lengths_ref, x_ref, w_in_ref, w_rec_ref, peep_ref, bias_ref,
     chunk = _chunk_of(d, k, NC, False)
     w = w_rec_ref[0]
     sdtype = g_out_ref.dtype
+    logistic, tanh2 = _cell_acts(fast)
     p_ig = peep_ref[0, 0:1, :]
     p_fg = peep_ref[0, 1:2, :]
     p_og = peep_ref[0, 2:3, :]
@@ -128,10 +180,8 @@ def _fwd_kernel(lengths_ref, x_ref, w_in_ref, w_rec_ref, peep_ref, bias_ref,
     # the whole chunk's input projections in one MXU matmul; bias folded in
     # ((CH, B, P) -> (CH*B, P) merges tile-aligned leading dims: free)
     P = x_ref.shape[-1]
-    a_all = jax.lax.dot_general(
-        x_ref[...].reshape(CH * B, P), w_in_ref[0],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision)
+    a_all = _kdot(x_ref[...].reshape(CH * B, P), w_in_ref[0],
+                  (((1,), (0,)), ((), ())), precision, use3)
     a_all = a_all + bias_ref[pl.ds(d, 1), :] * bias_mult
 
     def run(js):
@@ -139,10 +189,9 @@ def _fwd_kernel(lengths_ref, x_ref, w_in_ref, w_rec_ref, peep_ref, bias_ref,
         c = c_scr[...]
         for j in js:
             t = chunk * CH + j
-            a = a_all[j * B:(j + 1) * B] + jax.lax.dot_general(
+            a = a_all[j * B:(j + 1) * B] + _kdot(
                 h.astype(w.dtype), w,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision)
+                (((1,), (0,)), ((), ())), precision, use3)
             ni = tanh2(a[:, 0 * H:1 * H])
             ig = logistic(a[:, 1 * H:2 * H] + c * p_ig)
             fg = logistic(a[:, 2 * H:3 * H] + c * p_fg)
@@ -177,7 +226,7 @@ def _bwd_kernel(lengths_ref, x_ref, dh_ref, g_ref, c_ref, cb_ref,
                 h_ref, hb_ref, w_in_ref, w_rec_ref, peep_ref,
                 dx_ref, dwin_ref, dwrec_ref, dpeep_ref, dbias_ref,
                 dac_scr, da_scr, cse_scr, fg_scr,
-                *, T, CH, NC, clip, precision):
+                *, T, CH, NC, clip, precision, use3, fast):
     """BPTT over saved gates, walking each direction's scan in reverse.
 
     The cross-chunk c_prev / h_prev come from the forward pass's boundary
@@ -207,6 +256,7 @@ def _bwd_kernel(lengths_ref, x_ref, dh_ref, g_ref, c_ref, cb_ref,
     chunk = _chunk_of(d, k, NC, True)
     w = w_rec_ref[0]
     sdtype = dac_scr.dtype
+    logistic, tanh2 = _cell_acts(fast)
     p_ig = peep_ref[0, 0:1, :]
     p_fg = peep_ref[0, 1:2, :]
     p_og = peep_ref[0, 2:3, :]
@@ -234,10 +284,9 @@ def _bwd_kernel(lengths_ref, x_ref, dh_ref, g_ref, c_ref, cb_ref,
             fg = gg[:, 2 * H:3 * H]
             og = gg[:, 3 * H:4 * H]
 
-            e = dh_ref[j].astype(jnp.float32) + jax.lax.dot_general(
+            e = dh_ref[j].astype(jnp.float32) + _kdot(
                 da_next.astype(w.dtype), w,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision)
+                (((1,), (1,)), ((), ())), precision, use3)
 
             tanh_c = tanh2(c)
             og_delta = og * (1.0 - og) * tanh_c * e
@@ -278,10 +327,9 @@ def _bwd_kernel(lengths_ref, x_ref, dh_ref, g_ref, c_ref, cb_ref,
         # scoped-vmem stack (observed 18.7M > 16M in f32)
         da_flat = dac_scr[...].reshape(CH * B, 4 * H)
         P = x_ref.shape[-1]
-        dwin_ref[0] += jax.lax.dot_general(
+        dwin_ref[0] += _kdot(
             x_ref[...].reshape(CH * B, P), da_flat.astype(x_ref.dtype),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision)
+            (((0,), (0,)), ((), ())), precision, use3)
 
         def scan_prev_rows(full, bound):
             """[CH, B, H] scan-previous rows: shift within the chunk, the
@@ -296,10 +344,9 @@ def _bwd_kernel(lengths_ref, x_ref, dh_ref, g_ref, c_ref, cb_ref,
                 [full[1:].astype(jnp.float32), bv[None]], axis=0)
 
         h_prev = scan_prev_rows(h_ref[...], hb_ref[0, 0].astype(jnp.float32))
-        dwrec_ref[0] += jax.lax.dot_general(
+        dwrec_ref[0] += _kdot(
             h_prev.reshape(CH * B, H).astype(w.dtype), da_flat.astype(w.dtype),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision)
+            (((0,), (0,)), ((), ())), precision, use3)
         cprev_flat = scan_prev_rows(c_ref[0], cb_ref[0, 0]).reshape(CH * B, H)
         c_flat = c_ref[0].reshape(CH * B, H)
         da_f32 = da_flat.astype(jnp.float32)
@@ -311,11 +358,10 @@ def _bwd_kernel(lengths_ref, x_ref, dh_ref, g_ref, c_ref, cb_ref,
         # ---- preceding-layer error for this chunk (plErrors GEMMs,
         # LstmLayer.cu:990-1009): one [CH*B, 4H] x [P, 4H]^T MXU matmul
         # over the resident deltas; per-direction planes, summed outside
-        dx_ref[0] = jax.lax.dot_general(
+        dx_ref[0] = _kdot(
             da_flat, w_in_ref[0],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision).reshape(CH, B, P).astype(dx_ref.dtype)
+            (((1,), (1,)), ((), ())), precision,
+            use3).reshape(CH, B, P).astype(dx_ref.dtype)
 
     # d=0's scan ascends time -> BPTT walks the chunk descending; d=1's scan
     # descends -> BPTT ascends
@@ -477,7 +523,9 @@ def _fwd_impl(x, w_in, w_rec, peep, bias, lengths, bias_mult, interpret,
     )
     h, c, gates, cb, hb = pl.pallas_call(
         functools.partial(_fwd_kernel, T=T, CH=CH, NC=NC,
-                          bias_mult=bias_mult, precision=prec),
+                          bias_mult=bias_mult, precision=prec,
+                          use3=_use3(compute_dtype),
+                          fast=sdtype == jnp.dtype(jnp.bfloat16)),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((T, B, D * H), sdtype),
@@ -552,7 +600,8 @@ def _fused_bwd(bias_mult, clip, interpret, compute_dtype, residuals, dh):
     )
     dxd, dw_in, dw_rec, dpeep, dbias = pl.pallas_call(
         functools.partial(_bwd_kernel, T=T, CH=CH, NC=NC, clip=clip,
-                          precision=prec),
+                          precision=prec, use3=_use3(compute_dtype),
+                          fast=sdtype == jnp.dtype(jnp.bfloat16)),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((D, T, B, P), sdtype),

@@ -78,9 +78,10 @@ KERNEL_VERSION = "k2"
 
 
 def _key(hp: int, pp: int, bp: int, ch: int, compute_dtype) -> str:
-    from lstm_rnn_tpu.ops.lstm_cell import _storage
+    from lstm_rnn_tpu.ops.lstm_cell import _storage, _use3
+    mode = "x3" if _use3(compute_dtype) else ""
     return (f"{_device_kind()}|{KERNEL_VERSION}|h{hp}|p{pp}|b{bp}|c{ch}|"
-            f"{_storage(compute_dtype).name}")
+            f"{_storage(compute_dtype).name}{mode}")
 
 
 def lookup_chunk(T: int, hp: int, pp: int, bp: int,

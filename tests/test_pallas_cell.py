@@ -141,3 +141,36 @@ def test_layer_level_with_padding(rng, bidirectional):
     for k in g_ref:
         np.testing.assert_allclose(np.asarray(g_pal[k]), np.asarray(g_ref[k]),
                                    rtol=5e-4, atol=5e-4, err_msg=k)
+
+
+def test_f32_matmul_3x_close_to_exact(rng):
+    """--f32_matmul 3x (hi/lo bf16 decomposition): same kernels, ~5e-7
+    relative matmul error — outputs and gradients must track the exact
+    6-pass mode tightly."""
+    from lstm_rnn_tpu.ops import lstm_cell as lc
+
+    D, T, B, H = 2, 32, 8, 128
+    acts, w_rec, peep, lengths = _setup(rng, D, T, B, H, scale=0.3)
+    bias = jnp.zeros((D, 4 * H), jnp.float32)
+
+    def run():
+        def loss(w_rec):
+            y = _fused_from_acts(jnp.asarray(acts), w_rec,
+                                 jnp.asarray(peep), bias,
+                                 jnp.asarray(lengths), 1.0, True, True)
+            return jnp.sum(y * y), y
+
+        (l, y), g = jax.value_and_grad(loss, has_aux=True)(jnp.asarray(w_rec))
+        return float(l), np.asarray(y), np.asarray(g)
+
+    l0, y0, g0 = run()
+    old = lc.F32_MATMUL_3X
+    lc.F32_MATMUL_3X = True
+    try:
+        l1, y1, g1 = run()
+    finally:
+        lc.F32_MATMUL_3X = old
+    assert abs(l1 - l0) < 1e-4 * abs(l0)
+    np.testing.assert_allclose(y1, y0, rtol=0, atol=5e-5)
+    scale = np.abs(g0).max()
+    np.testing.assert_allclose(g1, g0, rtol=0, atol=1e-4 * scale)
