@@ -40,6 +40,12 @@ def _str2bool(v: str) -> bool:
 DEFAULT_UINT_MAX = 2**32 - 1
 
 
+def _bucket_arg(v: str):
+    if isinstance(v, str) and v.lower() == "single":
+        return "single"
+    return _str2bool(v)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="currennt",
@@ -125,7 +131,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(must divide num_devices; builds a 2-D DP x TP "
                         "mesh). 0 = auto-engage when a cell exceeds the "
                         "single-chip fused-kernel VMEM budget")
-    g.add_argument("--bucket_lengths", type=_str2bool, default=False)
+    g.add_argument("--bucket_lengths", type=_bucket_arg, default=False,
+                   help="false = exact lengths, true = power-of-2 bucket "
+                        "inventory, single = one bucket at the corpus max "
+                        "(uniform shapes: the whole epoch fuses into one "
+                        "scan dispatch)")
     g.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
     g.add_argument("--f32_matmul", default="6x", choices=["6x", "3x"],

@@ -116,6 +116,37 @@ class Fraction:
     def max_seq_length(self) -> int:
         return self.inputs.shape[0]
 
+    @property
+    def shape(self):
+        """Padded [T, B, in] shape (grouping key for fused scans)."""
+        return self.inputs.shape
+
+
+class LazyFraction:
+    """Deferred fraction: key + shape known up front, arrays assembled on
+    first access. When the Trainer's device cache hits, the (per-epoch
+    identical) 10s-of-MB padded host assembly is skipped entirely —
+    measured as the dominant steady-state epoch cost once transfers were
+    cached (the reference re-reads its disk cache every epoch instead,
+    DataSet.cpp:550-566)."""
+
+    __slots__ = ("key", "shape", "_ds", "_idx", "_real")
+
+    def __init__(self, ds, first_idx, key, shape):
+        self.key = key
+        self.shape = shape
+        self._ds = ds
+        self._idx = first_idx
+        self._real = None
+
+    def _materialize(self):
+        if self._real is None:
+            self._real = self._ds._make_fraction(self._idx)
+        return self._real
+
+    def __getattr__(self, name):
+        return getattr(self._materialize(), name)
+
 
 def _bucket_lengths(max_len: int) -> List[int]:
     """Bucket inventory: 16, 24, 32, 48, 64, ... up to >= max_len."""
@@ -208,8 +239,17 @@ class DataSet:
             self.sequences.sort(key=lambda s: s.length)
         for i, s in enumerate(self.sequences):
             s.uid = i  # stable id for fraction-level device caching
-        self._buckets = (_bucket_lengths(self.max_seq_length)
-                         if (bucket_lengths and self.sequences) else None)
+        # bucket_lengths: False = exact fraction lengths, True = power-of-2
+        # inventory (few compiles, modest padding), "single" = ONE bucket at
+        # the corpus max (every fraction the same shape — maximal padding,
+        # but the whole epoch can run as one fused scan dispatch, which
+        # wins on dispatch-latency-dominated links like a remote tunnel)
+        if bucket_lengths == "single" and self.sequences:
+            self._buckets = [self.max_seq_length]
+        elif bucket_lengths and self.sequences:
+            self._buckets = _bucket_lengths(self.max_seq_length)
+        else:
+            self._buckets = None
 
     # ----------------------------------------------------------------- loading
     def _load_file(self, path: str, fraction: float, trunc: int, first: bool):
@@ -403,6 +443,25 @@ class DataSet:
                         seq_info=info, key=key)
 
     # --------------------------------------------------------------- iteration
+    def fraction_meta(self, first_idx: int):
+        """(cache key, padded input shape) of a fraction WITHOUT assembling
+        it — what LazyFraction exposes up front."""
+        b = self.parallel_sequences
+        seqs = self.sequences[first_idx:first_idx + b]
+        key = None
+        if self.noise_deviation == 0.0 and not self.sequence_shuffling:
+            key = (self._cache_token,) + tuple(s.uid for s in seqs)
+        t_pad = self._padded_length(max(s.length for s in seqs))
+        ctx = self.left_context + self.right_context + 1
+        return key, (t_pad, len(seqs), self.input_pattern_size * ctx)
+
+    def lazy_fractions(self):
+        """One epoch of LazyFraction handles (no prefetch thread — callers
+        that cache on device skip most assemblies entirely)."""
+        for s in self._shuffle():
+            key, shape = self.fraction_meta(s)
+            yield LazyFraction(self, s, key, shape)
+
     def fractions(self):
         """One epoch of fractions; shuffles (if enabled) at epoch start and
         prefetches assembly on a background thread (DataSet.cpp:632-668)."""

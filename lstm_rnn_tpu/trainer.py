@@ -265,51 +265,37 @@ class Trainer:
             grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, grads)
             return grad_acc, err, correct
 
-        def sgd_update_masked(params, velocity, grads, valid):
-            """valid==1.0: exactly sgd_update; valid==0.0: params/velocity
-            pass through untouched (a padded dummy fraction must not even
-            apply the momentum decay). The selects fuse into the update's
-            elementwise chain — no extra HBM passes."""
-            new_v = {}
-            new_p = {}
-            for name, g in grads.items():
-                lr = lrs[name]
-                new_v[name] = jax.tree_util.tree_map(
-                    lambda v, gg: valid * (momentum * v - lr * gg)
-                    + (1.0 - valid) * v, velocity[name], g)
-                new_p[name] = jax.tree_util.tree_map(
-                    lambda p, v: p + valid * v, params[name], new_v[name])
-            return new_p, new_v
+        def train_scan(params, velocity, inputs_k, targets_k, pattypes_k, n):
+            """Up to K stacked same-shape fractions, sequential updates in
+            one jit. The trip count `n` is a DEVICE scalar: one compiled
+            program per shape serves every group size with zero dummy
+            compute (iterations past n never run), so a whole epoch of
+            same-shape fractions is a single dispatch."""
+            def body(i, carry):
+                p, v, e, c = carry
+                err, correct, grads = grad_fraction(
+                    p, inputs_k[i], targets_k[i], pattypes_k[i])
+                p, v = sgd_update(p, v, grads)
+                return (p, v, e + err, c + correct)
 
-        def train_scan(params, velocity, inputs_k, targets_k, pattypes_k,
-                       valid_k):
-            """K stacked same-shape fractions, sequential updates in one
-            jit. valid_k [K] masks padded dummy fractions (partial groups
-            pad to K by repeating a real fraction with valid=0) so one
-            compiled scan per shape serves every group size."""
-            def body(carry, batch):
-                p, v = carry
-                x, t, pt, valid = batch
-                err, correct, grads = grad_fraction(p, x, t, pt)
-                p, v = sgd_update_masked(p, v, grads, valid)
-                return (p, v), (err * valid, correct * valid.astype(correct.dtype))
+            params, velocity, e, c = jax.lax.fori_loop(
+                0, n, body,
+                (params, velocity, jnp.zeros((), jnp.float32),
+                 jnp.zeros((), jnp.int32)))
+            return params, velocity, e, c
 
-            (params, velocity), (errs, corrs) = jax.lax.scan(
-                body, (params, velocity),
-                (inputs_k, targets_k, pattypes_k, valid_k))
-            return params, velocity, jnp.sum(errs), jnp.sum(corrs)
+        def eval_scan(params, inputs_k, targets_k, pattypes_k, n):
+            """Dynamic-count evaluation twin of train_scan (no carry —
+            grouping changes nothing but dispatch count)."""
+            def body(i, carry):
+                e, c = carry
+                err, correct = loss_and_metrics(
+                    params, inputs_k[i], targets_k[i], pattypes_k[i])
+                return (e + err, c + correct)
 
-        def eval_scan(params, inputs_k, targets_k, pattypes_k, valid_k):
-            """K stacked same-shape fractions evaluated in one jit (no
-            carry — grouping changes nothing but dispatch count)."""
-            def body(carry, batch):
-                x, t, pt, valid = batch
-                err, correct = loss_and_metrics(params, x, t, pt)
-                return carry, (err * valid, correct * valid.astype(correct.dtype))
-
-            _, (errs, corrs) = jax.lax.scan(
-                body, 0, (inputs_k, targets_k, pattypes_k, valid_k))
-            return jnp.sum(errs), jnp.sum(corrs)
+            return jax.lax.fori_loop(
+                0, n, body,
+                (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)))
 
         donate = dict(donate_argnums=(0, 1))
         self._train_scan = jax.jit(train_scan, **donate)
@@ -446,6 +432,16 @@ class Trainer:
             return jax.device_put(jnp.stack(parts), sh)
         return jax.jit(lambda xs: jnp.stack(xs), out_shardings=sh)(list(parts))
 
+    def _fractions(self, ds: DataSet):
+        """Lazy handles when the device cache will absorb repeats (host
+        assembly is then skipped on every hit — it dominated steady-state
+        epoch time); the eager prefetching iterator otherwise."""
+        if (self.device_cache and getattr(ds, "noise_deviation", 1.0) == 0.0
+                and not getattr(ds, "sequence_shuffling", False)
+                and hasattr(ds, "lazy_fractions")):
+            return ds.lazy_fractions()
+        return ds.fractions()
+
     def _process_dataset(self, ds: DataSet, update: bool):
         use_noise = update and self.weight_noise_sigma > 0
         grad_acc = None
@@ -475,41 +471,40 @@ class Trainer:
 
             def stack_group(pending):
                 """Per-fraction device batches (cache-aware), stacked ON
-                DEVICE — cached fractions transfer nothing. Pads the group
-                to `fuse` with the last fraction's arrays, valid=0."""
+                DEVICE — cached fractions transfer nothing. The stack is
+                always K=fuse wide (one compiled program per shape): short
+                groups repeat the last fraction's arrays, which the dynamic
+                trip count never reads."""
                 devs = [self._device_batch(f) for f in pending]
                 n = len(devs)
                 devs = devs + [devs[-1]] * (fuse - n)
-                valid = np.zeros((fuse,), np.float32)
-                valid[:n] = 1.0
                 xk = self._stack_parts([p[0] for p in devs])
                 tk = self._stack_parts([p[1] for p in devs])
                 pk = self._stack_parts([p[2] for p in devs])
+                nk = np.int32(n)
                 if self.mesh is not None:
                     from lstm_rnn_tpu.parallel.mesh import replicate
-                    vk = replicate(self.mesh, valid)
-                else:
-                    vk = jnp.asarray(valid)
-                return xk, tk, pk, vk
+                    nk = replicate(self.mesh, nk)
+                return xk, tk, pk, nk
 
             pending = []
 
             def flush():
                 if not pending:
                     return
-                xk, tk, pk, vk = stack_group(pending)
+                xk, tk, pk, nk = stack_group(pending)
                 if update:
                     self.params, self.velocity, err, corr = self._train_scan(
-                        self.params, self.velocity, xk, tk, pk, vk)
+                        self.params, self.velocity, xk, tk, pk, nk)
                 else:
-                    err, corr = self._eval_scan(self.params, xk, tk, pk, vk)
+                    err, corr = self._eval_scan(self.params, xk, tk, pk, nk)
                 errs.append(err)
                 corrs.append(corr)
                 pending.clear()
 
             last_shape = None
-            for frac in ds.fractions():
-                shape = frac.inputs.shape
+            for frac in self._fractions(ds):
+                shape = frac.shape
                 if pending and (shape != last_shape or len(pending) >= fuse):
                     flush()
                 pending.append(frac)
@@ -517,7 +512,7 @@ class Trainer:
             flush()
             return self._sum_metrics(errs, corrs)
 
-        for frac in ds.fractions():
+        for frac in self._fractions(ds):
             inputs, targets, pattypes = self._device_batch(frac)
             if not update:
                 err, corr = self._eval_step(self.params, inputs, targets, pattypes)
