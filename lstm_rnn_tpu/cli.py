@@ -273,31 +273,44 @@ def train_mode(cfg: Config) -> int:
             return f"{cls_err*100:6.2f}%{err:10.3f} |"
         return f"{err:17.3f} |"
 
-    finished = False
+    # pipelined epochs: epoch N+1's device work is dispatched BEFORE epoch
+    # N's scalar metrics are fetched, so the fetch sync and the host-side
+    # dispatch of consecutive epochs overlap device compute. Off under
+    # --autosave (it must serialize post-epoch state). An early stop may
+    # have over-dispatched one epoch — finish_epoch restores the best
+    # weights, so the saved network is identical either way.
+    pipeline = not cfg.autosave
+    finished = trainer.finished  # a restored autosave may already be done
+    pending = None
+    t0 = time.time()
     while not finished:
-        row = f" {trainer.cur_epoch + 1:5d} | "
-        t0 = time.time()
-        if cfg.profile_dir and trainer.cur_epoch == 0:
-            import jax
-            with jax.profiler.trace(cfg.profile_dir):
-                finished = trainer.train_epoch()
-        else:
-            finished = trainer.train_epoch()
+        if pending is None:
+            if cfg.profile_dir and trainer.cur_epoch == 0:
+                import jax
+                with jax.profiler.trace(cfg.profile_dir):
+                    pending = trainer.dispatch_epoch()
+            else:
+                pending = trainer.dispatch_epoch()
+        nxt = None
+        if pipeline and not (max_epochs >= 0
+                             and pending["epoch"] >= max_epochs):
+            nxt = trainer.dispatch_epoch()
+        finished = trainer.finish_epoch(pending)
         duration = time.time() - t0
+        t0 = time.time()
+        row = f" {pending['epoch']:5d} | "
         row += f"{duration:8.1f} |"
         row += fmt_err(trainer.cur_training_error, trainer.cur_training_class_error)
 
-        # gate on ds.empty like the Trainer (trainer.py train_epoch): an
-        # empty validation .nc prints blank columns (main.cpp:251), not a
-        # stale error value
-        has_val = val_set is not None and not val_set.empty
-        did_val = has_val and trainer.cur_epoch % cfg.validate_every == 0
+        # empty validation/test sets print blank columns (main.cpp:251),
+        # not a stale error value (dispatch_epoch gates on ds.empty)
+        did_val = pending["do_val"]
         row += (fmt_err(trainer.cur_validation_error, trainer.cur_validation_class_error)
                 if did_val else err_space)
-        did_test = (test_set is not None and not test_set.empty
-                    and trainer.cur_epoch % cfg.test_every == 0)
+        did_test = pending["do_test"]
         row += (fmt_err(trainer.cur_test_error, trainer.cur_test_class_error)
                 if did_test else err_space)
+        pending = nxt
 
         fps = train_set.total_timesteps / max(duration, 1e-9)
         if did_val:

@@ -99,6 +99,8 @@ class Trainer:
         # over a corpus just above budget — pinning the admitted prefix
         # keeps hit rate ~= budget/corpus there instead.
         self._dev_cache: Dict[Any, list] = {}
+        # per-DataSet epoch-resident stacked corpora (_try_stacked_epoch)
+        self._stacked: Dict[Any, dict] = {}
         self._dev_cache_budget = device_cache_bytes
         self._dev_cache_bytes = 0
         # per-epoch observability (cli prints them in the epoch row)
@@ -265,16 +267,21 @@ class Trainer:
             grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, grads)
             return grad_acc, err, correct
 
-        def train_scan(params, velocity, inputs_k, targets_k, pattypes_k, n):
+        def train_scan(params, velocity, inputs_k, targets_k, pattypes_k,
+                       perm, n):
             """Up to K stacked same-shape fractions, sequential updates in
             one jit. The trip count `n` is a DEVICE scalar: one compiled
             program per shape serves every group size with zero dummy
             compute (iterations past n never run), so a whole epoch of
-            same-shape fractions is a single dispatch."""
+            same-shape fractions is a single dispatch. `perm` [K] maps the
+            iteration order onto stack rows — an epoch-resident stacked
+            corpus then replays any per-epoch fraction shuffle by sending
+            one small index vector instead of restacking."""
             def body(i, carry):
                 p, v, e, c = carry
+                j = perm[i]
                 err, correct, grads = grad_fraction(
-                    p, inputs_k[i], targets_k[i], pattypes_k[i])
+                    p, inputs_k[j], targets_k[j], pattypes_k[j])
                 p, v = sgd_update(p, v, grads)
                 return (p, v, e + err, c + correct)
 
@@ -284,13 +291,14 @@ class Trainer:
                  jnp.zeros((), jnp.int32)))
             return params, velocity, e, c
 
-        def eval_scan(params, inputs_k, targets_k, pattypes_k, n):
+        def eval_scan(params, inputs_k, targets_k, pattypes_k, perm, n):
             """Dynamic-count evaluation twin of train_scan (no carry —
             grouping changes nothing but dispatch count)."""
             def body(i, carry):
                 e, c = carry
+                j = perm[i]
                 err, correct = loss_and_metrics(
-                    params, inputs_k[i], targets_k[i], pattypes_k[i])
+                    params, inputs_k[j], targets_k[j], pattypes_k[j])
                 return (e + err, c + correct)
 
             return jax.lax.fori_loop(
@@ -432,6 +440,69 @@ class Trainer:
             return jax.device_put(jnp.stack(parts), sh)
         return jax.jit(lambda xs: jnp.stack(xs), out_shardings=sh)(list(parts))
 
+    def _put_perm(self, perm: np.ndarray, n: int):
+        """Device placement for the iteration-order vector + trip count."""
+        nk = np.int32(n)
+        if self.mesh is not None:
+            from lstm_rnn_tpu.parallel.mesh import replicate
+            return replicate(self.mesh, perm), replicate(self.mesh, nk)
+        return jnp.asarray(perm), nk
+
+    def _try_stacked_epoch(self, fracs, update: bool, fuse: int):
+        """EPOCH-RESIDENT stacked corpus: when a whole pass is one shape,
+        cacheable, and fits one fused group, the fractions live stacked in
+        HBM permanently (superseding the per-fraction cache entries) and
+        each epoch dispatches ONE fori_loop whose iteration order is a
+        [K] permutation vector — per-epoch fraction shuffling costs a
+        128-byte transfer instead of restacking. Returns (err, corr)
+        device scalars, or None when the pass doesn't qualify (the
+        grouped-flush path then runs)."""
+        if not self.device_cache or not fracs or len(fracs) > fuse:
+            return None
+        keys = [getattr(f, "key", None) for f in fracs]
+        if any(k is None for k in keys):
+            return None
+        if len({f.shape for f in fracs}) != 1:
+            return None
+        token = keys[0][0]  # the DataSet's cache namespace
+        entry = self._stacked.get(token)
+        if entry is None:
+            devs = [self._device_batch(f) for f in fracs]
+            base = devs + [devs[-1]] * (fuse - len(devs))
+            stacks = (self._stack_parts([p[0] for p in base]),
+                      self._stack_parts([p[1] for p in base]),
+                      self._stack_parts([p[2] for p in base]))
+            nbytes = sum(int(a.nbytes) for a in stacks
+                         if hasattr(a, "nbytes"))
+            # the stack supersedes the per-fraction entries just cached
+            for k in keys:
+                old = self._dev_cache.pop(k, None)
+                if old is not None:
+                    self._dev_cache_bytes -= old[1]
+            self._dev_cache_bytes += nbytes
+            entry = {"stacks": stacks, "bytes": nbytes,
+                     "pos": {k: i for i, k in enumerate(keys)}}
+            self._stacked[token] = entry
+        else:
+            pos = entry["pos"]
+            if any(k not in pos for k in keys):
+                # corpus membership changed (e.g. different subset) — drop
+                self._dev_cache_bytes -= entry["bytes"]
+                del self._stacked[token]
+                return self._try_stacked_epoch(fracs, update, fuse)
+            self.cache_hits += len(keys)
+        pos = entry["pos"]
+        perm = np.zeros((fuse,), np.int32)
+        perm[:len(keys)] = [pos[k] for k in keys]
+        perm_d, nk = self._put_perm(perm, len(keys))
+        xk, tk, pk = entry["stacks"]
+        if update:
+            self.params, self.velocity, err, corr = self._train_scan(
+                self.params, self.velocity, xk, tk, pk, perm_d, nk)
+        else:
+            err, corr = self._eval_scan(self.params, xk, tk, pk, perm_d, nk)
+        return err, corr
+
     def _fractions(self, ds: DataSet):
         """Lazy handles when the device cache will absorb repeats (host
         assembly is then skipped on every hit — it dominated steady-state
@@ -468,6 +539,12 @@ class Trainer:
                 if ((update and self.hybrid_online_batch and not use_noise)
                     or not update) else 1)
         if fuse > 1:
+            fracs = list(self._fractions(ds))
+            res = self._try_stacked_epoch(fracs, update, fuse)
+            if res is not None:
+                errs.append(res[0])
+                corrs.append(res[1])
+                return self._sum_metrics(errs, corrs)
 
             def stack_group(pending):
                 """Per-fraction device batches (cache-aware), stacked ON
@@ -481,29 +558,27 @@ class Trainer:
                 xk = self._stack_parts([p[0] for p in devs])
                 tk = self._stack_parts([p[1] for p in devs])
                 pk = self._stack_parts([p[2] for p in devs])
-                nk = np.int32(n)
-                if self.mesh is not None:
-                    from lstm_rnn_tpu.parallel.mesh import replicate
-                    nk = replicate(self.mesh, nk)
-                return xk, tk, pk, nk
+                perm, nk = self._put_perm(np.arange(fuse, dtype=np.int32), n)
+                return xk, tk, pk, perm, nk
 
             pending = []
 
             def flush():
                 if not pending:
                     return
-                xk, tk, pk, nk = stack_group(pending)
+                xk, tk, pk, perm, nk = stack_group(pending)
                 if update:
                     self.params, self.velocity, err, corr = self._train_scan(
-                        self.params, self.velocity, xk, tk, pk, nk)
+                        self.params, self.velocity, xk, tk, pk, perm, nk)
                 else:
-                    err, corr = self._eval_scan(self.params, xk, tk, pk, nk)
+                    err, corr = self._eval_scan(self.params, xk, tk, pk,
+                                                perm, nk)
                 errs.append(err)
                 corrs.append(corr)
                 pending.clear()
 
             last_shape = None
-            for frac in self._fractions(ds):
+            for frac in fracs:
                 shape = frac.shape
                 if pending and (shape != last_shape or len(pending) >= fuse):
                     flush()
@@ -562,20 +637,23 @@ class Trainer:
                 "entries": len(self._dev_cache),
                 "bytes": self._dev_cache_bytes}
 
-    def train_epoch(self) -> bool:
-        """One epoch; returns True when training is finished
-        (Optimizer::train, Optimizer.cu:284-324)."""
-        if self.finished:
-            return True
+    def dispatch_epoch(self) -> Dict[str, Any]:
+        """Dispatch one epoch's device work (train + due val/test passes)
+        WITHOUT fetching any scalar, and snapshot the end-of-epoch params
+        (a device copy — it must happen before a subsequent epoch's
+        dispatch consumes the donated buffers). Returns a handle for
+        finish_epoch. Callers may dispatch epoch N+1 before finishing N:
+        N+1's updates depend only on device state, so the scalar fetch
+        latency and host-side dispatch of consecutive epochs overlap."""
         self.cur_epoch += 1
         self.cache_hits = 0
         self.cache_misses = 0
 
-        # dispatch all passes first (device work chains through the
-        # donated params), fetch the scalar results after
         train_res = self._process_dataset(self.train_set, update=True)
+        snap = self._snapshot(self.params)
 
-        has_val = self.validation_set is not None and not self.validation_set.empty
+        has_val = (self.validation_set is not None
+                   and not self.validation_set.empty)
         do_val = has_val and self.cur_epoch % self.validate_every == 0
         val_res = (self._process_dataset(self.validation_set, update=False)
                    if do_val else None)
@@ -583,31 +661,51 @@ class Trainer:
         do_test = has_test and self.cur_epoch % self.test_every == 0
         test_res = (self._process_dataset(self.test_set, update=False)
                     if do_test else None)
+        return {"epoch": self.cur_epoch, "train": train_res, "snap": snap,
+                "has_val": has_val, "do_val": do_val, "val": val_res,
+                "do_test": do_test, "test": test_res,
+                "cache": (self.cache_hits, self.cache_misses)}
 
+    def finish_epoch(self, h: Dict[str, Any]) -> bool:
+        """Fetch a dispatched epoch's metrics and apply best-tracking /
+        stop logic (Optimizer::train, Optimizer.cu:284-324). Returns True
+        when training is finished."""
+        # report THIS epoch's cache counters even if a later epoch's
+        # dispatch already reset them (pipelined callers)
+        self.cache_hits, self.cache_misses = h["cache"]
         self.cur_training_error, self.cur_training_class_error = \
-            self._fetch_metrics(self.train_set, *train_res)
-        if do_val:
+            self._fetch_metrics(self.train_set, *h["train"])
+        if h["do_val"]:
             self.cur_validation_error, self.cur_validation_class_error = \
-                self._fetch_metrics(self.validation_set, *val_res)
+                self._fetch_metrics(self.validation_set, *h["val"])
             if self.cur_validation_error < self.lowest_validation_error:
                 self.lowest_validation_error = self.cur_validation_error
                 self.epochs_since_lowest = 0
-                self.best_params = self._snapshot(self.params)
+                self.best_params = h["snap"]
             else:
                 self.epochs_since_lowest += self.validate_every
-        elif not has_val:
+        elif not h["has_val"]:
             self.epochs_since_lowest = 0
-            self.best_params = self._snapshot(self.params)
+            self.best_params = h["snap"]
 
-        if do_test:
+        if h["do_test"]:
             self.cur_test_error, self.cur_test_class_error = \
-                self._fetch_metrics(self.test_set, *test_res)
+                self._fetch_metrics(self.test_set, *h["test"])
 
         if (self.epochs_since_lowest >= self.max_epochs_no_best
-                or (self.max_epochs >= 0 and self.cur_epoch >= self.max_epochs)):
+                or (self.max_epochs >= 0
+                    and h["epoch"] >= self.max_epochs)):
             self.params = self.best_params
             self.finished = True
+            self.cur_epoch = h["epoch"]  # ignore any over-dispatched epoch
         return self.finished
+
+    def train_epoch(self) -> bool:
+        """One epoch; returns True when training is finished
+        (Optimizer::train, Optimizer.cu:284-324)."""
+        if self.finished:
+            return True
+        return self.finish_epoch(self.dispatch_epoch())
 
     # ------------------------------------------------------ state (autosave)
     def _params_to_layer_arrays(self, params) -> List[List[float]]:

@@ -329,6 +329,48 @@ def test_forward_mode_buckets_lengths(tmp_path, rng):
     assert len(rows) == 6  # true sequence length, not the padded bucket
 
 
+def test_pipelined_early_stop_matches_serial(tmp_path, rng):
+    """Pipelined epochs (default, no autosave) over-dispatch one epoch when
+    early stopping triggers via max_epochs_no_best; the restored best
+    weights must make the saved network identical to the serial
+    (--autosave, pipeline off) run."""
+    nc, net_path = _toy_setup(tmp_path, rng)
+    va = str(tmp_path / "va.nc")
+    _write_classification_nc(va, [5, 6, 4], in_size=3, num_labels=4, seed=42)
+    # a big LR makes validation error bounce -> no-best stop fires early
+    common = ["--network", net_path, "--train", "true", "--train_file", nc,
+              "--val_file", va, "--stochastic", "true",
+              "--learning_rate", "0.5", "--parallel_sequences", "2",
+              "--random_seed", "5", "--max_epochs_no_best", "2",
+              "--max_epochs", "30"]
+
+    d1 = tmp_path / "serial"
+    d1.mkdir()
+    r = _cli(*common, "--autosave", "true", cwd=d1)  # pipeline disabled
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    d2 = tmp_path / "pipelined"
+    d2.mkdir()
+    r2 = _cli(*common, cwd=d2)
+    assert r2.returncode == 0, r2.stdout + r2.stderr
+    # both stopped early for the same reason at the same epoch count
+    assert "No new lowest error since 2 epochs" in r.stdout
+    assert "No new lowest error since 2 epochs" in r2.stdout
+    rows1 = [l.split("|")[0].strip() for l in r.stdout.splitlines()
+             if l.strip() and l.strip()[0].isdigit() and "|" in l]
+    rows2 = [l.split("|")[0].strip() for l in r2.stdout.splitlines()
+             if l.strip() and l.strip()[0].isdigit() and "|" in l]
+    assert rows1 == rows2
+
+    w1 = json.loads((d1 / "trained_network.jsn").read_text())["weights"]
+    w2 = json.loads((d2 / "trained_network.jsn").read_text())["weights"]
+    for layer in w1:
+        for sec in w1[layer]:
+            np.testing.assert_allclose(
+                w1[layer][sec], w2[layer][sec], rtol=1e-6, atol=1e-8,
+                err_msg=f"{layer}.{sec}")
+
+
 def test_empty_validation_set_prints_blank_columns(tmp_path, rng):
     """A 0-sequence validation .nc must behave like no validation set: the
     epoch table prints blank validation / new-best cells (main.cpp:251),

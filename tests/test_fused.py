@@ -174,6 +174,55 @@ def test_device_cache_fused_and_noise_gate():
     assert len(t3._dev_cache) == 0  # noise-augmented data never cached
 
 
+def test_stacked_epoch_with_shuffled_perm_matches_unfused(tmp_path):
+    """Single-shape cacheable corpus + fuse >= fraction count: the whole
+    pass runs as ONE fori_loop over an epoch-resident stacked corpus, with
+    per-epoch fraction shuffling replayed through the permutation vector —
+    results must equal per-fraction training exactly."""
+    from .test_data import _write_classification_nc
+
+    tr = str(tmp_path / "tr.nc")
+    _write_classification_nc(tr, [8] * 12, in_size=3, num_labels=4, seed=2)
+    layers = [
+        {"name": "input", "type": "input", "size": 3},
+        {"name": "l1", "type": "blstm", "size": 4, "bias": 1.0},
+        {"name": "output", "type": "softmax", "size": 4, "bias": 1.0},
+        {"name": "postoutput", "type": "multiclass_classification", "size": 4},
+    ]
+
+    def make(fuse, cache):
+        ds = DataSet([tr], parallel_sequences=3, sort_by_length=True,
+                     prefetch=False, fraction_shuffling=True, seed=11)
+        net = Network(layers)
+        net.init_params(5)
+        return Trainer(net, ds, learning_rate=1e-3, momentum=0.9,
+                       max_epochs=3, hybrid_online_batch=True,
+                       fuse_fractions=fuse, device_cache=cache)
+
+    t1 = make(1, False)
+    while not t1.train_epoch():
+        pass
+
+    t2 = make(8, True)
+    while not t2.train_epoch():
+        pass
+    assert len(t2._stacked) == 1  # the epoch-resident stack engaged
+    st = t2.device_cache_stats()
+    assert st["hits"] == 4 and st["misses"] == 0  # the last epoch replayed
+    # the stack via the perm vector only (stats reset per epoch)
+    assert len(t2._dev_cache) == 0  # per-fraction entries superseded
+
+    assert t1.cur_training_error == pytest.approx(t2.cur_training_error,
+                                                  rel=1e-6)
+    assert t1.cur_training_class_error == t2.cur_training_class_error
+    for name in t1.params:
+        for kk in t1.params[name]:
+            np.testing.assert_allclose(
+                np.asarray(t1.params[name][kk]),
+                np.asarray(t2.params[name][kk]),
+                rtol=1e-6, atol=1e-8, err_msg=f"{name}.{kk}")
+
+
 def test_device_cache_budget_pins_prefix_and_reports_stats(tmp_path):
     """A corpus ~1.5x the cache budget: the admitted prefix stays pinned
     (cyclic epoch scans would thrash a plain LRU to 0%), steady-state hit
