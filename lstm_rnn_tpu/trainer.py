@@ -467,6 +467,13 @@ class Trainer:
         token = keys[0][0]  # the DataSet's cache namespace
         entry = self._stacked.get(token)
         if entry is None:
+            # budget check up front: the stack holds fuse slots of one
+            # fraction's padded footprint (stay within the cache budget
+            # like any other resident data)
+            t_pad, b, w = fracs[0].shape
+            est = fuse * t_pad * -(-b // 8) * 8 * (w + 4) * 4
+            if self._dev_cache_bytes + est > self._dev_cache_budget:
+                return None
             devs = [self._device_batch(f) for f in fracs]
             base = devs + [devs[-1]] * (fuse - len(devs))
             stacks = (self._stack_parts([p[0] for p in base]),

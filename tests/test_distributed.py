@@ -56,10 +56,14 @@ def _setup(tmp_path):
 
 
 def _train_args(nc, net_path):
+    # fuse_fractions exercises the fused fori_loop group path over the
+    # multi-host mesh (device-stacked global arrays, cross-process psum
+    # inside the loop body)
     return ["--network", net_path, "--train", "true", "--train_file", nc,
             "--stochastic", "true", "--learning_rate", "1e-3",
             "--parallel_sequences", "4", "--random_seed", "5",
-            "--max_epochs", "2", "--device", "cpu"]
+            "--max_epochs", "2", "--device", "cpu",
+            "--fuse_fractions", "4", "--bucket_lengths", "true"]
 
 
 def test_two_process_cli_training_matches_single_process(tmp_path):
