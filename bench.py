@@ -56,8 +56,12 @@ def main():
     lr, momentum = 1e-4, 0.9
 
     def train_step(params, velocity, x, tc, pt):
-        err, grads = jax.value_and_grad(
-            lambda p: net.loss_padded(p, x, tc, pt))(params)
+        # the Trainer's production path: fused Pallas softmax+CE tail
+        def loss(p):
+            err, cnt = net.loss_and_count_fused(p, x, tc, pt, padded=True)
+            return err, cnt
+
+        (err, _cnt), grads = jax.value_and_grad(loss, has_aux=True)(params)
         velocity = jax.tree_util.tree_map(lambda v, g: momentum * v - lr * g,
                                           velocity, grads)
         params = jax.tree_util.tree_map(lambda p, v: p + v, params, velocity)

@@ -403,6 +403,66 @@ class Network:
         y = self.apply_padded(padded_params, inputs, pattypes)
         return self.loss_fn(y, targets, pattypes)
 
+    # --------------------------------------------- fused classification tail
+    def supports_fused_tail(self) -> bool:
+        """True when the net ends softmax -> multiclass_classification, the
+        shape every ASR recipe uses — the whole tail (CURRENNT softmax,
+        -log p[target] loss, argmax counter, Jacobian backward) then runs
+        as one Pallas kernel pair (ops/softmax_ce.py) instead of several
+        XLA passes over the [T,B,S] probability tensor."""
+        return (self.specs[-2].type == "softmax"
+                and self.specs[-1].type == "multiclass_classification")
+
+    def logits_for_fused_tail(self, params, inputs, pattypes,
+                              padded: bool = False):
+        """Forward pass up to the final softmax layer's PRE-normalization
+        activations (its feedforward-identity part). Requires
+        supports_fused_tail()."""
+        x = inputs
+        for s in self.specs[1:-2]:
+            p = params[s.name]
+            if s.type in ioc.LSTM_TYPES:
+                if not padded and self._tp_axis_size() > 1:
+                    from lstm_rnn_tpu.parallel.tensor import lstm_forward_tp
+                    batch_axis = ("data" if "data" in self.mesh.axis_names
+                                  else None)
+                    x = lstm_forward_tp(
+                        p, x, pattypes, s.bias, ioc.LSTM_TYPES[s.type],
+                        self.mesh, clip_gradients=self.clip_gradients,
+                        batch_axis=batch_axis)
+                else:
+                    x = lstm_forward(p, x, pattypes, s.bias,
+                                     ioc.LSTM_TYPES[s.type],
+                                     clip_gradients=self.clip_gradients,
+                                     backend=self.backend,
+                                     compute_dtype=self.compute_dtype,
+                                     pre_padded=padded)
+            elif s.type == "softmax":
+                x = softmax_forward(p, x, s.bias, self.compute_dtype)
+            else:
+                x = feedforward_forward(p, x, ioc.FEEDFORWARD_TYPES[s.type],
+                                        s.bias, self.compute_dtype)
+        s = self.specs[-2]
+        return feedforward_forward(params[s.name], x, "identity", s.bias,
+                                   self.compute_dtype)
+
+    def loss_and_count_fused(self, params, inputs, targets, pattypes,
+                             padded: bool = False,
+                             interpret: bool = False):
+        """(total error, correct count) through the fused softmax+CE tail —
+        numerically the CURRENNT tail (same offset/safeExp/clamps), with
+        the probability tensor living only in VMEM + one residual write."""
+        from lstm_rnn_tpu.ops.lstm_cell import _storage, round_up
+        from lstm_rnn_tpu.ops.softmax_ce import softmax_ce_fused
+        a = self.logits_for_fused_tail(params, inputs, pattypes, padded)
+        t, b, s_dim = a.shape
+        sp = round_up(s_dim, 128)
+        a2 = jnp.pad(a, ((0, 0), (0, 0), (0, sp - s_dim)))
+        a2 = a2.reshape(t * b, sp)
+        tc2 = targets.astype(jnp.int32).reshape(t * b, 1)
+        return softmax_ce_fused(a2, tc2, s_dim, interpret,
+                                _storage(self.compute_dtype))
+
     def get_outputs(self, y, seq_info) -> tuple:
         """Segment padded activations back into per-sequence outputs
         (NeuralNetwork::getOutputs, NeuralNetwork.cpp:238-262).

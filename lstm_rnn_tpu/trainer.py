@@ -217,7 +217,23 @@ class Trainer:
 
         padded = self.padded
 
+        # fused classification tail (softmax + CE + counter as one Pallas
+        # kernel pair): engaged whenever the Pallas kernels are in play —
+        # same CURRENNT numerics, the [T,B,S] probability tensor stays in
+        # VMEM (one residual write) instead of several XLA HBM passes
+        fused_tail = (net.supports_fused_tail()
+                      and not self.tensor_parallel
+                      and (net.backend == "pallas_interpret"
+                           or (jax.default_backend() == "tpu"
+                               and net.backend in ("auto", "pallas"))))
+        tail_interp = (net.backend == "pallas_interpret"
+                       or jax.default_backend() != "tpu")
+
         def loss_and_metrics(params, inputs, targets, pattypes):
+            if fused_tail:
+                return net.loss_and_count_fused(
+                    params, inputs, targets, pattypes, padded=padded,
+                    interpret=tail_interp)
             if padded:
                 y = net.apply_padded(params, inputs, pattypes)
             else:

@@ -1,0 +1,98 @@
+"""Fused softmax+CE+accuracy kernel vs the composed reference ops."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lstm_rnn_tpu.models.feedforward import softmax_forward
+from lstm_rnn_tpu.models import losses
+from lstm_rnn_tpu.ops.softmax_ce import softmax_ce_fused
+
+
+def _ref(a, tc):
+    """Composed reference tail from pre-normalization activations a
+    [T,B,S]: CURRENNT softmax (offset (min+max)/2, safeExp) -> multiclass
+    CE and argmax counter."""
+    from lstm_rnn_tpu.ops.activations import REAL_MIN, safe_exp
+    offset = jax.lax.stop_gradient(
+        0.5 * (jnp.min(a, axis=-1, keepdims=True)
+               + jnp.maximum(jnp.max(a, axis=-1, keepdims=True), REAL_MIN)))
+    e = safe_exp(a - offset)
+    y = e / jnp.sum(e, axis=-1, keepdims=True)
+    loss = losses.multiclass_classification(y, tc, None)
+    cnt = losses.multiclass_correct_count(y, tc, None)
+    return loss, cnt
+
+
+@pytest.mark.parametrize("S", [7, 128])
+def test_fused_tail_matches_composed(rng, S):
+    T, B = 16, 8
+    a = jnp.asarray(rng.randn(T, B, S).astype(np.float32) * 3)
+    tc = rng.randint(-1, S, (T, B)).astype(np.int32)  # incl. dummy -1 rows
+    tc_j = jnp.asarray(tc)
+
+    loss_r, cnt_r = _ref(a, tc_j)
+
+    Sp = -(-S // 128) * 128
+    a2 = jnp.pad(a, ((0, 0), (0, 0), (0, Sp - S))).reshape(T * B, Sp)
+    tc2 = tc_j.reshape(T * B, 1)
+    loss_f, cnt_f = softmax_ce_fused(a2, tc2, S, True, jnp.float32)
+
+    assert float(loss_f) == pytest.approx(float(loss_r), rel=1e-6)
+    assert int(cnt_f) == int(cnt_r)
+
+    # gradients w.r.t. the logits match the reference Jacobian chain
+    g_r = jax.grad(lambda a: _ref(a, tc_j)[0])(a)
+    g_f = jax.grad(lambda a: softmax_ce_fused(
+        jnp.pad(a, ((0, 0), (0, 0), (0, Sp - S))).reshape(T * B, Sp),
+        tc2, S, True, jnp.float32)[0])(a)
+    scale = float(jnp.abs(g_r).max())
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_r),
+                               rtol=0, atol=1e-6 * scale)
+
+
+def test_fused_tail_through_trainer(rng, tmp_path):
+    """Trainer with backend=pallas_interpret engages the fused tail; the
+    trained network must match the scan/unfused trainer closely."""
+    from .test_data import _write_classification_nc
+    from lstm_rnn_tpu.data.dataset import DataSet
+    from lstm_rnn_tpu.network import Network
+    from lstm_rnn_tpu.trainer import Trainer
+
+    nc = str(tmp_path / "t.nc")
+    _write_classification_nc(nc, [10, 8, 12, 9], in_size=3, num_labels=5,
+                             seed=3)
+    layers = [
+        {"name": "input", "type": "input", "size": 3},
+        {"name": "l1", "type": "blstm", "size": 4, "bias": 1.0},
+        {"name": "output", "type": "softmax", "size": 5, "bias": 1.0},
+        {"name": "postoutput", "type": "multiclass_classification", "size": 5},
+    ]
+    ds = DataSet([nc], parallel_sequences=2, sort_by_length=True,
+                 prefetch=False)
+
+    net1 = Network(layers, backend="scan")
+    net1.init_params(5)
+    t1 = Trainer(net1, ds, learning_rate=1e-3, momentum=0.9, max_epochs=2,
+                 hybrid_online_batch=True, padded_pipeline=False)
+    while not t1.train_epoch():
+        pass
+
+    net2 = Network(layers, backend="pallas_interpret")
+    net2.init_params(5)
+    t2 = Trainer(net2, ds, learning_rate=1e-3, momentum=0.9, max_epochs=2,
+                 hybrid_online_batch=True, padded_pipeline=True)
+    assert t2.padded
+    while not t2.train_epoch():
+        pass
+
+    assert t1.cur_training_error == pytest.approx(t2.cur_training_error,
+                                                  rel=1e-4)
+    assert t1.cur_training_class_error == t2.cur_training_class_error
+    p1, p2 = t1.exact_params(), t2.exact_params()
+    for name in p1:
+        for kk in p1[name]:
+            np.testing.assert_allclose(p2[name][kk], p1[name][kk],
+                                       rtol=1e-4, atol=1e-6,
+                                       err_msg=f"{name}.{kk}")
