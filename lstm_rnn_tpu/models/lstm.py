@@ -115,7 +115,8 @@ def _pad_axis(a, axis, target):
 
 def lstm_forward(params, x, pattypes, bias_mult: float, bidirectional: bool,
                  clip_gradients: bool = True, backend: str = "auto",
-                 compute_dtype=jnp.float32, pre_padded: bool = False):
+                 compute_dtype=jnp.float32, pre_padded: bool = False,
+                 need_dx: bool = True):
     """x: [T, B, P], pattypes: [T, B] int8 -> outputs [T, B, L].
 
     L = H for unidirectional, 2H for bidirectional ([fw | bw] per frame).
@@ -128,6 +129,9 @@ def lstm_forward(params, x, pattypes, bias_mult: float, bidirectional: bool,
     pre_padded: params come from Network.pad_params (H already a 128
     multiple, x width already matches W_in's rows); skip per-call padding
     AND keep the output padded ([fw_pad | bw_pad]) for the next layer.
+    need_dx=False (first hidden layer) lets the fused backward kernel skip
+    the preceding-layer error; the scan path ignores it (XLA dead-code
+    eliminates the unused einsum cotangent there).
     """
     w_in, w_rec, b, peep = params["W_in"], params["W_rec"], params["b"], params["peep"]
     t, bsz, _ = x.shape
@@ -153,7 +157,8 @@ def lstm_forward(params, x, pattypes, bias_mult: float, bidirectional: bool,
             backend in ("auto", "pallas") and jax.default_backend() != "tpu")
         ys = lstm_scan_fused(xx, w_in, w_rec.reshape(d, hp, 4 * hp),
                              peep, b, lengths, float(bias_mult),
-                             clip_gradients, interp, jnp.dtype(compute_dtype))
+                             clip_gradients, interp, jnp.dtype(compute_dtype),
+                             need_dx)
         # kernel emits [T, B, D*Hp] = [fw_pad|bw_pad] per frame directly
         return ys[:t, :bsz]
 
@@ -215,7 +220,7 @@ def lstm_forward(params, x, pattypes, bias_mult: float, bidirectional: bool,
                              b_p.reshape(d, 4 * hp), lengths,
                              float(bias_mult), clip_gradients,
                              backend == "pallas_interpret",
-                             jnp.dtype(compute_dtype))
+                             jnp.dtype(compute_dtype), need_dx)
         ys = ys[:t, :bsz].astype(x.dtype)  # [T, B, D*hp]; strip padding
         if bidirectional:
             return jnp.concatenate([ys[..., :hdim], ys[..., hp:hp + hdim]],

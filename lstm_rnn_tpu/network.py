@@ -241,7 +241,8 @@ class Network:
                                      ioc.LSTM_TYPES[s.type],
                                      clip_gradients=self.clip_gradients,
                                      backend=self.backend,
-                                     compute_dtype=self.compute_dtype)
+                                     compute_dtype=self.compute_dtype,
+                                     need_dx=s is not self.specs[1])
             elif s.type == "softmax":
                 x = softmax_forward(p, x, s.bias, self.compute_dtype)
             else:
@@ -385,7 +386,8 @@ class Network:
                                  clip_gradients=self.clip_gradients,
                                  backend=self.backend,
                                  compute_dtype=self.compute_dtype,
-                                 pre_padded=True)
+                                 pre_padded=True,
+                                 need_dx=s is not self.specs[1])
             elif s.type == "softmax":
                 x = softmax_forward(p, x, s.bias, self.compute_dtype)
             else:
@@ -418,6 +420,13 @@ class Network:
         """Forward pass up to the final softmax layer's PRE-normalization
         activations (its feedforward-identity part). Requires
         supports_fused_tail()."""
+        x = self._fused_tail_hidden(params, inputs, pattypes, padded)
+        s = self.specs[-2]
+        return feedforward_forward(params[s.name], x, "identity", s.bias,
+                                   self.compute_dtype)
+
+    def _fused_tail_hidden(self, params, inputs, pattypes, padded):
+        """Hidden activations feeding the final softmax layer."""
         x = inputs
         for s in self.specs[1:-2]:
             p = params[s.name]
@@ -436,30 +445,46 @@ class Network:
                                      clip_gradients=self.clip_gradients,
                                      backend=self.backend,
                                      compute_dtype=self.compute_dtype,
-                                     pre_padded=padded)
+                                     pre_padded=padded,
+                                     need_dx=s is not self.specs[1])
             elif s.type == "softmax":
                 x = softmax_forward(p, x, s.bias, self.compute_dtype)
             else:
                 x = feedforward_forward(p, x, ioc.FEEDFORWARD_TYPES[s.type],
                                         s.bias, self.compute_dtype)
-        s = self.specs[-2]
-        return feedforward_forward(params[s.name], x, "identity", s.bias,
-                                   self.compute_dtype)
+        return x
 
     def loss_and_count_fused(self, params, inputs, targets, pattypes,
                              padded: bool = False,
                              interpret: bool = False):
         """(total error, correct count) through the fused softmax+CE tail —
         numerically the CURRENNT tail (same offset/safeExp/clamps), with
-        the probability tensor living only in VMEM + one residual write."""
+        the probability tensor living only in VMEM + one residual write.
+        When the hidden width is lane-aligned (always true on the padded
+        pipeline) the softmax layer's OWN matmul also runs in-kernel
+        (softmax_ce_proj_fused): the logits never exist in HBM and dW/db
+        accumulate inside the backward kernel."""
         from lstm_rnn_tpu.ops.lstm_cell import _storage, round_up
-        from lstm_rnn_tpu.ops.softmax_ce import softmax_ce_fused
-        a = self.logits_for_fused_tail(params, inputs, pattypes, padded)
-        t, b, s_dim = a.shape
+        from lstm_rnn_tpu.ops.softmax_ce import (softmax_ce_fused,
+                                                 softmax_ce_proj_fused)
+        s = self.specs[-2]
+        s_dim = s.size
         sp = round_up(s_dim, 128)
+        x = self._fused_tail_hidden(params, inputs, pattypes, padded)
+        t, b, p_dim = x.shape
+        tc2 = targets.astype(jnp.int32).reshape(t * b, 1)
+        if p_dim % 128 == 0:
+            w = params[s.name]["W"]
+            bb = params[s.name]["b"]
+            w_pad = jnp.pad(w, ((0, 0), (0, sp - s_dim)))
+            b_pad = jnp.pad(bb, (0, sp - s_dim))
+            return softmax_ce_proj_fused(
+                x.reshape(t * b, p_dim), w_pad, b_pad, tc2, s_dim,
+                float(s.bias), interpret, jnp.dtype(self.compute_dtype))
+        a = feedforward_forward(params[s.name], x, "identity", s.bias,
+                                self.compute_dtype)
         a2 = jnp.pad(a, ((0, 0), (0, 0), (0, sp - s_dim)))
         a2 = a2.reshape(t * b, sp)
-        tc2 = targets.astype(jnp.int32).reshape(t * b, 1)
         return softmax_ce_fused(a2, tc2, s_dim, interpret,
                                 _storage(self.compute_dtype))
 

@@ -224,9 +224,7 @@ def _fwd_kernel(lengths_ref, x_ref, w_in_ref, w_rec_ref, peep_ref, bias_ref,
 
 def _bwd_kernel(lengths_ref, x_ref, dh_ref, g_ref, c_ref, cb_ref,
                 h_ref, hb_ref, w_in_ref, w_rec_ref, peep_ref,
-                dx_ref, dwin_ref, dwrec_ref, dpeep_ref, dbias_ref,
-                dac_scr, da_scr, cse_scr, fg_scr,
-                *, T, CH, NC, clip, precision, use3, fast):
+                *rest, T, CH, NC, clip, precision, use3, fast, with_dx):
     """BPTT over saved gates, walking each direction's scan in reverse.
 
     The cross-chunk c_prev / h_prev come from the forward pass's boundary
@@ -238,9 +236,19 @@ def _bwd_kernel(lengths_ref, x_ref, dh_ref, g_ref, c_ref, cb_ref,
     computed in-kernel per chunk (dx = da . W_in^T) while the deltas sit in
     VMEM scratch — the [D, T, B, 4H] delta tensor never exists in HBM at
     all (it used to be written once and re-read by an outside dx einsum:
-    the largest remaining HBM stream of the backward pass)."""
+    the largest remaining HBM stream of the backward pass). with_dx=False
+    (the network's FIRST hidden layer: its input is the data, which needs
+    no error signal — LstmLayer.cu:990 is skipped for layer 1 there too)
+    drops the dx output and its [CH*B, 4H] x [P, 4H]^T matmul entirely."""
     d = pl.program_id(0)
     k = pl.program_id(1)
+    if with_dx:
+        (dx_ref, dwin_ref, dwrec_ref, dpeep_ref, dbias_ref,
+         dac_scr, da_scr, cse_scr, fg_scr) = rest
+    else:
+        dx_ref = None
+        (dwin_ref, dwrec_ref, dpeep_ref, dbias_ref,
+         dac_scr, da_scr, cse_scr, fg_scr) = rest
 
     @pl.when(k == 0)
     def _():
@@ -358,10 +366,11 @@ def _bwd_kernel(lengths_ref, x_ref, dh_ref, g_ref, c_ref, cb_ref,
         # ---- preceding-layer error for this chunk (plErrors GEMMs,
         # LstmLayer.cu:990-1009): one [CH*B, 4H] x [P, 4H]^T MXU matmul
         # over the resident deltas; per-direction planes, summed outside
-        dx_ref[0] = _kdot(
-            da_flat, w_in_ref[0],
-            (((1,), (1,)), ((), ())), precision,
-            use3).reshape(CH, B, P).astype(dx_ref.dtype)
+        if dx_ref is not None:
+            dx_ref[0] = _kdot(
+                da_flat, w_in_ref[0],
+                (((1,), (1,)), ((), ())), precision,
+                use3).reshape(CH, B, P).astype(dx_ref.dtype)
 
     # d=0's scan ascends time -> BPTT walks the chunk descending; d=1's scan
     # descends -> BPTT ascends
@@ -463,15 +472,19 @@ def _precision_of(compute_dtype):
             else jax.lax.Precision.HIGHEST)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
 def lstm_scan_fused(x, w_in, w_rec, peep, bias, lengths,
                     bias_mult: float = 1.0, clip: bool = True,
-                    interpret: bool = False, compute_dtype=jnp.float32):
+                    interpret: bool = False, compute_dtype=jnp.float32,
+                    need_dx: bool = True):
     """Fused LSTM scan with in-kernel input projection.
 
     x [T,B,P] natural order, w_in [D,P,4H], bias [D,4H] (the kernel adds
     bias_mult*bias) -> h [T,B,D*H] ([fw|bw] per frame, already in the next
     layer's layout) in the storage dtype (bf16 in bf16 mode).
+    need_dx=False (first hidden layer: x is the data) makes the backward
+    kernel skip the preceding-layer-error output and return a symbolic
+    zero cotangent for x.
     """
     h, *_ = _fwd_impl(x, w_in, w_rec, peep, bias, lengths, bias_mult,
                       interpret, compute_dtype)
@@ -547,14 +560,15 @@ def _fwd_impl(x, w_in, w_rec, peep, bias, lengths, bias_mult, interpret,
 
 
 def _fused_fwd(x, w_in, w_rec, peep, bias, lengths, bias_mult, clip,
-               interpret, compute_dtype):
+               interpret, compute_dtype, need_dx):
     h, c, gates, cb, hb, w_in_c, w_rec_c = _fwd_impl(
         x, w_in, w_rec, peep, bias, lengths, bias_mult, interpret,
         compute_dtype)
     return h, (x, w_in_c, w_rec_c, peep, lengths, h, c, gates, cb, hb)
 
 
-def _fused_bwd(bias_mult, clip, interpret, compute_dtype, residuals, dh):
+def _fused_bwd(bias_mult, clip, interpret, compute_dtype, need_dx,
+               residuals, dh):
     x, w_in_c, w_rec_c, peep, lengths, h, c, gates, cb, hb = residuals
     T, B, _ = h.shape
     D, P, H4 = w_in_c.shape
@@ -583,9 +597,10 @@ def _fused_bwd(bias_mult, clip, interpret, compute_dtype, residuals, dh):
             _block((1, H, H4), lambda d, k: (d, 0, 0)),
             _block((1, 3, H), lambda d, k: (d, 0, 0)),
         ],
-        out_specs=[
+        out_specs=([
             # per-direction preceding-layer error planes (summed outside)
             _block((1, CH, B, P), idx),
+        ] if need_dx else []) + [
             _block((1, P, H4), lambda d, k: (d, 0, 0)),   # dW_in accum
             _block((1, H, H4), lambda d, k: (d, 0, 0)),   # dW_rec accum
             _block((1, 3, H), lambda d, k: (d, 0, 0)),    # dpeep accum
@@ -598,13 +613,15 @@ def _fused_bwd(bias_mult, clip, interpret, compute_dtype, residuals, dh):
             pltpu.VMEM((B, H), jnp.float32),
         ],
     )
-    dxd, dw_in, dw_rec, dpeep, dbias = pl.pallas_call(
+    outs = pl.pallas_call(
         functools.partial(_bwd_kernel, T=T, CH=CH, NC=NC, clip=clip,
                           precision=prec, use3=_use3(compute_dtype),
-                          fast=sdtype == jnp.dtype(jnp.bfloat16)),
+                          fast=sdtype == jnp.dtype(jnp.bfloat16),
+                          with_dx=need_dx),
         grid_spec=grid_spec,
-        out_shape=[
+        out_shape=([
             jax.ShapeDtypeStruct((D, T, B, P), sdtype),
+        ] if need_dx else []) + [
             jax.ShapeDtypeStruct((D, P, H4), jnp.float32),
             jax.ShapeDtypeStruct((D, H, H4), jnp.float32),
             jax.ShapeDtypeStruct((D, 3, H), jnp.float32),
@@ -621,8 +638,13 @@ def _fused_bwd(bias_mult, clip, interpret, compute_dtype, residuals, dh):
     )(lengths_2d, x.astype(compute_dtype), dh.astype(sdtype), gates, c, cb,
       h, hb, w_in_c, w_rec_c, peep)
 
-    dx = (jnp.sum(dxd.astype(jnp.float32), axis=0) if D > 1
-          else dxd[0].astype(jnp.float32)).astype(x.dtype)
+    if need_dx:
+        dxd, dw_in, dw_rec, dpeep, dbias = outs
+        dx = (jnp.sum(dxd.astype(jnp.float32), axis=0) if D > 1
+              else dxd[0].astype(jnp.float32)).astype(x.dtype)
+    else:
+        dw_in, dw_rec, dpeep, dbias = outs
+        dx = jnp.zeros_like(x)  # symbolic zero; DCE'd (x is the data)
     dbias = bias_mult * dbias[:, 0, :]
     return dx, dw_in, dw_rec, dpeep, dbias, None
 

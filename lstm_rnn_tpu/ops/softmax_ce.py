@@ -63,15 +63,15 @@ def _row_probs(a, S: int):
     return e / jnp.sum(e, axis=-1, keepdims=True), col
 
 
-def _fwd_kernel(a_ref, tc_ref, p_ref, loss_ref, cnt_ref, *, S):
-    k = pl.program_id(0)
-
-    @pl.when(k == 0)
+def _tail_fwd_body(a, tc_ref, p_ref, loss_ref, cnt_ref, *, S, first_step):
+    """Shared forward tail from f32 logits `a` [R, Sp]: write p, accumulate
+    the block's loss and correct-count partials."""
+    @pl.when(first_step)
     def _():
         loss_ref[...] = jnp.zeros_like(loss_ref)
         cnt_ref[...] = jnp.zeros_like(cnt_ref)
 
-    p, col = _row_probs(a_ref[...].astype(jnp.float32), S)
+    p, col = _row_probs(a, S)
     p_ref[...] = p.astype(p_ref.dtype)
 
     tc = tc_ref[...]  # [R, 1] int32; -1 = dummy
@@ -92,7 +92,9 @@ def _fwd_kernel(a_ref, tc_ref, p_ref, loss_ref, cnt_ref, *, S):
         jnp.where(tc >= 0, (first == tc).astype(jnp.int32), 0)), jnp.int32)
 
 
-def _bwd_kernel(p_ref, tc_ref, g_ref, dz_ref, *, S):
+def _tail_dz(p_ref, tc_ref, g_ref, *, S):
+    """Shared backward: dz = g * p .* (err - sum(p*err)) from the stored
+    probabilities (f32 [R, Sp])."""
     p = p_ref[...].astype(jnp.float32)
     tc = tc_ref[...]
     col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
@@ -102,8 +104,16 @@ def _bwd_kernel(p_ref, tc_ref, g_ref, dz_ref, *, S):
     inv = -1.0 / p_c
     s = jnp.sum(p * onehot, axis=-1, keepdims=True) * inv
     valid = (tc >= 0).astype(jnp.float32)
-    dz = p * (onehot * inv - s) * valid * g_ref[0, 0]
-    dz_ref[...] = dz.astype(dz_ref.dtype)
+    return p * (onehot * inv - s) * valid * g_ref[0, 0]
+
+
+def _fwd_kernel(a_ref, tc_ref, p_ref, loss_ref, cnt_ref, *, S):
+    _tail_fwd_body(a_ref[...].astype(jnp.float32), tc_ref, p_ref, loss_ref,
+                   cnt_ref, S=S, first_step=pl.program_id(0) == 0)
+
+
+def _bwd_kernel(p_ref, tc_ref, g_ref, dz_ref, *, S):
+    dz_ref[...] = _tail_dz(p_ref, tc_ref, g_ref, S=S).astype(dz_ref.dtype)
 
 
 def _blockspec(shape, idx):
@@ -169,3 +179,139 @@ def _fused_bwd(S, interpret, store_dtype, res, cts):
 
 
 softmax_ce_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+# --------------------------------------------------------------------------
+# Projection-fused variant: the softmax layer's feedforward-identity matmul
+# (FeedForwardLayer.cu:144-153 / SoftmaxLayer's base part) runs IN-KERNEL,
+# so the [N, Sp] logits never exist in HBM either — forward reads h and W,
+# writes only p; backward reads p/h/W and writes dh + the [P, Sp] dW / db
+# accumulated into revisited VMEM blocks (the dz tensor never hits HBM).
+# Requires P % 128 == 0 (the padded training view guarantees it).
+# ~1024-row blocks keep the f32 temporaries inside the VMEM budget.
+_PROJ_ROWS = 1024
+
+
+def _pick_rows(N: int, rows: int) -> int:
+    while N % rows:
+        rows //= 2
+    return rows
+
+
+def _fwd_proj_kernel(h_ref, w_ref, b_ref, tc_ref, p_ref, loss_ref, cnt_ref,
+                     *, S, bias_mult, precision, use3):
+    from lstm_rnn_tpu.ops.lstm_cell import _kdot
+    a = _kdot(h_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
+              precision, use3)
+    a = a + bias_mult * b_ref[...].astype(jnp.float32)
+    _tail_fwd_body(a, tc_ref, p_ref, loss_ref, cnt_ref, S=S,
+                   first_step=pl.program_id(0) == 0)
+
+
+def _bwd_proj_kernel(p_ref, h_ref, w_ref, tc_ref, g_ref,
+                     dh_ref, dw_ref, db_ref, *, S, precision, use3):
+    from lstm_rnn_tpu.ops.lstm_cell import _kdot
+    k = pl.program_id(0)
+
+    @pl.when(k == 0)
+    def _():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    dz = _tail_dz(p_ref, tc_ref, g_ref, S=S)
+    dzc = dz.astype(h_ref.dtype)
+    # preceding-layer error: dh = dz . W^T (one MXU matmul per block)
+    dh_ref[...] = _kdot(dzc, w_ref[...], (((1,), (1,)), ((), ())),
+                        precision, use3).astype(dh_ref.dtype)
+    # dW = h^T dz, db = colsum dz — accumulated into revisited blocks
+    dw_ref[...] += _kdot(h_ref[...], dzc, (((0,), (0,)), ((), ())),
+                         precision, use3)
+    db_ref[...] += jnp.sum(dz, axis=0, keepdims=True)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def softmax_ce_proj_fused(h2, W, b, targets, S: int, bias_mult: float,
+                          interpret: bool = False,
+                          compute_dtype=jnp.float32):
+    """Fused (identity-feedforward -> softmax -> CE -> accuracy) tail.
+
+    h2 [N, P] (P % 128 == 0), W [P, Sp], b [1, Sp] (caller pads S -> Sp
+    with zero columns; padded logits are ignored by construction), targets
+    [N, 1] int32. Returns (loss scalar f32, correct count i32); gradients
+    flow to h2, W and b."""
+    (loss, cnt), _ = _proj_fwd_impl(h2, W, b, targets, S, bias_mult,
+                                    interpret, compute_dtype)
+    return loss, cnt
+
+
+def _proj_fwd_impl(h2, W, b, targets, S, bias_mult, interpret,
+                   compute_dtype):
+    from lstm_rnn_tpu.ops.lstm_cell import (_precision_of, _storage, _use3)
+    N, P = h2.shape
+    Sp = W.shape[1]
+    sdtype = _storage(compute_dtype)
+    rows = _pick_rows(N, _PROJ_ROWS)
+    grid = (N // rows,)
+    hc = h2.astype(sdtype)
+    wc = W.astype(sdtype)
+    p, loss, cnt = pl.pallas_call(
+        functools.partial(_fwd_proj_kernel, S=S, bias_mult=bias_mult,
+                          precision=_precision_of(compute_dtype),
+                          use3=_use3(compute_dtype)),
+        grid=grid,
+        in_specs=[_blockspec((rows, P), lambda k: (k, 0)),
+                  _blockspec((P, Sp), lambda k: (0, 0)),
+                  _blockspec((1, Sp), lambda k: (0, 0)),
+                  _blockspec((rows, 1), lambda k: (k, 0))],
+        out_specs=[_blockspec((rows, Sp), lambda k: (k, 0)),
+                   _blockspec((1, 128), lambda k: (0, 0)),
+                   _blockspec((1, 128), lambda k: (0, 0))],
+        out_shape=[jax.ShapeDtypeStruct((N, Sp), sdtype),
+                   jax.ShapeDtypeStruct((1, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 128), jnp.int32)],
+        interpret=interpret,
+    )(hc, wc, b.reshape(1, Sp).astype(jnp.float32), targets)
+    return (loss[0, 0], cnt[0, 0]), (p, hc, wc, targets)
+
+
+def _proj_fused_fwd(h2, W, b, targets, S, bias_mult, interpret,
+                    compute_dtype):
+    (loss, cnt), (p, hc, wc, tc) = _proj_fwd_impl(
+        h2, W, b, targets, S, bias_mult, interpret, compute_dtype)
+    return (loss, cnt), (p, hc, wc, tc,
+                         jnp.zeros((0,), h2.dtype), jnp.zeros((0,), W.dtype))
+
+
+def _proj_fused_bwd(S, bias_mult, interpret, compute_dtype, res, cts):
+    from lstm_rnn_tpu.ops.lstm_cell import (_precision_of, _storage, _use3)
+    g_loss, _g_cnt = cts
+    p, hc, wc, targets, h_token, w_token = res
+    N, P = hc.shape
+    Sp = p.shape[1]
+    sdtype = _storage(compute_dtype)
+    rows = _pick_rows(N, _PROJ_ROWS)
+    grid = (N // rows,)
+    g = jnp.reshape(g_loss.astype(jnp.float32), (1, 1))
+    dh, dw, db = pl.pallas_call(
+        functools.partial(_bwd_proj_kernel, S=S,
+                          precision=_precision_of(compute_dtype),
+                          use3=_use3(compute_dtype)),
+        grid=grid,
+        in_specs=[_blockspec((rows, Sp), lambda k: (k, 0)),
+                  _blockspec((rows, P), lambda k: (k, 0)),
+                  _blockspec((P, Sp), lambda k: (0, 0)),
+                  _blockspec((rows, 1), lambda k: (k, 0)),
+                  _blockspec((1, 1), lambda k: (0, 0))],
+        out_specs=[_blockspec((rows, P), lambda k: (k, 0)),
+                   _blockspec((P, Sp), lambda k: (0, 0)),
+                   _blockspec((1, Sp), lambda k: (0, 0))],
+        out_shape=[jax.ShapeDtypeStruct((N, P), sdtype),
+                   jax.ShapeDtypeStruct((P, Sp), jnp.float32),
+                   jax.ShapeDtypeStruct((1, Sp), jnp.float32)],
+        interpret=interpret,
+    )(p, hc, wc, targets, g)
+    return (dh.astype(h_token.dtype), dw.astype(w_token.dtype),
+            bias_mult * db[0], None)
+
+
+softmax_ce_proj_fused.defvjp(_proj_fused_fwd, _proj_fused_bwd)

@@ -52,6 +52,45 @@ def test_fused_tail_matches_composed(rng, S):
                                rtol=0, atol=1e-6 * scale)
 
 
+def test_proj_fused_tail_matches_composed(rng):
+    """The projection-fused variant (softmax layer matmul in-kernel) must
+    match feedforward-identity -> CURRENNT softmax -> CE/count, including
+    gradients w.r.t. the hidden input, W and b."""
+    from lstm_rnn_tpu.models.feedforward import feedforward_forward
+    from lstm_rnn_tpu.ops.softmax_ce import softmax_ce_proj_fused
+
+    T, B, P, S = 8, 4, 128, 7
+    Sp = 128
+    h = jnp.asarray(rng.randn(T, B, P).astype(np.float32))
+    W = jnp.asarray(rng.randn(P, S).astype(np.float32) * 0.3)
+    b = jnp.asarray(rng.randn(S).astype(np.float32))
+    tc = rng.randint(-1, S, (T, B)).astype(np.int32)
+    tc2 = jnp.asarray(tc).reshape(T * B, 1)
+    bias_mult = 1.0
+
+    def composed(h, W, b):
+        a = feedforward_forward({"W": W, "b": b}, h, "identity", bias_mult)
+        return _ref(a, jnp.asarray(tc))
+
+    def fused(h, W, b):
+        return softmax_ce_proj_fused(
+            h.reshape(T * B, P), jnp.pad(W, ((0, 0), (0, Sp - S))),
+            jnp.pad(b, (0, Sp - S)), tc2, S, bias_mult, True, jnp.float32)
+
+    loss_r, cnt_r = composed(h, W, b)
+    loss_f, cnt_f = fused(h, W, b)
+    assert float(loss_f) == pytest.approx(float(loss_r), rel=1e-6)
+    assert int(cnt_f) == int(cnt_r)
+
+    g_r = jax.grad(lambda *a: composed(*a)[0], argnums=(0, 1, 2))(h, W, b)
+    g_f = jax.grad(lambda *a: fused(*a)[0], argnums=(0, 1, 2))(h, W, b)
+    for r, f, name in zip(g_r, g_f, ("dh", "dW", "db")):
+        scale = float(jnp.abs(r).max()) or 1.0
+        np.testing.assert_allclose(np.asarray(f).reshape(np.asarray(r).shape),
+                                   np.asarray(r), rtol=0, atol=1e-5 * scale,
+                                   err_msg=name)
+
+
 def test_fused_tail_through_trainer(rng, tmp_path):
     """Trainer with backend=pallas_interpret engages the fused tail; the
     trained network must match the scan/unfused trainer closely."""
