@@ -156,12 +156,21 @@ def _cell_acts(fast: bool):
 
 
 def _fwd_kernel(lengths_ref, x_ref, w_in_ref, w_rec_ref, peep_ref, bias_ref,
-                h_out_ref, c_out_ref, g_out_ref, cb_out_ref, hb_out_ref,
-                h_scr, c_scr, *, T, CH, NC, bias_mult, precision, use3, fast):
+                h_out_ref, *rest, T, CH, NC, bias_mult, precision, use3,
+                fast, save):
     """One direction's chunk per program. Blocks arrive pre-indexed (leading
-    dim 1); the inner loop order and the mask time are direction-dependent."""
+    dim 1); the inner loop order and the mask time are direction-dependent.
+    save=False is the INFERENCE variant (primal path outside jax.grad —
+    eval passes, the CLI forward mode): only h is written; the gates/c/
+    boundary residual streams (the bulk of the kernel's HBM writes) are
+    never materialized."""
     d = pl.program_id(0)
     k = pl.program_id(1)
+    if save:
+        c_out_ref, g_out_ref, cb_out_ref, hb_out_ref, h_scr, c_scr = rest
+    else:
+        h_scr, c_scr = rest
+        c_out_ref = g_out_ref = cb_out_ref = hb_out_ref = None
 
     @pl.when(k == 0)
     def _():
@@ -171,7 +180,7 @@ def _fwd_kernel(lengths_ref, x_ref, w_in_ref, w_rec_ref, peep_ref, bias_ref,
     B, H = h_scr.shape
     chunk = _chunk_of(d, k, NC, False)
     w = w_rec_ref[0]
-    sdtype = g_out_ref.dtype
+    sdtype = h_out_ref.dtype
     logistic, tanh2 = _cell_acts(fast)
     p_ig = peep_ref[0, 0:1, :]
     p_fg = peep_ref[0, 1:2, :]
@@ -203,15 +212,17 @@ def _fwd_kernel(lengths_ref, x_ref, w_in_ref, w_rec_ref, peep_ref, bias_ref,
             h = h_new * m
             c = c_new * m
             h_out_ref[j] = h.astype(sdtype)
-            c_out_ref[0, j] = c
-            g_out_ref[0, j] = jnp.concatenate(
-                [ni, ig, fg, og], axis=-1).astype(sdtype)
+            if save:
+                c_out_ref[0, j] = c
+                g_out_ref[0, j] = jnp.concatenate(
+                    [ni, ig, fg, og], axis=-1).astype(sdtype)
         h_scr[...] = h
         c_scr[...] = c
         # the chunk's scan-final cell state / output (cross-chunk c_prev and
         # h_prev for the backward pass's in-kernel weight-gradient matmuls)
-        cb_out_ref[0, 0] = c
-        hb_out_ref[0, 0] = h.astype(sdtype)
+        if save:
+            cb_out_ref[0, 0] = c
+            hb_out_ref[0, 0] = h.astype(sdtype)
 
     @pl.when(d == 0)
     def _():
@@ -487,12 +498,12 @@ def lstm_scan_fused(x, w_in, w_rec, peep, bias, lengths,
     zero cotangent for x.
     """
     h, *_ = _fwd_impl(x, w_in, w_rec, peep, bias, lengths, bias_mult,
-                      interpret, compute_dtype)
+                      interpret, compute_dtype, want_residuals=False)
     return h
 
 
 def _fwd_impl(x, w_in, w_rec, peep, bias, lengths, bias_mult, interpret,
-              compute_dtype):
+              compute_dtype, want_residuals=True):
     T, B, P = x.shape
     D, _, H4 = w_in.shape
     H = H4 // 4
@@ -522,31 +533,34 @@ def _fwd_impl(x, w_in, w_rec, peep, bias, lengths, bias_mult, interpret,
             # (block column d) — no [fw|bw] concatenation ever materializes
             _block((CH, B, H), lambda d, k: (_chunk_of(d, k, NC, False),
                                              0, d)),
+        ] + ([
             _block((1, CH, B, H), idx),
             _block((1, CH, B, H4), idx),
             _block((1, 1, B, H), lambda d, k: (d, _chunk_of(d, k, NC, False),
                                                0, 0)),
             _block((1, 1, B, H), lambda d, k: (d, _chunk_of(d, k, NC, False),
                                                0, 0)),
-        ],
+        ] if want_residuals else []),
         scratch_shapes=[
             pltpu.VMEM((B, H), jnp.float32),
             pltpu.VMEM((B, H), jnp.float32),
         ],
     )
-    h, c, gates, cb, hb = pl.pallas_call(
+    outs = pl.pallas_call(
         functools.partial(_fwd_kernel, T=T, CH=CH, NC=NC,
                           bias_mult=bias_mult, precision=prec,
                           use3=_use3(compute_dtype),
-                          fast=sdtype == jnp.dtype(jnp.bfloat16)),
+                          fast=sdtype == jnp.dtype(jnp.bfloat16),
+                          save=want_residuals),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((T, B, D * H), sdtype),
+        ] + ([
             jax.ShapeDtypeStruct((D, T, B, H), jnp.float32),
             jax.ShapeDtypeStruct((D, T, B, H4), sdtype),
             jax.ShapeDtypeStruct((D, NC, B, H), jnp.float32),
             jax.ShapeDtypeStruct((D, NC, B, H), sdtype),
-        ],
+        ] if want_residuals else []),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * D * T * B * (P + H) * H4 + 14 * D * T * B * H,
@@ -556,6 +570,9 @@ def _fwd_impl(x, w_in, w_rec, peep, bias, lengths, bias_mult, interpret,
             transcendentals=4 * D * T * B * H,
         ),
     )(lengths_2d, xs, w_in_c, w_rec_c, peep, bias)
+    if not want_residuals:
+        return outs[0], None, None, None, None, w_in_c, w_rec_c
+    h, c, gates, cb, hb = outs
     return h, c, gates, cb, hb, w_in_c, w_rec_c
 
 

@@ -64,15 +64,17 @@ def _row_probs(a, S: int):
 
 
 def _tail_fwd_body(a, tc_ref, p_ref, loss_ref, cnt_ref, *, S, first_step):
-    """Shared forward tail from f32 logits `a` [R, Sp]: write p, accumulate
-    the block's loss and correct-count partials."""
+    """Shared forward tail from f32 logits `a` [R, Sp]: write p (p_ref=None
+    on the inference path: no residual store), accumulate the block's loss
+    and correct-count partials."""
     @pl.when(first_step)
     def _():
         loss_ref[...] = jnp.zeros_like(loss_ref)
         cnt_ref[...] = jnp.zeros_like(cnt_ref)
 
     p, col = _row_probs(a, S)
-    p_ref[...] = p.astype(p_ref.dtype)
+    if p_ref is not None:
+        p_ref[...] = p.astype(p_ref.dtype)
 
     tc = tc_ref[...]  # [R, 1] int32; -1 = dummy
     valid = (tc >= 0).astype(jnp.float32)
@@ -107,7 +109,8 @@ def _tail_dz(p_ref, tc_ref, g_ref, *, S):
     return p * (onehot * inv - s) * valid * g_ref[0, 0]
 
 
-def _fwd_kernel(a_ref, tc_ref, p_ref, loss_ref, cnt_ref, *, S):
+def _fwd_kernel(a_ref, tc_ref, *rest, S, want_p):
+    p_ref, loss_ref, cnt_ref = rest if want_p else (None,) + rest
     _tail_fwd_body(a_ref[...].astype(jnp.float32), tc_ref, p_ref, loss_ref,
                    cnt_ref, S=S, first_step=pl.program_id(0) == 0)
 
@@ -123,29 +126,34 @@ def _blockspec(shape, idx):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def softmax_ce_fused(a, targets, S: int, interpret: bool = False,
                      store_dtype=jnp.float32):
-    loss, cnt, _ = _fwd_impl(a, targets, S, interpret, store_dtype)
+    loss, cnt, _ = _fwd_impl(a, targets, S, interpret, store_dtype,
+                             want_p=False)
     return loss, cnt
 
 
-def _fwd_impl(a, targets, S, interpret, store_dtype):
+def _fwd_impl(a, targets, S, interpret, store_dtype, want_p=True):
     N, Sp = a.shape
     rows = _ROWS
     while N % rows:
         rows //= 2
     grid = (N // rows,)
-    p, loss, cnt = pl.pallas_call(
-        functools.partial(_fwd_kernel, S=S),
+    outs = pl.pallas_call(
+        functools.partial(_fwd_kernel, S=S, want_p=want_p),
         grid=grid,
         in_specs=[_blockspec((rows, Sp), lambda k: (k, 0)),
                   _blockspec((rows, 1), lambda k: (k, 0))],
-        out_specs=[_blockspec((rows, Sp), lambda k: (k, 0)),
-                   _blockspec((1, 128), lambda k: (0, 0)),
+        out_specs=([_blockspec((rows, Sp), lambda k: (k, 0))] if want_p
+                   else []) +
+                  [_blockspec((1, 128), lambda k: (0, 0)),
                    _blockspec((1, 128), lambda k: (0, 0))],
-        out_shape=[jax.ShapeDtypeStruct((N, Sp), jnp.dtype(store_dtype)),
-                   jax.ShapeDtypeStruct((1, 128), jnp.float32),
+        out_shape=([jax.ShapeDtypeStruct((N, Sp), jnp.dtype(store_dtype))]
+                   if want_p else []) +
+                  [jax.ShapeDtypeStruct((1, 128), jnp.float32),
                    jax.ShapeDtypeStruct((1, 128), jnp.int32)],
         interpret=interpret,
     )(a, targets)
+    p = outs[0] if want_p else None
+    loss, cnt = outs[-2], outs[-1]
     return loss[0, 0], cnt[0, 0], p
 
 
@@ -198,9 +206,10 @@ def _pick_rows(N: int, rows: int) -> int:
     return rows
 
 
-def _fwd_proj_kernel(h_ref, w_ref, b_ref, tc_ref, p_ref, loss_ref, cnt_ref,
-                     *, S, bias_mult, precision, use3):
+def _fwd_proj_kernel(h_ref, w_ref, b_ref, tc_ref, *rest,
+                     S, bias_mult, precision, use3, want_p):
     from lstm_rnn_tpu.ops.lstm_cell import _kdot
+    p_ref, loss_ref, cnt_ref = rest if want_p else (None,) + rest
     a = _kdot(h_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
               precision, use3)
     a = a + bias_mult * b_ref[...].astype(jnp.float32)
@@ -240,12 +249,12 @@ def softmax_ce_proj_fused(h2, W, b, targets, S: int, bias_mult: float,
     [N, 1] int32. Returns (loss scalar f32, correct count i32); gradients
     flow to h2, W and b."""
     (loss, cnt), _ = _proj_fwd_impl(h2, W, b, targets, S, bias_mult,
-                                    interpret, compute_dtype)
+                                    interpret, compute_dtype, want_p=False)
     return loss, cnt
 
 
 def _proj_fwd_impl(h2, W, b, targets, S, bias_mult, interpret,
-                   compute_dtype):
+                   compute_dtype, want_p=True):
     from lstm_rnn_tpu.ops.lstm_cell import (_precision_of, _storage, _use3)
     N, P = h2.shape
     Sp = W.shape[1]
@@ -254,23 +263,27 @@ def _proj_fwd_impl(h2, W, b, targets, S, bias_mult, interpret,
     grid = (N // rows,)
     hc = h2.astype(sdtype)
     wc = W.astype(sdtype)
-    p, loss, cnt = pl.pallas_call(
+    outs = pl.pallas_call(
         functools.partial(_fwd_proj_kernel, S=S, bias_mult=bias_mult,
                           precision=_precision_of(compute_dtype),
-                          use3=_use3(compute_dtype)),
+                          use3=_use3(compute_dtype), want_p=want_p),
         grid=grid,
         in_specs=[_blockspec((rows, P), lambda k: (k, 0)),
                   _blockspec((P, Sp), lambda k: (0, 0)),
                   _blockspec((1, Sp), lambda k: (0, 0)),
                   _blockspec((rows, 1), lambda k: (k, 0))],
-        out_specs=[_blockspec((rows, Sp), lambda k: (k, 0)),
-                   _blockspec((1, 128), lambda k: (0, 0)),
+        out_specs=([_blockspec((rows, Sp), lambda k: (k, 0))] if want_p
+                   else []) +
+                  [_blockspec((1, 128), lambda k: (0, 0)),
                    _blockspec((1, 128), lambda k: (0, 0))],
-        out_shape=[jax.ShapeDtypeStruct((N, Sp), sdtype),
-                   jax.ShapeDtypeStruct((1, 128), jnp.float32),
+        out_shape=([jax.ShapeDtypeStruct((N, Sp), sdtype)] if want_p
+                   else []) +
+                  [jax.ShapeDtypeStruct((1, 128), jnp.float32),
                    jax.ShapeDtypeStruct((1, 128), jnp.int32)],
         interpret=interpret,
     )(hc, wc, b.reshape(1, Sp).astype(jnp.float32), targets)
+    p = outs[0] if want_p else None
+    loss, cnt = outs[-2], outs[-1]
     return (loss[0, 0], cnt[0, 0]), (p, hc, wc, targets)
 
 
