@@ -88,6 +88,7 @@ def _load_dataset(cfg: Config, which: str) -> Optional[DataSet]:
                  input_right_context=cfg.input_right_context,
                  output_time_lag=cfg.output_time_lag, sort_by_length=sort,
                  seed=cfg.random_seed, bucket_lengths=bucket,
+                 bucket_major_shuffle=cfg.bucket_major_shuffle,
                  cache_path=cfg.cache_path)
     print(f"Loaded fraction:  {int(frac*100)}%")
     print(f"Sequences:        {ds.total_sequences}")

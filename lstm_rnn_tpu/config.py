@@ -43,6 +43,16 @@ DEFAULT_UINT_MAX = 2**32 - 1
 def _bucket_arg(v: str):
     if isinstance(v, str) and v.lower() == "single":
         return "single"
+    if isinstance(v, str) and ("," in v or v.isdigit()):
+        try:
+            lengths = tuple(sorted(int(x) for x in v.split(",") if x))
+        except ValueError:
+            raise argparse.ArgumentTypeError(
+                f"bucket inventory expected (e.g. 384,512,768), got '{v}'")
+        if not lengths or any(x <= 0 for x in lengths):
+            raise argparse.ArgumentTypeError(
+                f"bucket lengths must be positive, got '{v}'")
+        return lengths
     return _str2bool(v)
 
 
@@ -135,7 +145,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="false = exact lengths, true = power-of-2 bucket "
                         "inventory, single = one bucket at the corpus max "
                         "(uniform shapes: the whole epoch fuses into one "
-                        "scan dispatch)")
+                        "scan dispatch), or an explicit comma-separated "
+                        "inventory (e.g. 384,512,768) trading compile "
+                        "count against padding waste; fractions above the "
+                        "largest bucket pad to their exact length")
+    g.add_argument("--bucket_major_shuffle", type=_str2bool, default=True,
+                   help="with bucket_lengths + shuffle_fractions: shuffle "
+                        "within each length bucket but emit buckets "
+                        "contiguously, so a fused epoch is one dispatch "
+                        "per bucket (false = unrestricted order)")
     g.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
     g.add_argument("--f32_matmul", default="6x", choices=["6x", "3x"],
@@ -311,5 +329,7 @@ def serialize_options(ns: argparse.Namespace) -> str:
             continue
         if isinstance(v, bool):
             v = "true" if v else "false"
+        elif isinstance(v, tuple):  # explicit bucket inventory
+            v = ",".join(str(x) for x in v)
         parts.append(f"--{k} {shlex.quote(str(v))}")
     return " ".join(parts)

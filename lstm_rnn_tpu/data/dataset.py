@@ -176,6 +176,7 @@ class DataSet:
                  input_left_context: int = 0, input_right_context: int = 0,
                  output_time_lag: int = 0, sort_by_length: bool = False,
                  seed: int = 0, bucket_lengths: bool = False,
+                 bucket_major_shuffle: bool = True,
                  prefetch: bool = True, use_native: Optional[bool] = None):
         if not (0 < fraction <= 1):
             raise ValueError("Invalid fraction")
@@ -194,6 +195,7 @@ class DataSet:
         self.right_context = input_right_context
         self.output_time_lag = output_time_lag
         self.bucket_lengths = bucket_lengths
+        self.bucket_major_shuffle = bucket_major_shuffle
         self.prefetch = prefetch
         self._rng = np.random.RandomState(seed & 0x7FFFFFFF if seed else None)
         # native C++ assembly (lstm_rnn_tpu/runtime): auto-enabled when the
@@ -246,6 +248,10 @@ class DataSet:
         # wins on dispatch-latency-dominated links like a remote tunnel)
         if bucket_lengths == "single" and self.sequences:
             self._buckets = [self.max_seq_length]
+        elif isinstance(bucket_lengths, (tuple, list)) and self.sequences:
+            # explicit inventory; fractions above the largest bucket pad to
+            # their exact length (_padded_length falls through)
+            self._buckets = sorted(int(x) for x in bucket_lengths)
         elif bucket_lengths and self.sequences:
             self._buckets = _bucket_lengths(self.max_seq_length)
         else:
@@ -345,6 +351,17 @@ class DataSet:
         starts = list(range(0, len(self.sequences), self.parallel_sequences))
         if self.fraction_shuffling:
             self._rng.shuffle(starts)
+            if self._buckets is not None and self.bucket_major_shuffle:
+                # keep the shuffle random WITHIN each padded-length bucket
+                # but emit buckets contiguously: every same-shape run is
+                # then a whole bucket, so a fused/stacked epoch needs one
+                # dispatch per bucket instead of one per run (shuffled
+                # orders over a bucketed corpus have runs of 1-2). Pure
+                # reordering — per-update numerics are identical; only the
+                # SGD visit order distribution changes (PARITY.md).
+                b = self.parallel_sequences
+                starts.sort(key=lambda s: self._padded_length(
+                    max(q.length for q in self.sequences[s:s + b])))
         return starts
 
     def _padded_length(self, max_len: int) -> int:
@@ -453,7 +470,12 @@ class DataSet:
             key = (self._cache_token,) + tuple(s.uid for s in seqs)
         t_pad = self._padded_length(max(s.length for s in seqs))
         ctx = self.left_context + self.right_context + 1
-        return key, (t_pad, len(seqs), self.input_pattern_size * ctx)
+        # B is the MATERIALIZED width: _make_fraction always allocates
+        # parallel_sequences columns (a short last fraction just carries
+        # PATTYPE_NONE columns, like the reference) — reporting len(seqs)
+        # here made the lazy shape disagree with Fraction.shape and broke
+        # same-shape grouping for any corpus with a partial last fraction
+        return key, (t_pad, b, self.input_pattern_size * ctx)
 
     def lazy_fractions(self):
         """One epoch of LazyFraction handles (no prefetch thread — callers

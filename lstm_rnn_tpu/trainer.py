@@ -464,67 +464,107 @@ class Trainer:
             return replicate(self.mesh, perm), replicate(self.mesh, nk)
         return jnp.asarray(perm), nk
 
+    # distinct fraction shapes above which the epoch-resident path declines:
+    # each shape compiles its own whole-epoch scan program (minutes on the
+    # flagship), so an unbucketed corpus with per-fraction exact lengths
+    # must fall back to the grouped-flush path
+    STACKED_MAX_SHAPES = 8
+
     def _try_stacked_epoch(self, fracs, update: bool, fuse: int):
-        """EPOCH-RESIDENT stacked corpus: when a whole pass is one shape,
-        cacheable, and fits one fused group, the fractions live stacked in
-        HBM permanently (superseding the per-fraction cache entries) and
-        each epoch dispatches ONE fori_loop whose iteration order is a
-        [K] permutation vector — per-epoch fraction shuffling costs a
-        128-byte transfer instead of restacking. Returns (err, corr)
-        device scalars, or None when the pass doesn't qualify (the
-        grouped-flush path then runs)."""
+        """EPOCH-RESIDENT stacked corpus: when a whole pass is cacheable,
+        fits the device budget, and spans few distinct shapes (a bucket
+        inventory), the fractions live stacked PER SHAPE in HBM permanently
+        (superseding the per-fraction cache entries). Each epoch then
+        dispatches one fori_loop per consecutive same-shape run, whose
+        iteration order is a small permutation vector — per-epoch fraction
+        shuffling costs a handful of index-vector transfers instead of
+        restacking, and with the DataSet's bucket-major shuffle the run
+        count equals the bucket count. Returns (err, corr) device scalars,
+        or None when the pass doesn't qualify (the grouped-flush path then
+        runs)."""
         if not self.device_cache or not fracs or len(fracs) > fuse:
             return None
         keys = [getattr(f, "key", None) for f in fracs]
         if any(k is None for k in keys):
             return None
-        if len({f.shape for f in fracs}) != 1:
+        shapes = [f.shape for f in fracs]
+        if len(set(shapes)) > self.STACKED_MAX_SHAPES:
             return None
         token = keys[0][0]  # the DataSet's cache namespace
         entry = self._stacked.get(token)
         if entry is None:
-            # budget check up front: the stack holds fuse slots of one
-            # fraction's padded footprint (stay within the cache budget
-            # like any other resident data)
-            t_pad, b, w = fracs[0].shape
-            est = fuse * t_pad * -(-b // 8) * 8 * (w + 4) * 4
+            by_shape: Dict[Any, list] = {}
+            for f, k, s in zip(fracs, keys, shapes):
+                by_shape.setdefault(s, []).append((f, k))
+
+            def width_of(n: int) -> int:
+                # next power of two: the compiled scan program is keyed by
+                # (shape, stack width), so pow2 widths keep the persistent
+                # compile cache warm across corpus-size tweaks
+                w = 4
+                while w < n:
+                    w *= 2
+                return w
+
+            # budget check up front (conservative f32 estimate; stay within
+            # the cache budget like any other resident data)
+            est = 0
+            for s, items in by_shape.items():
+                t_pad, b, w = s
+                est += (width_of(len(items)) * t_pad * -(-b // 8) * 8
+                        * (w + 4) * 4)
             if self._dev_cache_bytes + est > self._dev_cache_budget:
                 return None
-            devs = [self._device_batch(f) for f in fracs]
-            base = devs + [devs[-1]] * (fuse - len(devs))
-            stacks = (self._stack_parts([p[0] for p in base]),
-                      self._stack_parts([p[1] for p in base]),
-                      self._stack_parts([p[2] for p in base]))
-            nbytes = sum(int(a.nbytes) for a in stacks
-                         if hasattr(a, "nbytes"))
-            # the stack supersedes the per-fraction entries just cached
-            for k in keys:
-                old = self._dev_cache.pop(k, None)
-                if old is not None:
-                    self._dev_cache_bytes -= old[1]
-            self._dev_cache_bytes += nbytes
-            entry = {"stacks": stacks, "bytes": nbytes,
-                     "pos": {k: i for i, k in enumerate(keys)}}
+            entry = {"shapes": {}, "bytes": 0, "pos": {}}
+            for s, items in by_shape.items():
+                devs = [self._device_batch(f) for f, _ in items]
+                base = devs + [devs[-1]] * (width_of(len(devs)) - len(devs))
+                stacks = (self._stack_parts([p[0] for p in base]),
+                          self._stack_parts([p[1] for p in base]),
+                          self._stack_parts([p[2] for p in base]))
+                nbytes = sum(int(a.nbytes) for a in stacks
+                             if hasattr(a, "nbytes"))
+                # the stack supersedes the per-fraction entries just cached
+                for _, k in items:
+                    old = self._dev_cache.pop(k, None)
+                    if old is not None:
+                        self._dev_cache_bytes -= old[1]
+                self._dev_cache_bytes += nbytes
+                entry["bytes"] += nbytes
+                entry["shapes"][s] = stacks
+                for i, (_, k) in enumerate(items):
+                    entry["pos"][k] = i
             self._stacked[token] = entry
         else:
             pos = entry["pos"]
-            if any(k not in pos for k in keys):
+            if any(k not in pos for k in keys) or any(
+                    s not in entry["shapes"] for s in shapes):
                 # corpus membership changed (e.g. different subset) — drop
                 self._dev_cache_bytes -= entry["bytes"]
                 del self._stacked[token]
                 return self._try_stacked_epoch(fracs, update, fuse)
             self.cache_hits += len(keys)
         pos = entry["pos"]
-        perm = np.zeros((fuse,), np.int32)
-        perm[:len(keys)] = [pos[k] for k in keys]
-        perm_d, nk = self._put_perm(perm, len(keys))
-        xk, tk, pk = entry["stacks"]
-        if update:
-            self.params, self.velocity, err, corr = self._train_scan(
-                self.params, self.velocity, xk, tk, pk, perm_d, nk)
-        else:
-            err, corr = self._eval_scan(self.params, xk, tk, pk, perm_d, nk)
-        return err, corr
+        errs, corrs = [], []
+        i, n = 0, len(fracs)
+        while i < n:  # one dispatch per consecutive same-shape run
+            j = i
+            while j < n and shapes[j] == shapes[i]:
+                j += 1
+            xk, tk, pk = entry["shapes"][shapes[i]]
+            perm = np.zeros((int(xk.shape[0]),), np.int32)
+            perm[:j - i] = [pos[k] for k in keys[i:j]]
+            perm_d, nk = self._put_perm(perm, j - i)
+            if update:
+                self.params, self.velocity, err, corr = self._train_scan(
+                    self.params, self.velocity, xk, tk, pk, perm_d, nk)
+            else:
+                err, corr = self._eval_scan(self.params, xk, tk, pk,
+                                            perm_d, nk)
+            errs.append(err)
+            corrs.append(corr)
+            i = j
+        return self._sum_metrics(errs, corrs)
 
     def _fractions(self, ds: DataSet):
         """Lazy handles when the device cache will absorb repeats (host

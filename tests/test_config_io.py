@@ -34,6 +34,23 @@ def test_options_file_with_cli_priority(tmp_path):
     assert cfg.max_epochs == 7
 
 
+def test_bucket_lengths_forms(tmp_path):
+    """--bucket_lengths accepts false/true/single and an explicit inventory,
+    and the inventory round-trips through the autosave option string."""
+    from lstm_rnn_tpu.config import serialize_options
+
+    assert parse_config([]).bucket_lengths is False
+    assert parse_config(["--bucket_lengths", "true"]).bucket_lengths is True
+    assert parse_config(["--bucket_lengths", "single"]).bucket_lengths == "single"
+    cfg = parse_config(["--bucket_lengths", "768,384,512"])
+    assert cfg.bucket_lengths == (384, 512, 768)
+    import shlex
+    replayed = parse_config(shlex.split(serialize_options(cfg.args)))
+    assert replayed.bucket_lengths == (384, 512, 768)
+    with pytest.raises(SystemExit):
+        parse_config(["--bucket_lengths", "384,xyz"])
+
+
 def test_stochastic_alias():
     assert parse_config(["--stochastic", "true"]).hybrid_online_batch is True
     assert parse_config(["--hybrid_online_batch", "true"]).hybrid_online_batch is True

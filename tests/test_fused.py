@@ -223,6 +223,99 @@ def test_stacked_epoch_with_shuffled_perm_matches_unfused(tmp_path):
                 rtol=1e-6, atol=1e-8, err_msg=f"{name}.{kk}")
 
 
+def test_stacked_epoch_multi_bucket_matches_unfused(tmp_path):
+    """Multi-bucket corpus with a PARTIAL last fraction: per-shape resident
+    stacks engage (one fori_loop per bucket run, bucket-major shuffle makes
+    one run per bucket) and match per-fraction training exactly. The partial
+    fraction used to break this entirely: fraction_meta reported its true
+    sequence count as the batch dim while the materialized fraction always
+    has parallel_sequences columns, so the lazy shape set was never
+    uniform."""
+    from .test_data import _write_classification_nc
+
+    tr = str(tmp_path / "tr.nc")
+    # lengths span two buckets (16 and 24); 11 seqs / 3 per fraction ->
+    # 4 fractions, the last with 2 sequences
+    _write_classification_nc(tr, [8] * 5 + [20] * 6, in_size=3, num_labels=4,
+                             seed=2)
+    layers = [
+        {"name": "input", "type": "input", "size": 3},
+        {"name": "l1", "type": "blstm", "size": 4, "bias": 1.0},
+        {"name": "output", "type": "softmax", "size": 4, "bias": 1.0},
+        {"name": "postoutput", "type": "multiclass_classification", "size": 4},
+    ]
+
+    def make(fuse, cache):
+        ds = DataSet([tr], parallel_sequences=3, sort_by_length=True,
+                     prefetch=False, fraction_shuffling=True, seed=11,
+                     bucket_lengths=True)
+        net = Network(layers)
+        net.init_params(5)
+        return Trainer(net, ds, learning_rate=1e-3, momentum=0.9,
+                       max_epochs=3, hybrid_online_batch=True,
+                       fuse_fractions=fuse, device_cache=cache)
+
+    t1 = make(1, False)
+    while not t1.train_epoch():
+        pass
+
+    t2 = make(8, True)
+    while not t2.train_epoch():
+        pass
+    assert len(t2._stacked) == 1
+    entry = next(iter(t2._stacked.values()))
+    assert len(entry["shapes"]) == 2  # one resident stack per bucket
+    st = t2.device_cache_stats()
+    assert st["hits"] == 4 and st["misses"] == 0
+    assert len(t2._dev_cache) == 0  # per-fraction entries superseded
+
+    assert t1.cur_training_error == pytest.approx(t2.cur_training_error,
+                                                  rel=1e-6)
+    assert t1.cur_training_class_error == t2.cur_training_class_error
+    for name in t1.params:
+        for kk in t1.params[name]:
+            np.testing.assert_allclose(
+                np.asarray(t1.params[name][kk]),
+                np.asarray(t2.params[name][kk]),
+                rtol=1e-6, atol=1e-8, err_msg=f"{name}.{kk}")
+
+
+def test_explicit_bucket_inventory(tmp_path):
+    """An explicit --bucket_lengths inventory pads each fraction up to the
+    next bucket; fractions above the largest bucket pad to exact length."""
+    from .test_data import _write_classification_nc
+
+    tr = str(tmp_path / "tr.nc")
+    _write_classification_nc(tr, [8, 8, 8, 20, 20, 20, 40, 40, 40],
+                             in_size=3, num_labels=4, seed=4)
+    ds = DataSet([tr], parallel_sequences=3, sort_by_length=True,
+                 prefetch=False, bucket_lengths=(12, 24))
+    tps = sorted(f.shape[0] for f in ds.lazy_fractions())
+    assert tps == [12, 24, 40]
+
+
+def test_bucket_major_shuffle_order(tmp_path):
+    """bucket_major_shuffle: emission order is a permutation of all
+    fractions, shuffled within buckets, buckets contiguous."""
+    from .test_data import _write_classification_nc
+
+    tr = str(tmp_path / "tr.nc")
+    _write_classification_nc(tr, [8] * 9 + [20] * 9, in_size=3, num_labels=4,
+                             seed=4)
+    ds = DataSet([tr], parallel_sequences=3, sort_by_length=True,
+                 prefetch=False, fraction_shuffling=True, seed=11,
+                 bucket_lengths=True)
+    for _ in range(4):  # several epochs of re-shuffles
+        shapes = [f.shape for f in ds.lazy_fractions()]
+        assert len(shapes) == 6
+        # contiguous runs == distinct shapes (buckets never interleave)
+        runs = 1 + sum(1 for a, b in zip(shapes, shapes[1:]) if a != b)
+        assert runs == len(set(shapes)) == 2
+    # the order is genuinely shuffled within buckets across epochs
+    orders = {tuple(f.key for f in ds.lazy_fractions()) for _ in range(6)}
+    assert len(orders) > 1
+
+
 def test_device_cache_budget_pins_prefix_and_reports_stats(tmp_path):
     """A corpus ~1.5x the cache budget: the admitted prefix stays pinned
     (cyclic epoch scans would thrash a plain LRU to 0%), steady-state hit
