@@ -13,6 +13,7 @@ import json
 import os
 import sys
 import time
+import traceback
 from typing import List, Optional
 
 import numpy as np
@@ -492,6 +493,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         return forward_mode(cfg)
     except Exception as e:
         print(f"FAILED: {e}")
+        traceback.print_exc(file=sys.stderr)
         return 2
 
 

@@ -440,6 +440,29 @@ class Trainer:
                 self._dev_cache_bytes += nbytes
         return triple
 
+    def _host_batch(self, frac: Fraction):
+        """Pad + dtype-convert a fraction on the HOST, no device transfer.
+        Used by the epoch-resident stack build, which ships each per-shape
+        corpus stack as ONE device_put instead of an on-device jnp.stack:
+        a stack program over O(100) resident arrays is a single XLA
+        program whose operands + fresh output cross the remote-TPU
+        runtime's per-program resource cliff (device-probed: programs
+        <=1.03 GiB pass, >=1.37 GiB die with RESOURCE_EXHAUSTED even with
+        HBM to spare), while an equally-sized device_put streams fine."""
+        inputs, targets, pattypes = self._pad_fraction(
+            frac.inputs, frac.targets, frac.pattypes, self._b_multiple())
+        return self._transfer_dtype(inputs), targets, pattypes
+
+    def _put_stacked(self, arr: np.ndarray):
+        """One-transfer device placement of a host-built [K, T, B, ...]
+        stack, batch axis (axis 2) sharded over the mesh."""
+        if self.mesh is None:
+            return jnp.asarray(arr)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = [None] * arr.ndim
+        spec[2] = "data"
+        return jax.device_put(arr, NamedSharding(self.mesh, P(*spec)))
+
     def _stack_parts(self, parts):
         """Stack K per-fraction [T, B, ...] arrays into [K, T, B, ...] with
         the batch axis (now axis 2) still sharded over the mesh. Multi-host
@@ -469,6 +492,13 @@ class Trainer:
     # flagship), so an unbucketed corpus with per-fraction exact lengths
     # must fall back to the grouped-flush path
     STACKED_MAX_SHAPES = 8
+
+    # cap on a single on-device stack program's input bytes (grouped-flush
+    # path): the remote-TPU runtime kills any one program whose operands +
+    # fresh output cross ~1-1.4 GiB with RESOURCE_EXHAUSTED regardless of
+    # free HBM (device-probed cliff); 384 MiB of inputs keeps the stack
+    # program (inputs + equal-sized output) under 800 MiB
+    MAX_GROUP_STACK_BYTES = 384 << 20
 
     def _try_stacked_epoch(self, fracs, update: bool, fuse: int):
         """EPOCH-RESIDENT stacked corpus: when a whole pass is cacheable,
@@ -517,11 +547,29 @@ class Trainer:
                 return None
             entry = {"shapes": {}, "bytes": 0, "pos": {}}
             for s, items in by_shape.items():
-                devs = [self._device_batch(f) for f, _ in items]
-                base = devs + [devs[-1]] * (width_of(len(devs)) - len(devs))
-                stacks = (self._stack_parts([p[0] for p in base]),
-                          self._stack_parts([p[1] for p in base]),
-                          self._stack_parts([p[2] for p in base]))
+                if jax.process_count() == 1:
+                    # build each stack on HOST and ship it as ONE transfer:
+                    # an on-device stack of O(100) fractions is a single
+                    # program over the runtime's per-program resource cliff
+                    # (see _host_batch) — the resident stack itself is fine
+                    # as a scan operand, only its construction program dies
+                    hosts = [self._host_batch(f) for f, _ in items]
+                    base = hosts + [hosts[-1]] * (
+                        width_of(len(hosts)) - len(hosts))
+                    stacks = tuple(
+                        self._put_stacked(np.stack([p[i] for p in base]))
+                        for i in range(3))
+                    self.cache_misses += len(items)
+                else:
+                    # multi-process: per-shard host arrays can't np.stack
+                    # into a global array; keep the jitted device stack
+                    # (dryrun-scale shapes only — no cliff risk)
+                    devs = [self._device_batch(f) for f, _ in items]
+                    base = devs + [devs[-1]] * (
+                        width_of(len(devs)) - len(devs))
+                    stacks = (self._stack_parts([p[0] for p in base]),
+                              self._stack_parts([p[1] for p in base]),
+                              self._stack_parts([p[2] for p in base]))
                 nbytes = sum(int(a.nbytes) for a in stacks
                              if hasattr(a, "nbytes"))
                 # the stack supersedes the per-fraction entries just cached
@@ -609,19 +657,36 @@ class Trainer:
                 corrs.append(res[1])
                 return self._sum_metrics(errs, corrs)
 
-            def stack_group(pending):
+            def group_width(frac) -> int:
+                """Stack width for this fraction's shape: fuse, byte-capped
+                (largest pow2) so the on-device stack program's inputs stay
+                under MAX_GROUP_STACK_BYTES — the same per-program resource
+                cliff the epoch-resident path routes around in _host_batch.
+                Pow2 halving keeps the compiled-program key count low."""
+                t, b, w = frac.shape
+                bp = -(-b // self._b_multiple()) * self._b_multiple()
+                isz = 2 if (self.padded and self.net.compute_dtype
+                            == jnp.dtype(jnp.bfloat16)) else 4
+                per = max(1, t * bp * w * isz)
+                cap = 1
+                while (cap * 2 * per <= self.MAX_GROUP_STACK_BYTES
+                       and cap * 2 <= fuse):
+                    cap *= 2
+                return cap
+
+            def stack_group(pending, kf):
                 """Per-fraction device batches (cache-aware), stacked ON
                 DEVICE — cached fractions transfer nothing. The stack is
-                always K=fuse wide (one compiled program per shape): short
+                always kf wide (one compiled program per shape): short
                 groups repeat the last fraction's arrays, which the dynamic
                 trip count never reads."""
                 devs = [self._device_batch(f) for f in pending]
                 n = len(devs)
-                devs = devs + [devs[-1]] * (fuse - n)
+                devs = devs + [devs[-1]] * (kf - n)
                 xk = self._stack_parts([p[0] for p in devs])
                 tk = self._stack_parts([p[1] for p in devs])
                 pk = self._stack_parts([p[2] for p in devs])
-                perm, nk = self._put_perm(np.arange(fuse, dtype=np.int32), n)
+                perm, nk = self._put_perm(np.arange(kf, dtype=np.int32), n)
                 return xk, tk, pk, perm, nk
 
             pending = []
@@ -629,7 +694,8 @@ class Trainer:
             def flush():
                 if not pending:
                     return
-                xk, tk, pk, perm, nk = stack_group(pending)
+                xk, tk, pk, perm, nk = stack_group(
+                    pending, group_width(pending[0]))
                 if update:
                     self.params, self.velocity, err, corr = self._train_scan(
                         self.params, self.velocity, xk, tk, pk, perm, nk)
@@ -643,7 +709,8 @@ class Trainer:
             last_shape = None
             for frac in fracs:
                 shape = frac.shape
-                if pending and (shape != last_shape or len(pending) >= fuse):
+                if pending and (shape != last_shape
+                                or len(pending) >= group_width(pending[0])):
                     flush()
                 pending.append(frac)
                 last_shape = shape

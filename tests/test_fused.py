@@ -280,6 +280,103 @@ def test_stacked_epoch_multi_bucket_matches_unfused(tmp_path):
                 rtol=1e-6, atol=1e-8, err_msg=f"{name}.{kk}")
 
 
+def test_grouped_stack_byte_cap_matches_unfused(tmp_path, monkeypatch):
+    """MAX_GROUP_STACK_BYTES caps the on-device stack width of the
+    grouped-flush path (the remote-TPU runtime kills any single program
+    whose operands + output cross ~1 GiB with RESOURCE_EXHAUSTED): with a
+    shrunk cap, groups flush at the capped pow2 width and results still
+    equal per-fraction training exactly."""
+    from .test_data import _write_classification_nc
+
+    tr = str(tmp_path / "tr.nc")
+    _write_classification_nc(tr, [8] * 12, in_size=3, num_labels=4, seed=2)
+    layers = [
+        {"name": "input", "type": "input", "size": 3},
+        {"name": "l1", "type": "blstm", "size": 4, "bias": 1.0},
+        {"name": "output", "type": "softmax", "size": 4, "bias": 1.0},
+        {"name": "postoutput", "type": "multiclass_classification", "size": 4},
+    ]
+
+    def make(fuse):
+        ds = DataSet([tr], parallel_sequences=3, sort_by_length=True,
+                     prefetch=False, seed=11)
+        net = Network(layers)
+        net.init_params(5)
+        # device_cache=False disqualifies the epoch-resident stacked path,
+        # forcing the grouped-flush path the cap protects
+        return Trainer(net, ds, learning_rate=1e-3, momentum=0.9,
+                       max_epochs=2, hybrid_online_batch=True,
+                       fuse_fractions=fuse, device_cache=False)
+
+    t1 = make(1)
+    while not t1.train_epoch():
+        pass
+
+    # per-fraction inputs bytes: T=8 x Bpad=8 x F=3 x 4B = 768; cap the
+    # stack at 2x768 so group_width clamps 8 -> 2
+    monkeypatch.setattr(Trainer, "MAX_GROUP_STACK_BYTES", 2 * 768)
+    widths = []
+    orig = Trainer._stack_parts
+
+    def spy(self, parts):
+        widths.append(len(parts))
+        return orig(self, parts)
+
+    monkeypatch.setattr(Trainer, "_stack_parts", spy)
+    t2 = make(8)
+    while not t2.train_epoch():
+        pass
+    assert widths and set(widths) == {2}  # every stack built at the cap
+
+    assert t1.cur_training_error == pytest.approx(t2.cur_training_error,
+                                                  rel=1e-6)
+    assert t1.cur_training_class_error == t2.cur_training_class_error
+    for name in t1.params:
+        for kk in t1.params[name]:
+            np.testing.assert_allclose(
+                np.asarray(t1.params[name][kk]),
+                np.asarray(t2.params[name][kk]),
+                rtol=1e-6, atol=1e-8, err_msg=f"{name}.{kk}")
+
+
+def test_stacked_epoch_builds_on_host(tmp_path, monkeypatch):
+    """Single-process epoch-resident stacks must be built on the HOST and
+    shipped as one device_put per stack (_put_stacked) — never via an
+    on-device stack over the whole corpus (_stack_parts), whose single
+    program crosses the remote-TPU runtime's per-program resource cliff
+    at production corpus sizes (128 x 11.3 MB fractions = RESOURCE_EXHAUSTED
+    on device, while the same bytes device_put'd stream fine)."""
+    from .test_data import _write_classification_nc
+
+    tr = str(tmp_path / "tr.nc")
+    _write_classification_nc(tr, [8] * 12, in_size=3, num_labels=4, seed=2)
+    layers = [
+        {"name": "input", "type": "input", "size": 3},
+        {"name": "l1", "type": "blstm", "size": 4, "bias": 1.0},
+        {"name": "output", "type": "softmax", "size": 4, "bias": 1.0},
+        {"name": "postoutput", "type": "multiclass_classification", "size": 4},
+    ]
+    ds = DataSet([tr], parallel_sequences=3, sort_by_length=True,
+                 prefetch=False, seed=11)
+    net = Network(layers)
+    net.init_params(5)
+    t = Trainer(net, ds, learning_rate=1e-3, momentum=0.9, max_epochs=2,
+                hybrid_online_batch=True, fuse_fractions=8, device_cache=True)
+
+    puts, stacks = [], []
+    orig_put = Trainer._put_stacked
+    orig_stack = Trainer._stack_parts
+    monkeypatch.setattr(Trainer, "_put_stacked",
+                        lambda self, a: puts.append(a.shape) or orig_put(self, a))
+    monkeypatch.setattr(Trainer, "_stack_parts",
+                        lambda self, p: stacks.append(len(p)) or orig_stack(self, p))
+    while not t.train_epoch():
+        pass
+    assert len(t._stacked) == 1  # the epoch-resident path engaged
+    assert len(puts) == 3 and all(s[0] == 4 for s in puts)  # x/t/p, width 4
+    assert stacks == []  # no on-device corpus stack program
+
+
 def test_explicit_bucket_inventory(tmp_path):
     """An explicit --bucket_lengths inventory pads each fraction up to the
     next bucket; fractions above the largest bucket pad to exact length."""
