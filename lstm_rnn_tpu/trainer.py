@@ -536,13 +536,22 @@ class Trainer:
                     w *= 2
                 return w
 
-            # budget check up front (conservative f32 estimate; stay within
-            # the cache budget like any other resident data)
+            # budget check up front (stay within the cache budget like any
+            # other resident data): per fraction, inputs [T,Bp,w] at the
+            # transfer itemsize + targets/pattypes ~2 x [T,Bp] int32/int8
+            bm = self._b_multiple()
+            in_isz = 2 if (self.padded and self.net.compute_dtype
+                           == jnp.dtype(jnp.bfloat16)) else 4
+            # classification targets are sparse [T,B] int32; regression
+            # targets are dense [T,B,target_size] float32
+            tw = (1 if "classification" in self.net.specs[-1].type
+                  else self.net.target_size)
             est = 0
             for s, items in by_shape.items():
                 t_pad, b, w = s
-                est += (width_of(len(items)) * t_pad * -(-b // 8) * 8
-                        * (w + 4) * 4)
+                bp = -(-b // bm) * bm
+                est += (width_of(len(items)) * t_pad * bp
+                        * (w * in_isz + tw * 4 + 1))
             if self._dev_cache_bytes + est > self._dev_cache_budget:
                 return None
             entry = {"shapes": {}, "bytes": 0, "pos": {}}
