@@ -153,22 +153,28 @@ def _auto_model_devices(net: Network, parallel_sequences: int,
         return 1
     bgran = 16 if _storage(net.compute_dtype).itemsize == 2 else 8
     bp = round_up(max(1, parallel_sequences), bgran)
-    need = 1
+    lstm_layers = []  # (h, pp) per LSTM layer
     for spec, (kind, _idx, prev_w, _hp) in zip(net.specs[1:-1],
                                                net._pad_plan()):
         if kind != "lstm":
             continue
         d = 2 if ioc.LSTM_TYPES[spec.type] else 1
-        h = spec.size // d
-        pp = round_up(prev_w, 128)
-        m = 1
-        while not fused_fits(round_up(-(-h // m), 128), pp, bp,
-                             net.compute_dtype):
-            nxt = next((k for k in range(m + 1, n_devices + 1)
-                        if n_devices % k == 0 and h % k == 0), None)
-            if nxt is None:
-                return need
-            m = nxt
+        lstm_layers.append((spec.size // d, round_up(prev_w, 128)))
+    if not lstm_layers:
+        return 1
+    # one shard count serves the whole net (validate_tp requires it to
+    # divide EVERY layer's per-direction cells), so candidates are the
+    # device-count divisors dividing all h — smallest-first
+    valid = [k for k in range(1, n_devices + 1)
+             if n_devices % k == 0
+             and all(h % k == 0 for h, _ in lstm_layers)]
+    need = 1
+    for h, pp in lstm_layers:
+        m = next((k for k in valid
+                  if fused_fits(round_up(-(-h // k), 128), pp, bp,
+                                net.compute_dtype)), None)
+        if m is None:
+            return 1  # no valid shard count fits this layer: lax.scan
         need = max(need, m)
     return need
 

@@ -175,6 +175,14 @@ def lstm_forward(params, x, pattypes, bias_mult: float, bidirectional: bool,
             pp = round_up(x.shape[-1], 128)
             if not fused_fits(hp, pp, bp, compute_dtype):
                 backend = "scan"
+            else:
+                # honor a recorded DEVICE verdict that no chunk fits this
+                # point — the analytic model underestimates Mosaic's
+                # scoped-vmem stack, and re-entering the kernel here would
+                # die at device compile with an opaque overflow
+                from lstm_rnn_tpu.ops.vmem_probe import known_unfit
+                if known_unfit(hp, pp, bp, compute_dtype):
+                    backend = "scan"
 
     if backend in ("pallas", "pallas_interpret"):
         from lstm_rnn_tpu.ops.lstm_cell import (DEFAULT_CHUNK, _storage,

@@ -98,6 +98,15 @@ def lookup_chunk(T: int, hp: int, pp: int, bp: int,
     return None
 
 
+def known_unfit(hp: int, pp: int, bp: int, compute_dtype) -> bool:
+    """True when the on-device probe has RECORDED that no chunk fits this
+    shape point: an explicit False verdict at chunk=1 (ensure_validated
+    walks candidates largest-first and only reaches 1 after every larger
+    chunk failed). Table read only — never compiles; False when unprobed,
+    so callers keep their analytic fallback for unseen points."""
+    return _load().get(_key(hp, pp, bp, 1, compute_dtype)) is False
+
+
 def _probe_compile(hp: int, pp: int, bp: int, ch: int, compute_dtype) -> bool:
     """AOT-compile fwd+bwd fused kernels at chunk=ch; True iff Mosaic
     accepts the scoped-VMEM footprint. Nothing is executed."""

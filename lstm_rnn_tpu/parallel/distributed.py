@@ -87,7 +87,8 @@ def host_local_slice(array: np.ndarray, mesh, batch_axis: int = 1,
     b = array.shape[batch_axis]
     if b % n_proc:
         raise ValueError(
-            f"global batch {b} must divide the process count {n_proc}")
+            f"global batch {b} must be divisible by the process count "
+            f"{n_proc}")
     per = b // n_proc
     start = jax.process_index() * per
     idx = [slice(None)] * array.ndim

@@ -167,6 +167,24 @@ class Trainer:
                         ok = fused_fits(hp, pp, bp, net.compute_dtype)
                     if not ok:
                         padded_pipeline = False
+                        if on_tpu:
+                            # the net now runs UNPADDED, where lstm_forward's
+                            # auto path keys the probe table by the EXACT
+                            # layer widths (round_up(d*h, 128) can be smaller
+                            # than the padded plan's d*hp). Seed verdicts at
+                            # those keys so the auto path honors the device
+                            # instead of the optimistic analytic model.
+                            prev = net.specs[0].size
+                            for s2 in net.specs[1:-1]:
+                                from lstm_rnn_tpu import io_currennt as ioc2
+                                if s2.type in ioc2.LSTM_TYPES:
+                                    d2 = 2 if ioc2.LSTM_TYPES[s2.type] else 1
+                                    h2 = s2.size // d2
+                                    ensure_validated(
+                                        16, round_up(h2, 128),
+                                        round_up(prev, 128), bp,
+                                        net.compute_dtype)
+                                prev = s2.size
                         break
         self.padded = padded_pipeline
         self._pad_mask = None
@@ -546,11 +564,15 @@ class Trainer:
             # targets are dense [T,B,target_size] float32
             tw = (1 if "classification" in self.net.specs[-1].type
                   else self.net.target_size)
+            from lstm_rnn_tpu.ops.lstm_cell import DEFAULT_CHUNK
             est = 0
             for s, items in by_shape.items():
-                t_pad, b, w = s
+                t, b, w = s
+                # _pad_fraction rounds T up to the kernel chunk and B to
+                # the batch granule — estimate the bytes actually shipped
+                tp = -(-t // DEFAULT_CHUNK) * DEFAULT_CHUNK
                 bp = -(-b // bm) * bm
-                est += (width_of(len(items)) * t_pad * bp
+                est += (width_of(len(items)) * tp * bp
                         * (w * in_isz + tw * 4 + 1))
             if self._dev_cache_bytes + est > self._dev_cache_budget:
                 return None
@@ -623,13 +645,19 @@ class Trainer:
             i = j
         return self._sum_metrics(errs, corrs)
 
+    def _lazy_ok(self, ds: DataSet) -> bool:
+        """Whether lazy fraction handles (assembly deferred to cache miss)
+        are usable for this dataset."""
+        return (self.device_cache
+                and getattr(ds, "noise_deviation", 1.0) == 0.0
+                and not getattr(ds, "sequence_shuffling", False)
+                and hasattr(ds, "lazy_fractions"))
+
     def _fractions(self, ds: DataSet):
         """Lazy handles when the device cache will absorb repeats (host
         assembly is then skipped on every hit — it dominated steady-state
         epoch time); the eager prefetching iterator otherwise."""
-        if (self.device_cache and getattr(ds, "noise_deviation", 1.0) == 0.0
-                and not getattr(ds, "sequence_shuffling", False)
-                and hasattr(ds, "lazy_fractions")):
+        if self._lazy_ok(ds):
             return ds.lazy_fractions()
         return ds.fractions()
 
@@ -659,12 +687,19 @@ class Trainer:
                 if ((update and self.hybrid_online_batch and not use_noise)
                     or not update) else 1)
         if fuse > 1:
-            fracs = list(self._fractions(ds))
-            res = self._try_stacked_epoch(fracs, update, fuse)
-            if res is not None:
-                errs.append(res[0])
-                corrs.append(res[1])
-                return self._sum_metrics(errs, corrs)
+            fracs = self._fractions(ds)
+            if self._lazy_ok(ds):
+                # lazy handles are cheap to hold (no arrays until a cache
+                # miss) — materialize for the stacked-epoch attempt. The
+                # eager iterator stays a STREAM: list()ing it would pin the
+                # whole corpus' padded arrays in host RAM at once, and the
+                # stacked path needs cache keys the eager Fractions lack.
+                fracs = list(fracs)
+                res = self._try_stacked_epoch(fracs, update, fuse)
+                if res is not None:
+                    errs.append(res[0])
+                    corrs.append(res[1])
+                    return self._sum_metrics(errs, corrs)
 
             def group_width(frac) -> int:
                 """Stack width for this fraction's shape: fuse, byte-capped
@@ -672,11 +707,13 @@ class Trainer:
                 under MAX_GROUP_STACK_BYTES — the same per-program resource
                 cliff the epoch-resident path routes around in _host_batch.
                 Pow2 halving keeps the compiled-program key count low."""
+                from lstm_rnn_tpu.ops.lstm_cell import DEFAULT_CHUNK
                 t, b, w = frac.shape
+                tp = -(-t // DEFAULT_CHUNK) * DEFAULT_CHUNK
                 bp = -(-b // self._b_multiple()) * self._b_multiple()
                 isz = 2 if (self.padded and self.net.compute_dtype
                             == jnp.dtype(jnp.bfloat16)) else 4
-                per = max(1, t * bp * w * isz)
+                per = max(1, tp * bp * w * isz)
                 cap = 1
                 while (cap * 2 * per <= self.MAX_GROUP_STACK_BYTES
                        and cap * 2 <= fuse):

@@ -401,3 +401,43 @@ def test_compilation_cache_dir_flag(tmp_path, rng):
              cwd=tmp_path)
     assert r.returncode == 0, r.stdout + r.stderr
     assert cache.is_dir()
+
+
+def test_auto_model_devices_respects_every_layer(monkeypatch):
+    """--model_devices 0 must return a shard count dividing EVERY LSTM
+    layer's per-direction cells (Network.validate_tp requires it) — a wide
+    layer must not force a count an unrelated narrow layer cannot shard."""
+    import jax
+
+    from lstm_rnn_tpu.cli import _auto_model_devices
+    from lstm_rnn_tpu.network import Network
+    from lstm_rnn_tpu.ops import lstm_cell as lc
+
+    def net_for(sizes):
+        layers = [{"name": "input", "type": "input", "size": 39}]
+        for i, sz in enumerate(sizes):
+            layers.append({"name": f"b{i}", "type": "blstm", "size": sz,
+                           "bias": 1.0})
+        layers += [{"name": "out", "type": "softmax", "size": 8,
+                    "bias": 1.0},
+                   {"name": "post", "type": "multiclass_classification",
+                    "size": 8}]
+        return Network(layers)
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    # fake VMEM bound: only per-shard cells <= 128 fit
+    monkeypatch.setattr(lc, "fused_fits",
+                        lambda hp, pp, bp, dt, ch=1: hp <= 128)
+
+    # h=512 needs m>=4, but h=90 only admits m in {1,2} -> no valid count:
+    # fall back to 1 (lax.scan) instead of a count validate_tp rejects
+    n = net_for([1024, 180])
+    m = _auto_model_devices(n, 8, 12)
+    assert m == 1
+
+    # h=512 needs 4, h=256 admits it -> 4, and it divides both
+    n = net_for([1024, 512])
+    m = _auto_model_devices(n, 8, 8)
+    assert m == 4
+    for h in (512, 256):
+        assert h % m == 0

@@ -312,9 +312,10 @@ def test_grouped_stack_byte_cap_matches_unfused(tmp_path, monkeypatch):
     while not t1.train_epoch():
         pass
 
-    # per-fraction inputs bytes: T=8 x Bpad=8 x F=3 x 4B = 768; cap the
-    # stack at 2x768 so group_width clamps 8 -> 2
-    monkeypatch.setattr(Trainer, "MAX_GROUP_STACK_BYTES", 2 * 768)
+    # per-fraction inputs bytes as SHIPPED (_pad_fraction rounds T up to
+    # the 16-step kernel chunk): Tpad=16 x Bpad=8 x F=3 x 4B = 1536; cap
+    # the stack at 2x1536 so group_width clamps 8 -> 2
+    monkeypatch.setattr(Trainer, "MAX_GROUP_STACK_BYTES", 2 * 1536)
     widths = []
     orig = Trainer._stack_parts
 

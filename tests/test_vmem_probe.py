@@ -71,3 +71,53 @@ def test_pick_chunk_analytic_unchanged_without_verdicts(tmp_path, monkeypatch):
     # a device verdict overrides the model upward
     vp._load()[vp._key(256, 128, 64, 16, jnp.bfloat16)] = True
     assert lc.pick_chunk(512, 256, 128, 64, jnp.bfloat16) == 16
+
+
+def test_known_unfit_reflects_recorded_total_overflow(tmp_path, monkeypatch):
+    _fresh(tmp_path, monkeypatch, lambda ch: False)
+    # unprobed point: not known-unfit (analytic model keeps deciding)
+    assert not vp.known_unfit(2048, 2048, 64, jnp.float32)
+    vp.ensure_validated(16, 2048, 2048, 64, jnp.float32, verbose=False)
+    assert vp.known_unfit(2048, 2048, 64, jnp.float32)
+
+
+def test_known_unfit_false_when_some_chunk_fits(tmp_path, monkeypatch):
+    _fresh(tmp_path, monkeypatch, lambda ch: ch <= 4)
+    vp.ensure_validated(16, 512, 128, 8, jnp.float32, verbose=False)
+    assert not vp.known_unfit(512, 128, 8, jnp.float32)
+
+
+def test_auto_backend_honors_negative_device_verdict(tmp_path, monkeypatch):
+    """A recorded no-chunk-fits verdict must route lstm_forward's auto path
+    to lax.scan even when the analytic model says the kernel fits — on a
+    real device the analytic optimism ends in an opaque Mosaic scoped-vmem
+    compile error (VERDICT r2 'probe exists for this' case)."""
+    import numpy as np
+
+    import jax
+
+    from lstm_rnn_tpu.models.lstm import lstm_forward
+    from lstm_rnn_tpu.ops.masking import pattypes_from_lengths
+
+    _fresh(tmp_path, monkeypatch, lambda ch: False)
+    T, B, P, h = 9, 3, 5, 10
+    g = np.random.default_rng(0)
+    params = {
+        "W_in": jnp.asarray(g.uniform(-1, 1, (1, P, 4, h)), jnp.float32),
+        "W_rec": jnp.asarray(g.uniform(-1, 1, (1, h, 4, h)), jnp.float32),
+        "b": jnp.asarray(g.uniform(-1, 1, (1, 4, h)), jnp.float32),
+        "peep": jnp.asarray(g.uniform(-1, 1, (1, 3, h)), jnp.float32),
+    }
+    x = jnp.asarray(g.uniform(-1, 1, (T, B, P)), jnp.float32)
+    pt = jnp.asarray(pattypes_from_lengths([9, 4, 7], T, B))
+    y_scan = lstm_forward(params, x, pt, 1.0, False, backend="scan")
+
+    # the auto path's key for this layer: hp=128, pp=128, bp=8 (f32)
+    vp.ensure_validated(16, 128, 128, 8, jnp.float32, verbose=False)
+    assert vp.known_unfit(128, 128, 8, jnp.float32)
+    # pretend we're on a TPU: without the verdict check, auto would pick
+    # the real (non-interpret) pallas kernel, which cannot lower on CPU
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    y_auto = lstm_forward(params, x, pt, 1.0, False, backend="auto")
+    np.testing.assert_allclose(np.asarray(y_auto), np.asarray(y_scan),
+                               rtol=0, atol=0)
