@@ -53,6 +53,7 @@ exactly 0 and receive exactly 0 gradient).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -452,11 +453,13 @@ def pick_chunk(T: int, hp: int, pp: int, bp: int,
         if T % _chunk_override:
             raise ValueError(
                 f"chunk override {_chunk_override} does not divide T={T}")
-        return _chunk_override
+        return _log_chunk(_chunk_override, "override", T, hp, pp, bp,
+                          compute_dtype)
     from lstm_rnn_tpu.ops.vmem_probe import lookup_chunk
     probed = lookup_chunk(T, hp, pp, bp, compute_dtype)
     if probed is not None:
-        return probed
+        return _log_chunk(probed, "device-probe", T, hp, pp, bp,
+                          compute_dtype)
     sz = _storage(compute_dtype).itemsize
     budget = VMEM_BUDGET[sz]
     ch = DEFAULT_CHUNK if sz == 2 else 4
@@ -468,7 +471,21 @@ def pick_chunk(T: int, hp: int, pp: int, bp: int,
         ch //= 2
         while ch > 1 and T % ch:
             ch //= 2
-    return max(ch, 1)
+    return _log_chunk(max(ch, 1), "analytic", T, hp, pp, bp, compute_dtype)
+
+
+def _log_chunk(ch: int, source: str, T: int, hp: int, pp: int, bp: int,
+               compute_dtype) -> int:
+    """Opt-in chunk-choice trace (LSTM_RNN_TPU_DEBUG_CHUNK=1): names the
+    verdict source and the analytic VMEM estimate, the first things needed
+    when a Mosaic 'scoped allocation ... exceeded' AOT failure must be
+    attributed to a shape point."""
+    if os.environ.get("LSTM_RNN_TPU_DEBUG_CHUNK"):
+        est = fused_vmem_bytes(hp, pp, bp, compute_dtype, ch)
+        print(f"lstm_cell: chunk={ch} [{source}] for (T={T}, h={hp}, "
+              f"p={pp}, b={bp}, {jnp.dtype(compute_dtype).name}); model "
+              f"estimate {est / 2**20:.1f} MiB", flush=True)
+    return ch
 
 
 def fused_fits(hp: int, pp: int, bp: int, compute_dtype=jnp.float32) -> bool:
