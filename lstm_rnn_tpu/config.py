@@ -43,6 +43,11 @@ DEFAULT_UINT_MAX = 2**32 - 1
 def _bucket_arg(v: str):
     if isinstance(v, str) and v.lower() == "single":
         return "single"
+    # '1'/'0' are the boolean spellings every other flag accepts — a
+    # one-bucket inventory of length 1 is meaningless, so they are not
+    # ambiguous with the explicit-inventory form
+    if isinstance(v, str) and v in ("0", "1"):
+        return _str2bool(v)
     if isinstance(v, str) and ("," in v or v.isdigit()):
         try:
             lengths = tuple(sorted(int(x) for x in v.split(",") if x))

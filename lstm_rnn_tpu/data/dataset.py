@@ -169,6 +169,8 @@ class DataSet:
     the reference's scheme (DataSet.cpp:550-566).
     """
 
+    CACHE_THRESHOLD_BYTES = 1 << 30
+
     def __init__(self, ncfiles: Sequence[str], parallel_sequences: int = 1,
                  fraction: float = 1.0, trunc_seq_length: int = 0,
                  fraction_shuffling: bool = False, sequence_shuffling: bool = False,
@@ -212,7 +214,7 @@ class DataSet:
         # explicitly configured (cache_threshold_bytes, default 1 GiB)
         self._cache: Optional[_DiskCache] = None
         self._cache_dir = cache_path
-        self.cache_threshold_bytes = 1 << 30
+        self.cache_threshold_bytes = self.CACHE_THRESHOLD_BYTES
 
         self.sequences: List[SequenceRef] = []
         self.total_sequences = 0
@@ -377,7 +379,10 @@ class DataSet:
     def _seq_arrays(self, seq: SequenceRef):
         """Resolve (inputs, targets) arrays, reading from the disk cache if
         the corpus is spilled."""
-        if self._cache is None:
+        if self._cache is None or isinstance(seq.inputs, np.ndarray):
+            # raw arrays: no cache, or this sequence came from an earlier
+            # (small) file loaded before a LATER file's size estimate
+            # created the cache — a mixed corpus holds both kinds of refs
             return seq.inputs, seq.targets
         return self._cache.get(seq.inputs), self._cache.get(seq.targets)
 
@@ -436,15 +441,20 @@ class DataSet:
                     cols.append(xs[idx])
                 inputs[:L, i, :] = np.concatenate(cols, axis=1)
 
+            # lagged frames: t in [lag, L) reads seq_targets[t - lag]
+            # (DataSet.cpp lag handling); lag >= L means EVERY frame gets
+            # the default — [:L - lag] alone would wrap negatively and
+            # crash the assignment for lag >= L + 2
+            n_lag = max(0, L - lag)
             if self.is_classification:
                 if lag > 0:
-                    targets[lag:L, i] = seq_targets[: L - lag]
+                    targets[lag:lag + n_lag, i] = seq_targets[:n_lag]
                     targets[:min(lag, L), i] = 0  # default class
                 else:
                     targets[:L, i] = seq_targets
             else:
                 if lag > 0:
-                    targets[lag:L, i, :] = seq_targets[: L - lag]
+                    targets[lag:lag + n_lag, i, :] = seq_targets[:n_lag]
                     targets[:min(lag, L), i, :] = 1.0  # default value
                 else:
                     targets[:L, i, :] = seq_targets

@@ -396,9 +396,7 @@ class Trainer:
         fraction — including the short last one — shards evenly. The fused
         kernels store bf16 streams in bf16 mode, whose TPU tile needs 16
         batch rows (vs 8 for float32)."""
-        base = 8
-        if self.padded and self.net.compute_dtype == jnp.dtype(jnp.bfloat16):
-            base = 16
+        base = 16 if self._transfer_itemsize() == 2 else 8
         if self.mesh is None:
             return base
         import math
@@ -406,11 +404,28 @@ class Trainer:
         n = data_axis_size(self.mesh)
         return base * n // math.gcd(base, n)
 
+    def _transfer_itemsize(self) -> int:
+        """Input itemsize as SHIPPED to the device: 2 when the padded
+        pipeline feeds bf16 (host-side cast), else 4. The single source for
+        every byte estimate — the stack-program caps must agree with the
+        actual transfer dtype or the per-program resource cliff re-opens."""
+        if self.padded and self.net.compute_dtype == jnp.dtype(jnp.bfloat16):
+            return 2
+        return 4
+
+    def _frame_bytes(self, w: int) -> int:
+        """Device bytes per padded frame of a shipped fraction: inputs at
+        the transfer itemsize, targets (sparse int32 class or dense f32
+        rows), one pattype byte."""
+        tw = (1 if "classification" in self.net.specs[-1].type
+              else self.net.target_size)
+        return w * self._transfer_itemsize() + tw * 4 + 1
+
     def _transfer_dtype(self, inputs):
         """In bf16 mode, cast inputs on the HOST so the device transfer
         moves half the bytes (the first LSTM layer casts to the compute
         dtype anyway). Matters doubly on remote-TPU tunnels."""
-        if self.padded and self.net.compute_dtype == jnp.dtype(jnp.bfloat16):
+        if self._transfer_itemsize() == 2:
             import ml_dtypes
             return inputs.astype(ml_dtypes.bfloat16)
         return inputs
@@ -558,12 +573,6 @@ class Trainer:
             # other resident data): per fraction, inputs [T,Bp,w] at the
             # transfer itemsize + targets/pattypes ~2 x [T,Bp] int32/int8
             bm = self._b_multiple()
-            in_isz = 2 if (self.padded and self.net.compute_dtype
-                           == jnp.dtype(jnp.bfloat16)) else 4
-            # classification targets are sparse [T,B] int32; regression
-            # targets are dense [T,B,target_size] float32
-            tw = (1 if "classification" in self.net.specs[-1].type
-                  else self.net.target_size)
             from lstm_rnn_tpu.ops.lstm_cell import DEFAULT_CHUNK
             est = 0
             for s, items in by_shape.items():
@@ -573,7 +582,7 @@ class Trainer:
                 tp = -(-t // DEFAULT_CHUNK) * DEFAULT_CHUNK
                 bp = -(-b // bm) * bm
                 est += (width_of(len(items)) * tp * bp
-                        * (w * in_isz + tw * 4 + 1))
+                        * self._frame_bytes(w))
             if self._dev_cache_bytes + est > self._dev_cache_budget:
                 return None
             entry = {"shapes": {}, "bytes": 0, "pos": {}}
@@ -664,6 +673,7 @@ class Trainer:
     def _process_dataset(self, ds: DataSet, update: bool):
         use_noise = update and self.weight_noise_sigma > 0
         grad_acc = None
+        zero_noise = None
         if update and not self.hybrid_online_batch:
             grad_acc = _ZEROS_JIT(self.params)
 
@@ -711,9 +721,10 @@ class Trainer:
                 t, b, w = frac.shape
                 tp = -(-t // DEFAULT_CHUNK) * DEFAULT_CHUNK
                 bp = -(-b // self._b_multiple()) * self._b_multiple()
-                isz = 2 if (self.padded and self.net.compute_dtype
-                            == jnp.dtype(jnp.bfloat16)) else 4
-                per = max(1, tp * bp * w * isz)
+                # total stack bytes (inputs + targets + pattypes): the
+                # targets stack is its OWN XLA program in stack_group, and
+                # a dense-regression target stack can outweigh the inputs
+                per = max(1, tp * bp * self._frame_bytes(w))
                 cap = 1
                 while (cap * 2 * per <= self.MAX_GROUP_STACK_BYTES
                        and cap * 2 <= fuse):
@@ -776,8 +787,15 @@ class Trainer:
                     self.params, self.velocity, err, corr = self._train_step(
                         self.params, self.velocity, inputs, targets, pattypes)
             else:
-                noise = (self._draw_noise() if use_noise
-                         else _ZEROS_JIT(self.params))
+                if use_noise:
+                    noise = self._draw_noise()
+                elif zero_noise is None:
+                    # one reusable zeros tree (not donated by _accum_step):
+                    # a fresh full-parameter allocation per fraction is
+                    # pure wasted HBM traffic on the batch-mode hot path
+                    zero_noise = noise = _ZEROS_JIT(self.params)
+                else:
+                    noise = zero_noise
                 grad_acc, err, corr = self._accum_step(
                     self.params, grad_acc, noise, inputs, targets, pattypes)
             errs.append(err)

@@ -138,3 +138,18 @@ def test_options_file_flag_form(tmp_path):
 
     c3 = parse_config([f"--options_file={cfg_path}"])
     assert c3.learning_rate == 1e-3 and c3.max_epochs == 7
+
+
+def test_bucket_lengths_boolean_spellings():
+    """'1'/'0' are the boolean spellings every flag accepts — they must not
+    parse as a one-bucket inventory (which would silently disable
+    bucketing and re-open the per-length compile storm)."""
+    from lstm_rnn_tpu.config import parse_config
+    base = ["--network", "n.jsn"]
+    assert parse_config(base + ["--bucket_lengths", "1"]).bucket_lengths is True
+    assert parse_config(base + ["--bucket_lengths", "0"]).bucket_lengths is False
+    assert parse_config(base + ["--bucket_lengths", "true"]).bucket_lengths is True
+    assert parse_config(
+        base + ["--bucket_lengths", "384,512"]).bucket_lengths == (384, 512)
+    assert parse_config(
+        base + ["--bucket_lengths", "single"]).bucket_lengths == "single"

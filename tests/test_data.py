@@ -219,3 +219,51 @@ def test_netcdf_record_dimension(tmp_path):
     with NetCDF3File(p2) as g2:
         np.testing.assert_array_equal(g2.read("x"), np.arange(7))
         assert g2.dimensions["time"] == 7
+
+
+def test_mixed_ram_disk_cache_corpus(tmp_path, monkeypatch):
+    """A later large file may create the disk cache AFTER a small file's
+    sequences were loaded as raw arrays — both ref kinds must resolve
+    (regression: _seq_arrays unconditionally dereferenced raw ndarrays as
+    cache tuples and crashed the first epoch)."""
+    p1 = str(tmp_path / "small.nc")
+    p2 = str(tmp_path / "big.nc")
+    _write_classification_nc(p1, [3, 4], seed=1)
+    _write_classification_nc(p2, [50, 60], seed=2)
+    # threshold between the two files' est_bytes = 4*T*(in+1): 140 vs 2200
+    monkeypatch.setattr(DataSet, "CACHE_THRESHOLD_BYTES", 1000)
+    ds = DataSet([p1, p2], parallel_sequences=2, prefetch=False)
+    assert ds._cache is not None
+    kinds = {type(s.inputs) for s in ds.sequences}
+    assert np.ndarray in kinds and tuple in kinds  # genuinely mixed
+    fracs = list(ds.fractions())
+    assert sum(len(f.seq_info) for f in fracs) == 4
+    # values round-trip: compare against an uncached load of the same corpus
+    monkeypatch.setattr(DataSet, "CACHE_THRESHOLD_BYTES", 1 << 30)
+    ds2 = DataSet([p1, p2], parallel_sequences=2, prefetch=False)
+    for fa, fb in zip(fracs, ds2.fractions()):
+        np.testing.assert_array_equal(fa.inputs, fb.inputs)
+        np.testing.assert_array_equal(fa.targets, fb.targets)
+
+
+def test_output_time_lag_exceeds_sequence_length(tmp_path):
+    """lag >= L + 2 must fill the whole sequence with the default class
+    instead of crashing the NumPy assembly path (native path already
+    handled it)."""
+    path = str(tmp_path / "t.nc")
+    _, classes = _write_classification_nc(path, [4, 8])
+    ds = DataSet([path], parallel_sequences=2, output_time_lag=6,
+                 prefetch=False, use_native=False)
+    fr = next(iter(ds.fractions()))
+    # seq of length 4: every frame defaults to class 0
+    np.testing.assert_array_equal(fr.targets[:4, 0], np.zeros(4, np.int32))
+    # seq of length 8: frames [6, 8) get classes[:2] of its own sequence
+    np.testing.assert_array_equal(fr.targets[:6, 1], np.zeros(6, np.int32))
+    np.testing.assert_array_equal(fr.targets[6:8, 1], classes[4:6])
+    # native path agrees
+    ds_n = DataSet([path], parallel_sequences=2, output_time_lag=6,
+                   prefetch=False, use_native=True)
+    if ds_n._native is not None:
+        fr_n = next(iter(ds_n.fractions()))
+        np.testing.assert_array_equal(fr.targets, fr_n.targets)
+        np.testing.assert_array_equal(fr.inputs, fr_n.inputs)

@@ -312,10 +312,11 @@ def test_grouped_stack_byte_cap_matches_unfused(tmp_path, monkeypatch):
     while not t1.train_epoch():
         pass
 
-    # per-fraction inputs bytes as SHIPPED (_pad_fraction rounds T up to
-    # the 16-step kernel chunk): Tpad=16 x Bpad=8 x F=3 x 4B = 1536; cap
-    # the stack at 2x1536 so group_width clamps 8 -> 2
-    monkeypatch.setattr(Trainer, "MAX_GROUP_STACK_BYTES", 2 * 1536)
+    # per-fraction bytes as SHIPPED (_pad_fraction rounds T up to the
+    # 16-step kernel chunk; inputs f32 + int32 class target + pattype
+    # byte): Tpad=16 x Bpad=8 x (3*4 + 4 + 1) = 2176; cap the stack at
+    # 2x2176 so group_width clamps 8 -> 2
+    monkeypatch.setattr(Trainer, "MAX_GROUP_STACK_BYTES", 2 * 2176)
     widths = []
     orig = Trainer._stack_parts
 

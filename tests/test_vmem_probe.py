@@ -121,3 +121,26 @@ def test_auto_backend_honors_negative_device_verdict(tmp_path, monkeypatch):
     y_auto = lstm_forward(params, x, pt, 1.0, False, backend="auto")
     np.testing.assert_allclose(np.asarray(y_auto), np.asarray(y_scan),
                                rtol=0, atol=0)
+
+
+def test_shipped_defaults_match_current_key_format(monkeypatch):
+    """The packaged verdicts must be keyed for the CURRENT kernel version —
+    stale keys silently never match and every fresh machine re-pays the
+    probe compiles (minutes each on the single-client tunnel). A
+    KERNEL_VERSION bump must come with regenerated defaults."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(vp.__file__),
+                        "vmem_probe_defaults.json")
+    table = json.load(open(path))
+    assert table, "defaults file must not be empty"
+    assert all(f"|{vp.KERNEL_VERSION}|" in k for k in table), (
+        "every shipped verdict must carry the current KERNEL_VERSION")
+    # the flagship shape points must resolve through _key on the device
+    # kind they were probed on
+    monkeypatch.setattr(vp, "_device_kind", lambda: "TPU_v5_lite")
+    monkeypatch.setattr(vp, "_MEM", None)
+    monkeypatch.setenv("LSTM_RNN_TPU_PROBE_CACHE", "/nonexistent/probe.json")
+    assert vp.lookup_chunk(512, 256, 128, 64, jnp.bfloat16) == 16
+    assert vp.lookup_chunk(512, 256, 128, 56, jnp.float32) == 4
