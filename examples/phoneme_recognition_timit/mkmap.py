@@ -25,7 +25,10 @@ def main(argv=None):
             dname = os.path.dirname(fname)
             base, ext = os.path.splitext(os.path.basename(fname))
             tag = os.path.join(dname, base)
-            feat = os.path.join(prefix, dname, base + ext)
+            # mkmap.pl concatenates "$featpre/$dname/$base.$ext" — the
+            # prefix must survive even when scp entries are absolute
+            # (os.path.join would discard it for a leading '/')
+            feat = os.path.join(prefix, dname.lstrip(os.sep), base + ext)
             label = os.path.join(dname, base + ".txt")
             print(f"{tag} 1 {feat} {label}")
     return 0

@@ -40,7 +40,10 @@ def main(argv=None):
                 continue
             items = line.split()
             if len(items) >= 3:
-                n = int((int(items[1]) - int(items[0])) / 100000)
+                # mlf2label.pl:42-43 float-divides the tick duration and
+                # loops while i < n — i.e. CEILING frames for durations not
+                # a multiple of 100000 ticks (10 ms)
+                n = -(-(int(items[1]) - int(items[0])) // 100000)
                 for _ in range(n):
                     out.write(items[2] + "\n")
     if out:

@@ -49,7 +49,10 @@ def main(argv=None):
                     return 1
                 data = np.frombuffer(g.read(nframes * ssize), dtype=">f4")
                 data = data.reshape(nframes, ncls)
-            out_path = os.path.join(prefix, path)
+            # test_post_conv.pl writes ">$prefix/$_": the output always
+            # lands UNDER the prefix — an absolute scp path must not make
+            # os.path.join drop the prefix and overwrite the input in place
+            out_path = os.path.join(prefix, path.lstrip(os.sep))
             os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
             print(f"converting {path}...")
             with open(out_path, "wb") as g:

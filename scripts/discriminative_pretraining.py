@@ -79,9 +79,13 @@ def main(argv=None):
             layer = {"name": f"hidden_layer_{k}", "type": hidden[k - 1]["type"],
                      "size": hidden[k - 1]["size"], "bias": 1.0}
             net["layers"].insert(k, layer)
-            # output layer retrains from scratch each stage
+            # output layer retrains from scratch each stage; derive its
+            # NAME from the topology (second-to-last layer) instead of the
+            # Perl original's hardcoded-'output' assumption, which silently
+            # kept stale weights for any other name
             if "weights" in net:
-                net["weights"].pop("output", None)
+                out_name = net["layers"][-2]["name"]
+                net["weights"].pop(out_name, None)
             jsn_file = os.path.join(work_dir, f"train.{k}.jsn")
             with open(jsn_file, "w") as f:
                 json.dump(net, f, indent=1)

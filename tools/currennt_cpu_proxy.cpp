@@ -206,9 +206,13 @@ struct BlstmLayer {
             for (int pk = 0; pk < 3; ++pk)           // peepholes
                 for (int u = 0; u < els; ++u) {
                     real_t s = 0;
+                    // gate mapping approximated (current-timestep cell
+                    // state for ig/fg where the reference uses t-1): the
+                    // arithmetic volume matches, which is all the timing
+                    // proxy measures
                     for (size_t n = 0; n < (size_t)T * B; ++n)
                         s += cells[d][n * els + u]
-                           * deltas[d][pk + 1 == 4 ? 3 : pk + 1][n * els + u];
+                           * deltas[d][pk + 1][n * els + u];
                     sink += s;
                 }
         }
@@ -257,7 +261,17 @@ int main(int argc, char** argv) {
             s += (sm_out[n * OUT + u] = std::exp(sm_out[n * OUT + u] - off));
         for (int u = 0; u < OUT; ++u) sm_out[n * OUT + u] /= s;
     }
-    // backward: softmax Jacobian + output weight grads + prev errors
+    // backward: softmax Jacobian delta loop (SoftmaxLayer.cu
+    // ComputeDeltaFn: d_j = y_j * (e_j - sum_k e_k y_k)), then the output
+    // weight grads + prev errors
+    for (size_t n = 0; n < (size_t)T * B; ++n) {
+        real_t dot = 0;
+        for (int u = 0; u < OUT; ++u)
+            dot += sm_err[n * OUT + u] * sm_out[n * OUT + u];
+        for (int u = 0; u < OUT; ++u)
+            sm_err[n * OUT + u] =
+                sm_out[n * OUT + u] * (sm_err[n * OUT + u] - dot);
+    }
     vector<real_t> top_err((size_t)T * B * 2 * ELS, 0.f);
     gemm(sm_w.data(), sm_err.data(), top_err.data(), 2 * ELS, OUT, T * B, false);
     for (int u = 0; u < OUT; ++u)
