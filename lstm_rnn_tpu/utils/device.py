@@ -21,6 +21,27 @@ _ENV = "LSTM_RNN_TPU_BACKEND_RETRY"
 _BACKOFF = (60.0, 300.0, 600.0, 600.0, 600.0, 600.0)
 
 
+def _relay_down_reason():
+    """On axon-tunnel environments, report why the local relay endpoint is
+    unreachable (None when reachable or not on such an environment).
+
+    The native plugin init WAITS FOREVER (claim retry loop, no timeout)
+    when the relay is down — a condition distinct from the claim wedge and
+    invisible from inside jax. Checking the TCP port first converts an
+    infinite hang into a bounded, diagnosable retry."""
+    host = os.environ.get("PALLAS_AXON_POOL_IPS")
+    if not host:
+        return None
+    import socket
+    addr = (host.split(",")[0],
+            int(os.environ.get("LSTM_RNN_TPU_AXON_PORT", "10000")))
+    try:
+        with socket.create_connection(addr, timeout=3):
+            return None
+    except OSError as e:
+        return f"axon relay {addr[0]}:{addr[1]} unreachable: {e}"
+
+
 def ensure_backend(max_retries: int = len(_BACKOFF)):
     """Return jax.devices(), re-exec'ing the process if backend init fails.
 
@@ -29,6 +50,21 @@ def ensure_backend(max_retries: int = len(_BACKOFF)):
     it — retries must back off beyond the server-side session timeout
     (observed ~5-10 min), hence the 60s/5min/10min ladder."""
     import jax
+
+    for i, sleep_s in enumerate(_BACKOFF[:max_retries]):
+        reason = _relay_down_reason()
+        if reason is None:
+            break
+        sys.stderr.write(
+            f"[lstm_rnn_tpu] {reason}; retry {i + 1}/{max_retries} in "
+            f"{sleep_s:.0f}s\n")
+        time.sleep(sleep_s)
+    else:
+        reason = _relay_down_reason()
+        if reason is not None:
+            raise RuntimeError(
+                f"{reason} after {max_retries} retries — the tunnel "
+                "endpoint is down; native init would hang forever")
 
     try:
         devs = jax.devices()
