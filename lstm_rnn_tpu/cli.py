@@ -250,6 +250,18 @@ def train_mode(cfg: Config) -> int:
                  if multihost else "")
         print(f"Data-parallel mesh: {dict(mesh.shape)}{hosts}")
 
+    pipe_mesh = None
+    if cfg.pipeline_devices > 1:
+        if mesh is not None:
+            raise RuntimeError(
+                "pipeline_devices > 1 does not combine with num_devices/"
+                "model_devices (pick one parallelism per run)")
+        from lstm_rnn_tpu.parallel.mesh import make_mesh
+        pipe_mesh = make_mesh(cfg.pipeline_devices, axis="pipe")
+        print(f"Pipeline mesh: {dict(pipe_mesh.shape)} "
+              f"({len(net.specs) - 2} hidden layers over "
+              f"{cfg.pipeline_devices} stages)")
+
     max_epochs = cfg.max_epochs if cfg.max_epochs != 2**32 - 1 else -1
     trainer = Trainer(
         net, train_set, val_set, test_set,
@@ -258,7 +270,7 @@ def train_mode(cfg: Config) -> int:
         validate_every=cfg.validate_every, test_every=cfg.test_every,
         hybrid_online_batch=cfg.hybrid_online_batch,
         weight_noise_sigma=cfg.weight_noise_sigma, seed=cfg.random_seed,
-        fuse_fractions=cfg.fuse_fractions, mesh=mesh,
+        fuse_fractions=cfg.fuse_fractions, mesh=mesh, pipe_mesh=pipe_mesh,
         device_cache=cfg.device_cache)
 
     info_rows = ""

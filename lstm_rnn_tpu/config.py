@@ -146,6 +146,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(must divide num_devices; builds a 2-D DP x TP "
                         "mesh). 0 = auto-engage when a cell exceeds the "
                         "single-chip fused-kernel VMEM budget")
+    g.add_argument("--pipeline_devices", type=int, default=1,
+                   help="pipeline-parallel stage count: the hidden-layer "
+                        "stack splits into N contiguous stages over a "
+                        "'pipe' mesh axis, microbatching the fraction's "
+                        "batch (GPipe-style; results match single-device "
+                        "training)")
     g.add_argument("--bucket_lengths", type=_bucket_arg, default=False,
                    help="false = exact lengths, true = power-of-2 bucket "
                         "inventory, single = one bucket at the corpus max "

@@ -224,8 +224,14 @@ class Network:
         inputs: [T, B, input_size]; pattypes: [T, B] int8.
         Returns [T, B, output_size].
         """
-        x = inputs
-        for s in self.specs[1:-1]:
+        return self.apply_layer_range(params, inputs, pattypes, 0,
+                                      len(self.specs) - 2)
+
+    def apply_layer_range(self, params, x, pattypes, lo: int, hi: int):
+        """Apply hidden layers [lo, hi) (0-indexed into specs[1:-1]) — the
+        building block for pipeline-parallel stage execution
+        (parallel/pipeline.py) and the full apply()."""
+        for s in self.specs[1 + lo:1 + hi]:
             p = params[s.name]
             if s.type in ioc.LSTM_TYPES:
                 if self._tp_axis_size() > 1:

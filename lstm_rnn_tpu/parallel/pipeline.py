@@ -1,0 +1,147 @@
+"""Pipeline parallelism over the layer stack (capability beyond the
+reference — CURRENNT is strictly single-GPU, SURVEY.md §2.7).
+
+The hidden-layer stack (specs[1:-1], output softmax included) is split into
+contiguous STAGES, one per device along a "pipe" mesh axis. A fraction's
+batch axis is cut into one microbatch per stage and the stages run a
+GPipe-style software pipeline: at clock tick k, stage s processes microbatch
+k - s and `ppermute`s its full-sequence activations to stage s + 1 over ICI.
+The loss/accuracy accumulate on the last stage and `psum` back to every
+device; jax autodiff through the tick scan + ppermute yields the exact
+backward pipeline (cotangents flow stage P-1 -> 0 in reverse clock order).
+
+Design choices, TPU-first:
+- Parameters stay REPLICATED; stages differ only by `lax.axis_index` and a
+  `lax.switch` over per-stage layer branches. This sidesteps heterogeneous
+  per-stage weight shapes (the LSTM stack's first layer has a different
+  input width) and means gradient psum over the pipe axis reproduces the
+  single-device gradient EXACTLY (each device contributes only its stage's
+  layers; the rest are zeros).
+- Stage messages are full-sequence [T, bm, maxW] buffers padded to the
+  widest stage boundary, so every tick's ppermute is one uniform ICI
+  transfer.
+- The microbatch sum over the batch axis equals the unpipelined loss (the
+  losses sum over patterns), so training with --pipeline_devices N matches
+  single-device training up to float reduction order — proven on the
+  virtual mesh in tests/test_pipeline.py.
+
+Useful when a model's layer stack outgrows one chip's HBM/VMEM or when
+stacking deep recurrent towers: recurrence serializes T, but the pipeline
+keeps P chips busy on P microbatches concurrently.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def stage_ranges(n_layers: int, n_stages: int) -> Sequence[tuple]:
+    """Contiguous balanced [lo, hi) ranges over the hidden layers."""
+    if n_stages > n_layers:
+        raise ValueError(
+            f"pipeline_devices={n_stages} exceeds the {n_layers} hidden "
+            "layers — nothing to place on the extra stages")
+    bounds = np.linspace(0, n_layers, n_stages + 1).round().astype(int)
+    return [(int(bounds[i]), int(bounds[i + 1])) for i in range(n_stages)]
+
+
+def _pad_last(x, w: int):
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, w - x.shape[-1])])
+
+
+def loss_and_count_pipelined(net, params, x, targets, pattypes, mesh: Mesh,
+                             axis: str = "pipe"):
+    """(total error, correct count) of the full net, pipeline-parallel.
+
+    x: [T, B, F]; targets [T, B] int or [T, B, W]; pattypes [T, B] int8.
+    Differentiable: jax.grad of the returned error reproduces the
+    single-device gradients (psum'd over the pipe axis).
+    """
+    n_stages = int(mesh.shape[axis])
+    hidden = net.specs[1:-1]
+    ranges = stage_ranges(len(hidden), n_stages)
+    t, b, f_in = x.shape
+
+    # one microbatch per stage; ragged batches pad with PATTYPE_NONE
+    # columns, which every loss/counter masks out (numerically inert)
+    m = n_stages
+    bm = -(-b // m)
+    db = m * bm - b
+    if db:
+        x = jnp.pad(x, ((0, 0), (0, db), (0, 0)))
+        pattypes = jnp.pad(pattypes, ((0, 0), (0, db)))
+        if targets.ndim == 2:
+            targets = jnp.pad(targets, ((0, 0), (0, db)),
+                              constant_values=-1)
+        else:
+            targets = jnp.pad(targets, ((0, 0), (0, db), (0, 0)))
+
+    # [M, T, bm, ...] microbatch-major views (consecutive batch columns)
+    def mb(a):
+        return a.reshape(a.shape[0], m, bm, *a.shape[2:]).swapaxes(0, 1)
+
+    x_mb, t_mb, p_mb = mb(x), mb(targets), mb(pattypes)
+
+    in_w = [f_in] + [s.size for s in hidden]
+    out_w = hidden[-1].size
+    max_w = max(in_w[lo] for lo, _ in ranges[1:]) if n_stages > 1 else out_w
+    max_w = max(max_w, out_w)
+
+    def make_branch(idx, lo, hi):
+        def branch(prm, buf, xm, pt):
+            inp = xm if idx == 0 else buf[..., :in_w[lo]]
+            y = net.apply_layer_range(prm, inp, pt, lo, hi)
+            return _pad_last(y, max_w)
+
+        return branch
+
+    branches = [make_branch(i, lo, hi) for i, (lo, hi) in enumerate(ranges)]
+    perm = [(i, i + 1) for i in range(n_stages - 1)]
+
+    def local(prm, x_mb, t_mb, p_mb):
+        stage = jax.lax.axis_index(axis)
+        is_last = stage == n_stages - 1
+
+        def tick(carry, k):
+            buf, err, corr = carry
+            mi = jnp.clip(k - stage, 0, m - 1)
+            active = (k >= stage) & (k - stage < m)
+            xm = jax.lax.dynamic_index_in_dim(x_mb, mi, 0, keepdims=False)
+            tg = jax.lax.dynamic_index_in_dim(t_mb, mi, 0, keepdims=False)
+            pt = jax.lax.dynamic_index_in_dim(p_mb, mi, 0, keepdims=False)
+            act = jax.lax.switch(stage, branches, prm, buf, xm, pt)
+            use = active & is_last
+            # sanitize BEFORE the loss: on non-final stages `act` holds
+            # intermediate activations whose log/ratio terms could emit
+            # NaN even under a zero mask (0 * nan = nan in the cotangent)
+            y = jnp.where(use, act[..., :out_w],
+                          jnp.ones((), act.dtype))
+            err = err + net.loss_fn(y, tg, pt) * use
+            corr = corr + net.correct_count(y, tg, pt) * use.astype(jnp.int32)
+            if perm:
+                buf = jax.lax.ppermute(act, axis, perm)
+            else:
+                buf = act
+            return (buf, err, corr), None
+
+        zero = jnp.zeros((t, bm, max_w), jnp.float32)
+        err0 = jnp.zeros((), jnp.float32)
+        corr0 = jnp.zeros((), jnp.int32)
+        (_, err, corr), _ = jax.lax.scan(
+            tick, (zero, err0, corr0), jnp.arange(m + n_stages - 1))
+        return jax.lax.psum(err, axis), jax.lax.psum(corr, axis)
+
+    from jax import shard_map
+    # check_vma=False: the stage branches run the SHARED layer code, whose
+    # internal lax.scan carries are not annotated for this mesh axis; the
+    # outputs are explicitly psum'd so replication is guaranteed by
+    # construction (gradient equality vs the single-device net is tested)
+    return shard_map(local, mesh=mesh,
+                     in_specs=(P(), P(), P(), P()),
+                     out_specs=(P(), P()),
+                     check_vma=False)(params, x_mb, t_mb, p_mb)

@@ -59,7 +59,8 @@ class Trainer:
                  validate_every: int = 1, test_every: int = 1,
                  hybrid_online_batch: bool = False,
                  weight_noise_sigma: float = 0.0,
-                 seed: int = 1, mesh=None, fuse_fractions: int = 1,
+                 seed: int = 1, mesh=None, pipe_mesh=None,
+                 fuse_fractions: int = 1,
                  padded_pipeline: Optional[bool] = None,
                  device_cache: Optional[bool] = None,
                  device_cache_bytes: int = 6 * 1024**3):
@@ -76,6 +77,7 @@ class Trainer:
         self.hybrid_online_batch = hybrid_online_batch
         self.weight_noise_sigma = weight_noise_sigma
         self.mesh = mesh
+        self.pipe_mesh = pipe_mesh
         # fuse_fractions > 1: stochastic-mode updates for K same-shape
         # fractions run as ONE jitted lax.scan — identical sequential
         # updates, 1/K the dispatch overhead (and one big host->device
@@ -123,6 +125,14 @@ class Trainer:
         if self.tensor_parallel:
             net.mesh = mesh
             net.validate_tp()
+            padded_pipeline = False
+
+        # pipeline parallelism (a "pipe" mesh, parallel/pipeline.py):
+        # stages apply the EXACT layer view, so the padded fused-kernel
+        # pipeline does not apply
+        if pipe_mesh is not None:
+            from lstm_rnn_tpu.parallel.pipeline import stage_ranges
+            stage_ranges(len(net.specs) - 2, int(pipe_mesh.shape["pipe"]))
             padded_pipeline = False
 
         # padded training view (see Network.pad_params): default on when the
@@ -241,6 +251,7 @@ class Trainer:
         # VMEM (one residual write) instead of several XLA HBM passes
         fused_tail = (net.supports_fused_tail()
                       and not self.tensor_parallel
+                      and self.pipe_mesh is None
                       and (net.backend == "pallas_interpret"
                            or (jax.default_backend() == "tpu"
                                and net.backend in ("auto", "pallas"))))
@@ -248,6 +259,11 @@ class Trainer:
                        or jax.default_backend() != "tpu")
 
         def loss_and_metrics(params, inputs, targets, pattypes):
+            if self.pipe_mesh is not None:
+                from lstm_rnn_tpu.parallel.pipeline import (
+                    loss_and_count_pipelined)
+                return loss_and_count_pipelined(
+                    net, params, inputs, targets, pattypes, self.pipe_mesh)
             if fused_tail:
                 return net.loss_and_count_fused(
                     params, inputs, targets, pattypes, padded=padded,

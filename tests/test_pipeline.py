@@ -1,0 +1,80 @@
+"""Pipeline parallelism (parallel/pipeline.py): loss, counters and
+gradients over a virtual "pipe" mesh must match the single-device network.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lstm_rnn_tpu.network import Network
+from lstm_rnn_tpu.ops.masking import pattypes_from_lengths
+from lstm_rnn_tpu.parallel.mesh import make_mesh
+from lstm_rnn_tpu.parallel.pipeline import (loss_and_count_pipelined,
+                                            stage_ranges)
+
+LAYERS = [
+    {"name": "input", "type": "input", "size": 3},
+    {"name": "b1", "type": "blstm", "size": 4, "bias": 1.0},
+    {"name": "ff", "type": "feedforward_tanh", "size": 6, "bias": 0.5},
+    {"name": "b2", "type": "lstm", "size": 5, "bias": 1.0},
+    {"name": "output", "type": "softmax", "size": 4, "bias": 1.0},
+    {"name": "post", "type": "multiclass_classification", "size": 4},
+]
+
+
+def _net_and_batch(rng, b=8, t=7):
+    net = Network(LAYERS)
+    net.init_params(11)
+    params = jax.tree_util.tree_map(jnp.asarray, net.params)
+    x = jnp.asarray(rng.uniform(-1, 1, (t, b, 3)), jnp.float32)
+    lens = [t] * (b // 2) + [max(1, t - 2)] * (b - b // 2)
+    pt = jnp.asarray(pattypes_from_lengths(lens, t, b))
+    tc = jnp.asarray(rng.randint(0, 4, (t, b)), jnp.int32)
+    return net, params, x, tc, pt
+
+
+def test_stage_ranges():
+    assert stage_ranges(4, 2) == [(0, 2), (2, 4)]
+    assert stage_ranges(5, 2) == [(0, 2), (2, 5)] or \
+        stage_ranges(5, 2) == [(0, 3), (3, 5)]
+    assert stage_ranges(4, 4) == [(0, 1), (1, 2), (2, 3), (3, 4)]
+    with pytest.raises(ValueError):
+        stage_ranges(2, 3)
+
+
+@pytest.mark.parametrize("n_pipe", [2, 4])
+def test_pipelined_matches_single_device(rng, n_pipe):
+    net, params, x, tc, pt = _net_and_batch(rng)
+    mesh = make_mesh(n_pipe, axis="pipe")
+
+    def ref(p):
+        y = net.apply(p, x, pt)
+        return net.loss_fn(y, tc, pt), net.correct_count(y, tc, pt)
+
+    def pipe(p):
+        return loss_and_count_pipelined(net, p, x, tc, pt, mesh)
+
+    (e_ref, c_ref), g_ref = jax.value_and_grad(ref, has_aux=True)(params)
+    (e_pp, c_pp), g_pp = jax.value_and_grad(pipe, has_aux=True)(params)
+    np.testing.assert_allclose(float(e_pp), float(e_ref), rtol=1e-6)
+    assert int(c_pp) == int(c_ref)
+    flat_r, _ = jax.tree_util.tree_flatten(g_ref)
+    flat_p, _ = jax.tree_util.tree_flatten(g_pp)
+    for a, b_ in zip(flat_r, flat_p):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=2e-5, atol=1e-6)
+
+
+def test_pipelined_ragged_batch(rng):
+    """B not divisible by the stage count pads with inert PATTYPE_NONE
+    columns — results still match."""
+    net, params, x, tc, pt = _net_and_batch(rng, b=7)
+    mesh = make_mesh(2, axis="pipe")
+    y = net.apply(params, x, pt)
+    e_ref = float(net.loss_fn(y, tc, pt))
+    c_ref = int(net.correct_count(y, tc, pt))
+    e_pp, c_pp = jax.jit(
+        lambda p: loss_and_count_pipelined(net, p, x, tc, pt, mesh))(params)
+    np.testing.assert_allclose(float(e_pp), e_ref, rtol=1e-6)
+    assert int(c_pp) == c_ref
