@@ -237,30 +237,39 @@ def train_mode(cfg: Config) -> int:
             print(f"Tensor parallelism auto-engaged: model_devices="
                   f"{model_devices} (an LSTM layer exceeds the single-chip "
                   "fused-kernel VMEM budget)")
+    pp = cfg.pipeline_devices
+    pipe_mesh = None
+    if pp > 1 and model_devices > 1:
+        raise RuntimeError(
+            "pipeline_devices > 1 does not combine with model_devices")
     if model_devices > 1:
         if n <= 1:
             raise RuntimeError("model_devices > 1 requires num_devices > 1")
         from lstm_rnn_tpu.parallel.mesh import make_mesh_2d
         mesh = make_mesh_2d(n, model_devices)
         print(f"DP x TP mesh: {dict(mesh.shape)}")
+    elif pp > 1 and n > 1:
+        # composed DP x PP: num_devices is the TOTAL device count (mirrors
+        # model_devices semantics); B shards over 'data', stages pipeline
+        # within each data shard
+        if n % pp:
+            raise RuntimeError(
+                f"pipeline_devices={pp} must divide num_devices={n}")
+        from lstm_rnn_tpu.parallel.mesh import make_mesh_2d
+        mesh = pipe_mesh = make_mesh_2d(n, pp, data_axis="data",
+                                        model_axis="pipe")
+        print(f"DP x PP mesh: {dict(mesh.shape)}")
+    elif pp > 1:
+        from lstm_rnn_tpu.parallel.mesh import make_mesh
+        pipe_mesh = make_mesh(pp, axis="pipe")
+        print(f"Pipeline mesh: {dict(pipe_mesh.shape)} "
+              f"({len(net.specs) - 2} hidden layers over {pp} stages)")
     elif n > 1:
         from lstm_rnn_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(n)
         hosts = (f" over {jax.process_count()} hosts"
                  if multihost else "")
         print(f"Data-parallel mesh: {dict(mesh.shape)}{hosts}")
-
-    pipe_mesh = None
-    if cfg.pipeline_devices > 1:
-        if mesh is not None:
-            raise RuntimeError(
-                "pipeline_devices > 1 does not combine with num_devices/"
-                "model_devices (pick one parallelism per run)")
-        from lstm_rnn_tpu.parallel.mesh import make_mesh
-        pipe_mesh = make_mesh(cfg.pipeline_devices, axis="pipe")
-        print(f"Pipeline mesh: {dict(pipe_mesh.shape)} "
-              f"({len(net.specs) - 2} hidden layers over "
-              f"{cfg.pipeline_devices} stages)")
 
     max_epochs = cfg.max_epochs if cfg.max_epochs != 2**32 - 1 else -1
     trainer = Trainer(

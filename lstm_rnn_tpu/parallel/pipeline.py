@@ -63,15 +63,22 @@ def loss_and_count_pipelined(net, params, x, targets, pattypes, mesh: Mesh,
     single-device gradients (psum'd over the pipe axis).
     """
     n_stages = int(mesh.shape[axis])
+    # optional data-parallel composition: a 2-D ("data", "pipe") mesh
+    # shards B over "data" and pipelines within each data shard
+    data_ax = "data" if "data" in mesh.axis_names else None
+    nd = int(mesh.shape[data_ax]) if data_ax else 1
     hidden = net.specs[1:-1]
     ranges = stage_ranges(len(hidden), n_stages)
     t, b, f_in = x.shape
 
-    # one microbatch per stage; ragged batches pad with PATTYPE_NONE
-    # columns, which every loss/counter masks out (numerically inert)
+    # one microbatch per stage PER DATA SHARD; ragged batches pad with
+    # PATTYPE_NONE columns, which every loss/counter masks out
+    # (numerically inert)
     m = n_stages
-    bm = -(-b // m)
-    db = m * bm - b
+    gran = m * nd
+    bp = -(-b // gran) * gran
+    bm = bp // gran
+    db = bp - b
     if db:
         x = jnp.pad(x, ((0, 0), (0, db), (0, 0)))
         pattypes = jnp.pad(pattypes, ((0, 0), (0, db)))
@@ -80,12 +87,6 @@ def loss_and_count_pipelined(net, params, x, targets, pattypes, mesh: Mesh,
                               constant_values=-1)
         else:
             targets = jnp.pad(targets, ((0, 0), (0, db), (0, 0)))
-
-    # [M, T, bm, ...] microbatch-major views (consecutive batch columns)
-    def mb(a):
-        return a.reshape(a.shape[0], m, bm, *a.shape[2:]).swapaxes(0, 1)
-
-    x_mb, t_mb, p_mb = mb(x), mb(targets), mb(pattypes)
 
     in_w = [f_in] + [s.size for s in hidden]
     out_w = hidden[-1].size
@@ -103,7 +104,13 @@ def loss_and_count_pipelined(net, params, x, targets, pattypes, mesh: Mesh,
     branches = [make_branch(i, lo, hi) for i, (lo, hi) in enumerate(ranges)]
     perm = [(i, i + 1) for i in range(n_stages - 1)]
 
-    def local(prm, x_mb, t_mb, p_mb):
+    def local(prm, x_loc, t_loc, p_loc):
+        # [M, T, bm, ...] microbatch-major views of this data shard's
+        # block (consecutive batch columns)
+        def mb_view(a):
+            return a.reshape(a.shape[0], m, bm, *a.shape[2:]).swapaxes(0, 1)
+
+        x_mb, t_mb, p_mb = mb_view(x_loc), mb_view(t_loc), mb_view(p_loc)
         stage = jax.lax.axis_index(axis)
         is_last = stage == n_stages - 1
 
@@ -134,14 +141,16 @@ def loss_and_count_pipelined(net, params, x, targets, pattypes, mesh: Mesh,
         corr0 = jnp.zeros((), jnp.int32)
         (_, err, corr), _ = jax.lax.scan(
             tick, (zero, err0, corr0), jnp.arange(m + n_stages - 1))
-        return jax.lax.psum(err, axis), jax.lax.psum(corr, axis)
+        axes = (axis,) if data_ax is None else (axis, data_ax)
+        return jax.lax.psum(err, axes), jax.lax.psum(corr, axes)
 
     from jax import shard_map
     # check_vma=False: the stage branches run the SHARED layer code, whose
     # internal lax.scan carries are not annotated for this mesh axis; the
     # outputs are explicitly psum'd so replication is guaranteed by
     # construction (gradient equality vs the single-device net is tested)
+    bspec = P(None, data_ax)
     return shard_map(local, mesh=mesh,
-                     in_specs=(P(), P(), P(), P()),
+                     in_specs=(P(), bspec, bspec, bspec),
                      out_specs=(P(), P()),
-                     check_vma=False)(params, x_mb, t_mb, p_mb)
+                     check_vma=False)(params, x, targets, pattypes)

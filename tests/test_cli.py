@@ -487,3 +487,47 @@ def test_pipeline_devices_matches_single_device(tmp_path, rng):
             np.testing.assert_allclose(
                 w1[layer][sec], w2[layer][sec], rtol=1e-5, atol=1e-7,
                 err_msg=f"{layer}.{sec}")
+
+
+def test_dp_x_pp_cli_matches_single_device(tmp_path, rng):
+    """--num_devices 4 --pipeline_devices 2 (2-D data x pipe mesh) trains
+    to the same trained_network.jsn as a single-device run."""
+    nc = str(tmp_path / "train.nc")
+    _write_classification_nc(nc, [6, 5, 4, 7], in_size=3, num_labels=4,
+                             seed=13)
+    net = {
+        "layers": [
+            {"name": "input", "type": "input", "size": 3},
+            {"name": "l1", "type": "blstm", "size": 4, "bias": 1.0},
+            {"name": "l2", "type": "lstm", "size": 3, "bias": 1.0},
+            {"name": "output", "type": "softmax", "size": 4, "bias": 1.0},
+            {"name": "postoutput", "type": "multiclass_classification",
+             "size": 4},
+        ],
+    }
+    net_path = tmp_path / "net.jsn"
+    net_path.write_text(json.dumps(net))
+    common = ["--network", str(net_path), "--train", "true",
+              "--train_file", nc, "--stochastic", "true",
+              "--learning_rate", "1e-3", "--parallel_sequences", "4",
+              "--random_seed", "5", "--max_epochs", "2"]
+
+    d1 = tmp_path / "single"
+    d1.mkdir()
+    r = _cli(*common, cwd=d1)
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    d2 = tmp_path / "dpp"
+    d2.mkdir()
+    r = _cli(*common, "--num_devices", "4", "--pipeline_devices", "2",
+             cwd=d2)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "DP x PP mesh" in r.stdout
+
+    w1 = json.loads((d1 / "trained_network.jsn").read_text())["weights"]
+    w2 = json.loads((d2 / "trained_network.jsn").read_text())["weights"]
+    for layer in w1:
+        for sec in w1[layer]:
+            np.testing.assert_allclose(
+                w1[layer][sec], w2[layer][sec], rtol=1e-5, atol=1e-7,
+                err_msg=f"{layer}.{sec}")

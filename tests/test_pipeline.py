@@ -78,3 +78,34 @@ def test_pipelined_ragged_batch(rng):
         lambda p: loss_and_count_pipelined(net, p, x, tc, pt, mesh))(params)
     np.testing.assert_allclose(float(e_pp), e_ref, rtol=1e-6)
     assert int(c_pp) == c_ref
+
+
+def test_dp_x_pp_matches_single_device(rng):
+    """A 2-D ('data', 'pipe') mesh: B sharded over 'data', GPipe stages
+    within each data shard — loss, counters and gradients still match the
+    single-device network."""
+    from lstm_rnn_tpu.parallel.mesh import make_mesh_2d, replicate, \
+        shard_fraction
+
+    net, params, x, tc, pt = _net_and_batch(rng, b=8)
+    mesh = make_mesh_2d(8, 2, data_axis="data", model_axis="pipe")
+    params_r = replicate(mesh, params)
+    xs, tcs, pts = shard_fraction(mesh, x, tc, pt)
+
+    def ref(p):
+        y = net.apply(p, x, pt)
+        return net.loss_fn(y, tc, pt), net.correct_count(y, tc, pt)
+
+    def pipe(p, xx, tt, pp_):
+        return loss_and_count_pipelined(net, p, xx, tt, pp_, mesh)
+
+    (e_ref, c_ref), g_ref = jax.value_and_grad(ref, has_aux=True)(params)
+    (e_pp, c_pp), g_pp = jax.jit(jax.value_and_grad(
+        pipe, has_aux=True))(params_r, xs, tcs, pts)
+    np.testing.assert_allclose(float(e_pp), float(e_ref), rtol=1e-6)
+    assert int(c_pp) == int(c_ref)
+    flat_r, _ = jax.tree_util.tree_flatten(g_ref)
+    flat_p, _ = jax.tree_util.tree_flatten(g_pp)
+    for a, b_ in zip(flat_r, flat_p):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=2e-5, atol=1e-6)
