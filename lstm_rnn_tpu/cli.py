@@ -232,7 +232,9 @@ def train_mode(cfg: Config) -> int:
         n = 1
     model_devices = cfg.model_devices
     if model_devices == 0:
-        model_devices = _auto_model_devices(net, cfg.parallel_sequences, n)
+        # an explicit pipeline request wins over the TP auto-heuristic
+        model_devices = (1 if cfg.pipeline_devices > 1 else
+                         _auto_model_devices(net, cfg.parallel_sequences, n))
         if model_devices > 1:
             print(f"Tensor parallelism auto-engaged: model_devices="
                   f"{model_devices} (an LSTM layer exceeds the single-chip "
@@ -280,6 +282,7 @@ def train_mode(cfg: Config) -> int:
         hybrid_online_batch=cfg.hybrid_online_batch,
         weight_noise_sigma=cfg.weight_noise_sigma, seed=cfg.random_seed,
         fuse_fractions=cfg.fuse_fractions, mesh=mesh, pipe_mesh=pipe_mesh,
+        pipeline_microbatches=cfg.pipeline_microbatches,
         device_cache=cfg.device_cache)
 
     info_rows = ""

@@ -152,6 +152,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "'pipe' mesh axis, microbatching the fraction's "
                         "batch (GPipe-style; results match single-device "
                         "training)")
+    g.add_argument("--pipeline_microbatches", type=int, default=0,
+                   help="microbatches per pipeline data shard (0 = stage "
+                        "count); more microbatches shrink the GPipe "
+                        "bubble: utilization = m / (m + stages - 1)")
     g.add_argument("--bucket_lengths", type=_bucket_arg, default=False,
                    help="false = exact lengths, true = power-of-2 bucket "
                         "inventory, single = one bucket at the corpus max "

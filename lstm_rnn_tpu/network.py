@@ -384,8 +384,17 @@ class Network:
         The final (output-layer) activations are exact because the output
         layer is feedforward/softmax in every reference topology; an LSTM
         output layer gets sliced."""
-        x = inputs
-        for s, (kind, prev_idx, prev_w, hp) in zip(self.specs[1:-1], self._pad_plan()):
+        x = self.apply_padded_layer_range(padded_params, inputs, pattypes,
+                                          0, len(self.specs) - 2)
+        return self.slice_padded_output(x)
+
+    def apply_padded_layer_range(self, padded_params, x, pattypes,
+                                 lo: int, hi: int):
+        """Padded-view twin of apply_layer_range: hidden layers [lo, hi)
+        over the padded parameters, activations staying padded between
+        layers (pipeline stages pass them as-is)."""
+        for s, (kind, prev_idx, prev_w, hp) in zip(
+                self.specs[1 + lo:1 + hi], self._pad_plan()[lo:hi]):
             p = padded_params[s.name]
             if kind == "lstm":
                 x = lstm_forward(p, x, pattypes, s.bias, ioc.LSTM_TYPES[s.type],
@@ -399,6 +408,11 @@ class Network:
             else:
                 x = feedforward_forward(p, x, ioc.FEEDFORWARD_TYPES[s.type],
                                         s.bias, self.compute_dtype)
+        return x
+
+    def slice_padded_output(self, x):
+        """Exact output activations from the padded view's last hidden
+        layer (an LSTM output layer emits [fw_pad | bw_pad])."""
         if self.specs[-2].type in ioc.LSTM_TYPES:
             d = 2 if ioc.LSTM_TYPES[self.specs[-2].type] else 1
             h = self.specs[-2].size // d

@@ -25,9 +25,12 @@ Design choices, TPU-first:
   single-device training up to float reduction order — proven on the
   virtual mesh in tests/test_pipeline.py.
 
-Useful when a model's layer stack outgrows one chip's HBM/VMEM or when
-stacking deep recurrent towers: recurrence serializes T, but the pipeline
-keeps P chips busy on P microbatches concurrently.
+Useful when a deep stack's ACTIVATION/residual memory outgrows one chip
+(each stage holds only its layers' activations — weights stay replicated,
+so parameter memory does not shrink) or to stack deep recurrent towers:
+recurrence serializes T, but the pipeline keeps P chips busy on separate
+microbatches concurrently. Raise `microbatches` above the stage count to
+amortize the GPipe bubble (utilization = m / (m + P - 1)).
 """
 
 from __future__ import annotations
@@ -50,17 +53,20 @@ def stage_ranges(n_layers: int, n_stages: int) -> Sequence[tuple]:
     return [(int(bounds[i]), int(bounds[i + 1])) for i in range(n_stages)]
 
 
-def _pad_last(x, w: int):
-    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, w - x.shape[-1])])
-
-
 def loss_and_count_pipelined(net, params, x, targets, pattypes, mesh: Mesh,
-                             axis: str = "pipe"):
+                             axis: str = "pipe", padded: bool = False,
+                             microbatches: int = 0):
     """(total error, correct count) of the full net, pipeline-parallel.
 
     x: [T, B, F]; targets [T, B] int or [T, B, W]; pattypes [T, B] int8.
     Differentiable: jax.grad of the returned error reproduces the
     single-device gradients (psum'd over the pipe axis).
+
+    padded=True runs the padded training view (params from
+    Network.pad_params; the fused TPU kernels consume activations without
+    per-step pad/slice copies). microbatches (0 = stage count) trades the
+    GPipe bubble against per-microbatch kernel efficiency: utilization is
+    m / (m + P - 1).
     """
     n_stages = int(mesh.shape[axis])
     # optional data-parallel composition: a 2-D ("data", "pipe") mesh
@@ -71,10 +77,10 @@ def loss_and_count_pipelined(net, params, x, targets, pattypes, mesh: Mesh,
     ranges = stage_ranges(len(hidden), n_stages)
     t, b, f_in = x.shape
 
-    # one microbatch per stage PER DATA SHARD; ragged batches pad with
+    # microbatches split each data shard's block; ragged batches pad with
     # PATTYPE_NONE columns, which every loss/counter masks out
     # (numerically inert)
-    m = n_stages
+    m = microbatches if microbatches and microbatches > 0 else n_stages
     gran = m * nd
     bp = -(-b // gran) * gran
     bm = bp // gran
@@ -88,7 +94,19 @@ def loss_and_count_pipelined(net, params, x, targets, pattypes, mesh: Mesh,
         else:
             targets = jnp.pad(targets, ((0, 0), (0, db), (0, 0)))
 
-    in_w = [f_in] + [s.size for s in hidden]
+    if padded:
+        # padded-view activation widths: an LSTM emits [fw_pad | bw_pad]
+        # (d * hp); feedforward/softmax stay exact (Network._pad_plan)
+        from lstm_rnn_tpu import io_currennt as ioc
+        in_w = [f_in]
+        for s_, (kind, _pi, _pw, hp) in zip(hidden, net._pad_plan()):
+            if kind == "lstm":
+                d_ = 2 if ioc.LSTM_TYPES[s_.type] else 1
+                in_w.append(d_ * hp)
+            else:
+                in_w.append(s_.size)
+    else:
+        in_w = [f_in] + [s.size for s in hidden]
     out_w = hidden[-1].size
     max_w = max(in_w[lo] for lo, _ in ranges[1:]) if n_stages > 1 else out_w
     max_w = max(max_w, out_w)
@@ -96,8 +114,18 @@ def loss_and_count_pipelined(net, params, x, targets, pattypes, mesh: Mesh,
     def make_branch(idx, lo, hi):
         def branch(prm, buf, xm, pt):
             inp = xm if idx == 0 else buf[..., :in_w[lo]]
-            y = net.apply_layer_range(prm, inp, pt, lo, hi)
-            return _pad_last(y, max_w)
+            if padded:
+                y = net.apply_padded_layer_range(prm, inp, pt, lo, hi)
+                if idx == n_stages - 1:
+                    # the loss consumes EXACT output activations
+                    y = net.slice_padded_output(y)
+            else:
+                y = net.apply_layer_range(prm, inp, pt, lo, hi)
+            from lstm_rnn_tpu.models.lstm import _pad_axis
+            # stage messages are f32 regardless of the compute dtype (the
+            # scan carry has one dtype; each stage casts to its compute
+            # dtype on entry anyway)
+            return _pad_axis(y, y.ndim - 1, max_w).astype(jnp.float32)
 
         return branch
 

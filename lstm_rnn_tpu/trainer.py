@@ -60,6 +60,7 @@ class Trainer:
                  hybrid_online_batch: bool = False,
                  weight_noise_sigma: float = 0.0,
                  seed: int = 1, mesh=None, pipe_mesh=None,
+                 pipeline_microbatches: int = 0,
                  fuse_fractions: int = 1,
                  padded_pipeline: Optional[bool] = None,
                  device_cache: Optional[bool] = None,
@@ -78,6 +79,7 @@ class Trainer:
         self.weight_noise_sigma = weight_noise_sigma
         self.mesh = mesh
         self.pipe_mesh = pipe_mesh
+        self.pipeline_microbatches = pipeline_microbatches
         # fuse_fractions > 1: stochastic-mode updates for K same-shape
         # fractions run as ONE jitted lax.scan — identical sequential
         # updates, 1/K the dispatch overhead (and one big host->device
@@ -128,12 +130,11 @@ class Trainer:
             padded_pipeline = False
 
         # pipeline parallelism (a "pipe" mesh, parallel/pipeline.py):
-        # stages apply the EXACT layer view, so the padded fused-kernel
-        # pipeline does not apply
+        # composes with the padded fused-kernel view (stages route through
+        # apply_padded_layer_range), so padded_pipeline stays as decided
         if pipe_mesh is not None:
             from lstm_rnn_tpu.parallel.pipeline import stage_ranges
             stage_ranges(len(net.specs) - 2, int(pipe_mesh.shape["pipe"]))
-            padded_pipeline = False
 
         # padded training view (see Network.pad_params): default on when the
         # fused TPU kernels will run and the net has LSTM layers
@@ -263,7 +264,9 @@ class Trainer:
                 from lstm_rnn_tpu.parallel.pipeline import (
                     loss_and_count_pipelined)
                 return loss_and_count_pipelined(
-                    net, params, inputs, targets, pattypes, self.pipe_mesh)
+                    net, params, inputs, targets, pattypes, self.pipe_mesh,
+                    padded=padded,
+                    microbatches=self.pipeline_microbatches)
             if fused_tail:
                 return net.loss_and_count_fused(
                     params, inputs, targets, pattypes, padded=padded,

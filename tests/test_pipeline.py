@@ -109,3 +109,46 @@ def test_dp_x_pp_matches_single_device(rng):
     for a, b_ in zip(flat_r, flat_p):
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
                                    rtol=2e-5, atol=1e-6)
+
+
+def test_pipelined_padded_view_matches_exact(rng):
+    """padded=True routes stages through the padded training view
+    (apply_padded_layer_range) — loss, counters and padded gradients must
+    match the single-device padded path."""
+    net, params, x, tc, pt = _net_and_batch(rng)
+    net.backend = "pallas_interpret"
+    pp_params = jax.tree_util.tree_map(
+        jnp.asarray, net.pad_params(net.params))
+    mesh = make_mesh(2, axis="pipe")
+
+    def ref(p):
+        y = net.apply_padded(p, x, pt)
+        return net.loss_fn(y, tc, pt), net.correct_count(y, tc, pt)
+
+    def pipe(p):
+        return loss_and_count_pipelined(net, p, x, tc, pt, mesh,
+                                        padded=True)
+
+    (e_ref, c_ref), g_ref = jax.value_and_grad(ref, has_aux=True)(pp_params)
+    (e_pp, c_pp), g_pp = jax.value_and_grad(pipe, has_aux=True)(pp_params)
+    np.testing.assert_allclose(float(e_pp), float(e_ref), rtol=1e-6)
+    assert int(c_pp) == int(c_ref)
+    flat_r, _ = jax.tree_util.tree_flatten(g_ref)
+    flat_p, _ = jax.tree_util.tree_flatten(g_pp)
+    for a, b_ in zip(flat_r, flat_p):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=2e-5, atol=1e-6)
+
+
+def test_pipelined_more_microbatches(rng):
+    """microbatches > stage count (bubble amortization) keeps results
+    equal to the single-device network."""
+    net, params, x, tc, pt = _net_and_batch(rng, b=8)
+    mesh = make_mesh(2, axis="pipe")
+    y = net.apply(params, x, pt)
+    e_ref, c_ref = float(net.loss_fn(y, tc, pt)), int(
+        net.correct_count(y, tc, pt))
+    e_pp, c_pp = jax.jit(lambda p: loss_and_count_pipelined(
+        net, p, x, tc, pt, mesh, microbatches=4))(params)
+    np.testing.assert_allclose(float(e_pp), e_ref, rtol=1e-6)
+    assert int(c_pp) == c_ref
