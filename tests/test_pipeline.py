@@ -152,3 +152,36 @@ def test_pipelined_more_microbatches(rng):
         net, p, x, tc, pt, mesh, microbatches=4))(params)
     np.testing.assert_allclose(float(e_pp), e_ref, rtol=1e-6)
     assert int(c_pp) == c_ref
+
+
+def test_pp_inside_fused_fraction_scan(tmp_path):
+    """--pipeline_devices composes with --fuse_fractions: the grouped
+    lax.scan whose body contains the shard_map pipeline still trains
+    identically to per-fraction single-device stepping."""
+    from lstm_rnn_tpu.data.dataset import DataSet
+    from lstm_rnn_tpu.trainer import Trainer
+
+    from .test_data import _write_classification_nc
+
+    nc = str(tmp_path / "t.nc")
+    _write_classification_nc(nc, [6, 5, 4, 7], in_size=3, num_labels=4,
+                             seed=3)
+
+    def run(fuse, pipe):
+        ds = DataSet([nc], parallel_sequences=2, sort_by_length=True,
+                     prefetch=False, seed=1)
+        net = Network(LAYERS[:2] + LAYERS[-2:])  # input, b1, output, post
+        net.init_params(5)
+        pm = make_mesh(2, axis="pipe") if pipe else None
+        tr = Trainer(net, ds, learning_rate=1e-3, momentum=0.9,
+                     max_epochs=2, hybrid_online_batch=True,
+                     fuse_fractions=fuse, pipe_mesh=pm, device_cache=False)
+        while not tr.train_epoch():
+            pass
+        return tr.exact_params()
+
+    flat_a, _ = jax.tree_util.tree_flatten(run(1, False))
+    flat_b, _ = jax.tree_util.tree_flatten(run(4, True))
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-7)
