@@ -418,6 +418,15 @@ def forward_mode(cfg: Config) -> int:
     else:
         fwd_params = net.params
         apply_fn = jax.jit(net.apply)
+    if cfg.pipeline_devices > 1:
+        # pipeline-parallel serving: stages over a 'pipe' mesh
+        from lstm_rnn_tpu.parallel.mesh import make_mesh
+        from lstm_rnn_tpu.parallel.pipeline import apply_pipelined
+        pipe_mesh = make_mesh(cfg.pipeline_devices, axis="pipe")
+        print(f"Pipeline mesh: {dict(pipe_mesh.shape)}")
+        apply_fn = jax.jit(lambda p, xx, pp_: apply_pipelined(
+            net, p, xx, pp_, pipe_mesh, padded=use_padded,
+            microbatches=cfg.pipeline_microbatches))
 
     means = stdevs = None
     if (cfg.revert_std and not ff_set.is_classification

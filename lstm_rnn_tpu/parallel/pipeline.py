@@ -3,12 +3,12 @@ reference — CURRENNT is strictly single-GPU, SURVEY.md §2.7).
 
 The hidden-layer stack (specs[1:-1], output softmax included) is split into
 contiguous STAGES, one per device along a "pipe" mesh axis. A fraction's
-batch axis is cut into one microbatch per stage and the stages run a
-GPipe-style software pipeline: at clock tick k, stage s processes microbatch
-k - s and `ppermute`s its full-sequence activations to stage s + 1 over ICI.
-The loss/accuracy accumulate on the last stage and `psum` back to every
-device; jax autodiff through the tick scan + ppermute yields the exact
-backward pipeline (cotangents flow stage P-1 -> 0 in reverse clock order).
+batch axis is cut into microbatches and the stages run a GPipe-style
+software pipeline: at clock tick k, stage s processes microbatch k - s and
+`ppermute`s its full-sequence activations to stage s + 1 over ICI. The
+loss/accuracy accumulate on the last stage and `psum` back to every device;
+jax autodiff through the tick scan + ppermute yields the exact backward
+pipeline (cotangents flow stage P-1 -> 0 in reverse clock order).
 
 Design choices, TPU-first:
 - Parameters stay REPLICATED; stages differ only by `lax.axis_index` and a
@@ -17,13 +17,16 @@ Design choices, TPU-first:
   input width) and means gradient psum over the pipe axis reproduces the
   single-device gradient EXACTLY (each device contributes only its stage's
   layers; the rest are zeros).
-- Stage messages are full-sequence [T, bm, maxW] buffers padded to the
-  widest stage boundary, so every tick's ppermute is one uniform ICI
+- Stage messages are full-sequence [T, bm, maxW] float32 buffers padded to
+  the widest stage boundary, so every tick's ppermute is one uniform ICI
   transfer.
 - The microbatch sum over the batch axis equals the unpipelined loss (the
   losses sum over patterns), so training with --pipeline_devices N matches
   single-device training up to float reduction order — proven on the
   virtual mesh in tests/test_pipeline.py.
+- Composes with the padded fused-kernel training view (padded=True) and
+  with data parallelism (a 2-D ("data", "pipe") mesh shards B over "data"
+  and pipelines within each shard).
 
 Useful when a deep stack's ACTIVATION/residual memory outgrows one chip
 (each stage holds only its layers' activations — weights stay replicated,
@@ -68,6 +71,24 @@ def loss_and_count_pipelined(net, params, x, targets, pattypes, mesh: Mesh,
     GPipe bubble against per-microbatch kernel efficiency: utilization is
     m / (m + P - 1).
     """
+    return _pipelined(net, params, x, targets, pattypes, mesh, axis,
+                      padded, microbatches, want_outputs=False)
+
+
+def apply_pipelined(net, params, x, pattypes, mesh: Mesh,
+                    axis: str = "pipe", padded: bool = False,
+                    microbatches: int = 0):
+    """Pipeline-parallel forward pass: [T, B, output_size] activations —
+    the inference/serving twin of loss_and_count_pipelined (CLI forward
+    mode with --pipeline_devices). The last stage scatters each
+    microbatch's exact outputs into its slot; other stages contribute
+    zeros and the psum over the pipe axis reassembles the batch."""
+    return _pipelined(net, params, x, None, pattypes, mesh, axis,
+                      padded, microbatches, want_outputs=True)
+
+
+def _pipelined(net, params, x, targets, pattypes, mesh, axis, padded,
+               microbatches, want_outputs):
     n_stages = int(mesh.shape[axis])
     # optional data-parallel composition: a 2-D ("data", "pipe") mesh
     # shards B over "data" and pipelines within each data shard
@@ -79,7 +100,7 @@ def loss_and_count_pipelined(net, params, x, targets, pattypes, mesh: Mesh,
 
     # microbatches split each data shard's block; ragged batches pad with
     # PATTYPE_NONE columns, which every loss/counter masks out
-    # (numerically inert)
+    # (numerically inert; callers of apply_pipelined slice them off)
     m = microbatches if microbatches and microbatches > 0 else n_stages
     gran = m * nd
     bp = -(-b // gran) * gran
@@ -88,11 +109,12 @@ def loss_and_count_pipelined(net, params, x, targets, pattypes, mesh: Mesh,
     if db:
         x = jnp.pad(x, ((0, 0), (0, db), (0, 0)))
         pattypes = jnp.pad(pattypes, ((0, 0), (0, db)))
-        if targets.ndim == 2:
-            targets = jnp.pad(targets, ((0, 0), (0, db)),
-                              constant_values=-1)
-        else:
-            targets = jnp.pad(targets, ((0, 0), (0, db), (0, 0)))
+        if targets is not None:
+            if targets.ndim == 2:
+                targets = jnp.pad(targets, ((0, 0), (0, db)),
+                                  constant_values=-1)
+            else:
+                targets = jnp.pad(targets, ((0, 0), (0, db), (0, 0)))
 
     if padded:
         # padded-view activation widths: an LSTM emits [fw_pad | bw_pad]
@@ -117,7 +139,7 @@ def loss_and_count_pipelined(net, params, x, targets, pattypes, mesh: Mesh,
             if padded:
                 y = net.apply_padded_layer_range(prm, inp, pt, lo, hi)
                 if idx == n_stages - 1:
-                    # the loss consumes EXACT output activations
+                    # the loss/outputs consume EXACT output activations
                     y = net.slice_padded_output(y)
             else:
                 y = net.apply_layer_range(prm, inp, pt, lo, hi)
@@ -138,46 +160,72 @@ def loss_and_count_pipelined(net, params, x, targets, pattypes, mesh: Mesh,
         def mb_view(a):
             return a.reshape(a.shape[0], m, bm, *a.shape[2:]).swapaxes(0, 1)
 
-        x_mb, t_mb, p_mb = mb_view(x_loc), mb_view(t_loc), mb_view(p_loc)
+        x_mb, p_mb = mb_view(x_loc), mb_view(p_loc)
+        t_mb = None if want_outputs else mb_view(t_loc)
         stage = jax.lax.axis_index(axis)
         is_last = stage == n_stages - 1
 
         def tick(carry, k):
-            buf, err, corr = carry
+            buf, acc = carry
             mi = jnp.clip(k - stage, 0, m - 1)
             active = (k >= stage) & (k - stage < m)
             xm = jax.lax.dynamic_index_in_dim(x_mb, mi, 0, keepdims=False)
-            tg = jax.lax.dynamic_index_in_dim(t_mb, mi, 0, keepdims=False)
             pt = jax.lax.dynamic_index_in_dim(p_mb, mi, 0, keepdims=False)
             act = jax.lax.switch(stage, branches, prm, buf, xm, pt)
             use = active & is_last
-            # sanitize BEFORE the loss: on non-final stages `act` holds
-            # intermediate activations whose log/ratio terms could emit
-            # NaN even under a zero mask (0 * nan = nan in the cotangent)
-            y = jnp.where(use, act[..., :out_w],
-                          jnp.ones((), act.dtype))
-            err = err + net.loss_fn(y, tg, pt) * use
-            corr = corr + net.correct_count(y, tg, pt) * use.astype(jnp.int32)
+            if want_outputs:
+                ybuf = acc
+                cur = jax.lax.dynamic_index_in_dim(ybuf, mi, 0,
+                                                   keepdims=False)
+                val = jnp.where(use, act[..., :out_w], cur)
+                acc = jax.lax.dynamic_update_index_in_dim(ybuf, val, mi, 0)
+            else:
+                err, corr = acc
+                tg = jax.lax.dynamic_index_in_dim(t_mb, mi, 0,
+                                                  keepdims=False)
+                # sanitize BEFORE the loss: on non-final stages `act`
+                # holds intermediate activations whose log/ratio terms
+                # could emit NaN even under a zero mask (0 * nan = nan in
+                # the cotangent)
+                y = jnp.where(use, act[..., :out_w],
+                              jnp.ones((), act.dtype))
+                acc = (err + net.loss_fn(y, tg, pt) * use,
+                       corr + net.correct_count(y, tg, pt)
+                       * use.astype(jnp.int32))
             if perm:
                 buf = jax.lax.ppermute(act, axis, perm)
             else:
                 buf = act
-            return (buf, err, corr), None
+            return (buf, acc), None
 
         zero = jnp.zeros((t, bm, max_w), jnp.float32)
-        err0 = jnp.zeros((), jnp.float32)
-        corr0 = jnp.zeros((), jnp.int32)
-        (_, err, corr), _ = jax.lax.scan(
-            tick, (zero, err0, corr0), jnp.arange(m + n_stages - 1))
+        if want_outputs:
+            acc0 = jnp.zeros((m, t, bm, out_w), jnp.float32)
+        else:
+            acc0 = (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32))
+        (_, acc), _ = jax.lax.scan(
+            tick, (zero, acc0), jnp.arange(m + n_stages - 1))
+        if want_outputs:
+            # [M, T, bm, out] -> this shard's [T, M*bm, out]; non-last
+            # stages scattered nothing (zeros), so the pipe psum is the
+            # last stage's outputs broadcast to every device
+            y = acc.swapaxes(0, 1).reshape(t, m * bm, out_w)
+            return jax.lax.psum(y, axis)
         axes = (axis,) if data_ax is None else (axis, data_ax)
-        return jax.lax.psum(err, axes), jax.lax.psum(corr, axes)
+        return jax.lax.psum(acc[0], axes), jax.lax.psum(acc[1], axes)
 
     from jax import shard_map
     # check_vma=False: the stage branches run the SHARED layer code, whose
     # internal lax.scan carries are not annotated for this mesh axis; the
     # outputs are explicitly psum'd so replication is guaranteed by
-    # construction (gradient equality vs the single-device net is tested)
+    # construction (equality vs the single-device net is tested)
     bspec = P(None, data_ax)
+    if want_outputs:
+        y = shard_map(local, mesh=mesh,
+                      in_specs=(P(), bspec, P(), bspec),
+                      out_specs=P(None, data_ax, None),
+                      check_vma=False)(params, x, jnp.zeros(()), pattypes)
+        return y[:, :b]  # drop the microbatch-granule pad columns
     return shard_map(local, mesh=mesh,
                      in_specs=(P(), bspec, bspec, bspec),
                      out_specs=(P(), P()),

@@ -531,3 +531,31 @@ def test_dp_x_pp_cli_matches_single_device(tmp_path, rng):
             np.testing.assert_allclose(
                 w1[layer][sec], w2[layer][sec], rtol=1e-5, atol=1e-7,
                 err_msg=f"{layer}.{sec}")
+
+
+def test_forward_mode_pipeline_devices_matches(tmp_path, rng):
+    """--train false --pipeline_devices 2 (pipelined serving) writes the
+    same posteriors as the single-device forward pass."""
+    nc, net_path = _toy_setup(tmp_path, rng)
+    r = _cli("--network", net_path, "--train", "true", "--train_file", nc,
+             "--max_epochs", "1", cwd=tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    fwd = ["--network", str(tmp_path / "trained_network.jsn"),
+           "--train", "false", "--ff_input_file", nc,
+           "--ff_output_format", "single_csv"]
+    r = _cli(*fwd, "--ff_output_file", "single.csv", cwd=tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    r = _cli(*fwd, "--ff_output_file", "pp.csv",
+             "--pipeline_devices", "2", cwd=tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "Pipeline mesh" in r.stdout
+    a = (tmp_path / "single.csv").read_text()
+    b = (tmp_path / "pp.csv").read_text()
+    ra, rb = a.strip().split("\n"), b.strip().split("\n")
+    assert len(ra) == len(rb)
+    for la, lb in zip(ra, rb):
+        ca, cb = la.split(";"), lb.split(";")
+        assert ca[0] == cb[0]  # sequence tag
+        np.testing.assert_allclose([float(v) for v in ca[1:]],
+                                   [float(v) for v in cb[1:]],
+                                   rtol=1e-4, atol=1e-6)

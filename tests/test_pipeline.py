@@ -185,3 +185,27 @@ def test_pp_inside_fused_fraction_scan(tmp_path):
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("padded", [False, True])
+def test_apply_pipelined_matches_apply(rng, padded):
+    """apply_pipelined (inference/serving forward over stages) returns the
+    same [T, B, out] activations as the single-device forward, exact and
+    padded views, including ragged B."""
+    from lstm_rnn_tpu.parallel.pipeline import apply_pipelined
+
+    net, params, x, tc, pt = _net_and_batch(rng, b=7)
+    mesh = make_mesh(2, axis="pipe")
+    if padded:
+        net.backend = "pallas_interpret"
+        p_run = jax.tree_util.tree_map(jnp.asarray,
+                                       net.pad_params(net.params))
+        y_ref = net.apply_padded(p_run, x, pt)
+    else:
+        p_run = params
+        y_ref = net.apply(p_run, x, pt)
+    y_pp = jax.jit(lambda p: apply_pipelined(
+        net, p, x, pt, mesh, padded=padded))(p_run)
+    assert y_pp.shape == y_ref.shape
+    np.testing.assert_allclose(np.asarray(y_pp), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-6)
