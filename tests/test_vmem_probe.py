@@ -144,3 +144,41 @@ def test_shipped_defaults_match_current_key_format(monkeypatch):
     monkeypatch.setenv("LSTM_RNN_TPU_PROBE_CACHE", "/nonexistent/probe.json")
     assert vp.lookup_chunk(512, 256, 128, 64, jnp.bfloat16) == 16
     assert vp.lookup_chunk(512, 256, 128, 56, jnp.float32) == 4
+
+
+def test_trainer_probe_failure_seeds_unpadded_keys(tmp_path, monkeypatch):
+    """When the padded-plan probe proves a layer unfit, Trainer init also
+    records verdicts at the UNPADDED path's exact-width keys so
+    lstm_forward's auto backend honors the device instead of the
+    optimistic analytic model (the two key families differ: padded plans
+    carry d*hp inter-layer widths, the exact path round_up(d*h, 128))."""
+    import unittest.mock as um
+
+    import jax
+
+    from lstm_rnn_tpu.data.dataset import DataSet
+    from lstm_rnn_tpu.network import Network
+    from lstm_rnn_tpu.trainer import Trainer
+
+    from .test_data import _write_classification_nc
+
+    _fresh(tmp_path, monkeypatch, lambda ch: False)
+    nc = str(tmp_path / "t.nc")
+    _write_classification_nc(nc, [4, 4], in_size=3, num_labels=4, seed=1)
+    layers = [
+        {"name": "input", "type": "input", "size": 3},
+        # h=150: padded inter-layer width 512 (2*hp), exact 384
+        {"name": "l1", "type": "blstm", "size": 300, "bias": 1.0},
+        {"name": "l2", "type": "blstm", "size": 300, "bias": 1.0},
+        {"name": "output", "type": "softmax", "size": 4, "bias": 1.0},
+        {"name": "postoutput", "type": "multiclass_classification",
+         "size": 4},
+    ]
+    net = Network(layers)
+    net.init_params(3)
+    ds = DataSet([nc], parallel_sequences=2, prefetch=False)
+    with um.patch.object(jax, "default_backend", lambda: "tpu"):
+        tr = Trainer(net, ds, device_cache=False)
+    assert tr.padded is False
+    assert vp.known_unfit(256, 128, 8, jnp.float32)  # padded-plan key
+    assert vp.known_unfit(256, 384, 8, jnp.float32)  # exact-path key
