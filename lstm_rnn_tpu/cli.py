@@ -411,22 +411,37 @@ def forward_mode(cfg: Config) -> int:
     use_padded = (any(s.type in ("lstm", "blstm") for s in net.specs)
                   and jax.default_backend() == "tpu"
                   and cfg.lstm_backend in ("auto", "pallas"))
-    if use_padded:
-        fwd_params = jax.tree_util.tree_map(jax.numpy.asarray,
-                                            net.pad_params(net.params))
-        apply_fn = jax.jit(net.apply_padded)
-    else:
-        fwd_params = net.params
-        apply_fn = jax.jit(net.apply)
+    fwd_params = (jax.tree_util.tree_map(jax.numpy.asarray,
+                                         net.pad_params(net.params))
+                  if use_padded else net.params)
     if cfg.pipeline_devices > 1:
-        # pipeline-parallel serving: stages over a 'pipe' mesh
-        from lstm_rnn_tpu.parallel.mesh import make_mesh
-        from lstm_rnn_tpu.parallel.pipeline import apply_pipelined
-        pipe_mesh = make_mesh(cfg.pipeline_devices, axis="pipe")
-        print(f"Pipeline mesh: {dict(pipe_mesh.shape)}")
+        # pipeline-parallel serving: stages over a 'pipe' mesh, composed
+        # with data parallelism when --num_devices > pipeline_devices
+        # (mirrors train_mode's mesh construction)
+        pp = cfg.pipeline_devices
+        from lstm_rnn_tpu.parallel.pipeline import (apply_pipelined,
+                                                    stage_ranges)
+        stage_ranges(len(net.specs) - 2, pp)  # fail early, not mid-trace
+        n = cfg.num_devices if cfg.num_devices != 0 else len(jax.devices())
+        if n > 1 and n != pp:
+            if n % pp:
+                raise RuntimeError(
+                    f"pipeline_devices={pp} must divide num_devices={n}")
+            from lstm_rnn_tpu.parallel.mesh import make_mesh_2d
+            pipe_mesh = make_mesh_2d(n, pp, data_axis="data",
+                                     model_axis="pipe")
+            print(f"DP x PP mesh: {dict(pipe_mesh.shape)}")
+        else:
+            from lstm_rnn_tpu.parallel.mesh import make_mesh
+            pipe_mesh = make_mesh(pp, axis="pipe")
+            print(f"Pipeline mesh: {dict(pipe_mesh.shape)}")
         apply_fn = jax.jit(lambda p, xx, pp_: apply_pipelined(
             net, p, xx, pp_, pipe_mesh, padded=use_padded,
             microbatches=cfg.pipeline_microbatches))
+    elif use_padded:
+        apply_fn = jax.jit(net.apply_padded)
+    else:
+        apply_fn = jax.jit(net.apply)
 
     means = stdevs = None
     if (cfg.revert_std and not ff_set.is_classification

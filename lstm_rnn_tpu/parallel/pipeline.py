@@ -100,7 +100,8 @@ def _pipelined(net, params, x, targets, pattypes, mesh, axis, padded,
 
     # microbatches split each data shard's block; ragged batches pad with
     # PATTYPE_NONE columns, which every loss/counter masks out
-    # (numerically inert; callers of apply_pipelined slice them off)
+    # (numerically inert; the want_outputs return path slices them off
+    # internally — apply_pipelined returns exactly [T, B, out])
     m = microbatches if microbatches and microbatches > 0 else n_stages
     gran = m * nd
     bp = -(-b // gran) * gran

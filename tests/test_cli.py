@@ -559,3 +559,36 @@ def test_forward_mode_pipeline_devices_matches(tmp_path, rng):
         np.testing.assert_allclose([float(v) for v in ca[1:]],
                                    [float(v) for v in cb[1:]],
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_forward_mode_dp_x_pp_and_early_validation(tmp_path, rng):
+    """Forward mode composes DP x PP like training (--num_devices 4
+    --pipeline_devices 2 prints the 2-D mesh and matches single-device
+    posteriors), and a stage count exceeding the hidden layers fails
+    cleanly up front."""
+    nc, net_path = _toy_setup(tmp_path, rng)
+    r = _cli("--network", net_path, "--train", "true", "--train_file", nc,
+             "--max_epochs", "1", cwd=tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    fwd = ["--network", str(tmp_path / "trained_network.jsn"),
+           "--train", "false", "--ff_input_file", nc,
+           "--ff_output_format", "single_csv"]
+    r = _cli(*fwd, "--ff_output_file", "a.csv", cwd=tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    r = _cli(*fwd, "--ff_output_file", "b.csv", "--num_devices", "4",
+             "--pipeline_devices", "2", cwd=tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "DP x PP mesh" in r.stdout
+    a = (tmp_path / "a.csv").read_text().strip().split("\n")
+    b = (tmp_path / "b.csv").read_text().strip().split("\n")
+    for la, lb in zip(a, b):
+        np.testing.assert_allclose(
+            [float(v) for v in la.split(";")[1:]],
+            [float(v) for v in lb.split(";")[1:]], rtol=1e-4, atol=1e-6)
+
+    # early validation: more stages than hidden layers (toy net has 2)
+    r = _cli(*fwd, "--ff_output_file", "c.csv",
+             "--pipeline_devices", "5", cwd=tmp_path)
+    assert r.returncode == 2
+    assert "exceeds" in r.stdout + r.stderr
+    assert "Computing outputs" not in r.stdout  # failed before any fraction
