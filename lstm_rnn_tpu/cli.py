@@ -232,19 +232,42 @@ def train_mode(cfg: Config) -> int:
         n = 1
     model_devices = cfg.model_devices
     if model_devices == 0:
-        # an explicit pipeline request wins over the TP auto-heuristic
-        model_devices = (1 if cfg.pipeline_devices > 1 else
+        # an explicit pipeline/sequence request wins over the TP
+        # auto-heuristic
+        model_devices = (1 if cfg.pipeline_devices > 1
+                         or cfg.seq_devices > 1 else
                          _auto_model_devices(net, cfg.parallel_sequences, n))
         if model_devices > 1:
             print(f"Tensor parallelism auto-engaged: model_devices="
                   f"{model_devices} (an LSTM layer exceeds the single-chip "
                   "fused-kernel VMEM budget)")
     pp = cfg.pipeline_devices
+    sp = cfg.seq_devices
     pipe_mesh = None
+    seq_mesh = None
     if pp > 1 and model_devices > 1:
         raise RuntimeError(
             "pipeline_devices > 1 does not combine with model_devices")
-    if model_devices > 1:
+    if sp > 1 and (model_devices > 1 or pp > 1):
+        raise RuntimeError(
+            "seq_devices > 1 does not combine with model_devices or "
+            "pipeline_devices")
+    if sp > 1 and n > 1:
+        # composed DP x SP: num_devices is the TOTAL device count; B
+        # shards over 'data', T over 'seq' within each data shard
+        if n % sp:
+            raise RuntimeError(
+                f"seq_devices={sp} must divide num_devices={n}")
+        from lstm_rnn_tpu.parallel.mesh import make_mesh_2d
+        mesh = seq_mesh = make_mesh_2d(n, sp, data_axis="data",
+                                       model_axis="seq")
+        print(f"DP x SP mesh: {dict(mesh.shape)}")
+    elif sp > 1:
+        from lstm_rnn_tpu.parallel.mesh import make_mesh
+        seq_mesh = make_mesh(sp, axis="seq")
+        print(f"Sequence-parallel mesh: {dict(seq_mesh.shape)} "
+              "(time axis sharded)")
+    elif model_devices > 1:
         if n <= 1:
             raise RuntimeError("model_devices > 1 requires num_devices > 1")
         from lstm_rnn_tpu.parallel.mesh import make_mesh_2d
@@ -282,6 +305,7 @@ def train_mode(cfg: Config) -> int:
         hybrid_online_batch=cfg.hybrid_online_batch,
         weight_noise_sigma=cfg.weight_noise_sigma, seed=cfg.random_seed,
         fuse_fractions=cfg.fuse_fractions, mesh=mesh, pipe_mesh=pipe_mesh,
+        seq_mesh=seq_mesh,
         pipeline_microbatches=cfg.pipeline_microbatches,
         device_cache=cfg.device_cache)
 
@@ -414,6 +438,9 @@ def forward_mode(cfg: Config) -> int:
     fwd_params = (jax.tree_util.tree_map(jax.numpy.asarray,
                                          net.pad_params(net.params))
                   if use_padded else net.params)
+    if cfg.pipeline_devices > 1 and cfg.seq_devices > 1:
+        raise RuntimeError(
+            "seq_devices > 1 does not combine with pipeline_devices")
     if cfg.pipeline_devices > 1:
         # pipeline-parallel serving: stages over a 'pipe' mesh, composed
         # with data parallelism when --num_devices > pipeline_devices
@@ -438,6 +465,29 @@ def forward_mode(cfg: Config) -> int:
         apply_fn = jax.jit(lambda p, xx, pp_: apply_pipelined(
             net, p, xx, pp_, pipe_mesh, padded=use_padded,
             microbatches=cfg.pipeline_microbatches))
+    elif cfg.seq_devices > 1:
+        # sequence-parallel serving: the time axis shards over a 'seq'
+        # mesh, composed with data parallelism when --num_devices exceeds
+        # it (mirrors train_mode's mesh construction). Pairs with the
+        # lax.scan cell, so the padded fused-kernel view does not apply.
+        sp = cfg.seq_devices
+        from lstm_rnn_tpu.parallel.sequence import apply_seq
+        n = cfg.num_devices if cfg.num_devices != 0 else len(jax.devices())
+        if n > 1 and n != sp:
+            if n % sp:
+                raise RuntimeError(
+                    f"seq_devices={sp} must divide num_devices={n}")
+            from lstm_rnn_tpu.parallel.mesh import make_mesh_2d
+            seq_mesh = make_mesh_2d(n, sp, data_axis="data",
+                                    model_axis="seq")
+            print(f"DP x SP mesh: {dict(seq_mesh.shape)}")
+        else:
+            from lstm_rnn_tpu.parallel.mesh import make_mesh
+            seq_mesh = make_mesh(sp, axis="seq")
+            print(f"Sequence-parallel mesh: {dict(seq_mesh.shape)}")
+        fwd_params = net.params
+        apply_fn = jax.jit(
+            lambda p, xx, pp_: apply_seq(net, p, xx, pp_, seq_mesh))
     elif use_padded:
         apply_fn = jax.jit(net.apply_padded)
     else:

@@ -156,6 +156,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="microbatches per pipeline data shard (0 = stage "
                         "count); more microbatches shrink the GPipe "
                         "bubble: utilization = m / (m + stages - 1)")
+    g.add_argument("--seq_devices", type=int, default=1,
+                   help="sequence-parallel shard count: the TIME axis "
+                        "shards over a 'seq' mesh axis (must divide "
+                        "num_devices; per-device activation memory scales "
+                        "as T/N for long sequences). Projections and "
+                        "losses run fully parallel; the LSTM recurrence "
+                        "wavefronts carries over ICI; results match "
+                        "single-device training")
     g.add_argument("--bucket_lengths", type=_bucket_arg, default=False,
                    help="false = exact lengths, true = power-of-2 bucket "
                         "inventory, single = one bucket at the corpus max "

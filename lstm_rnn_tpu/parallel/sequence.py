@@ -1,0 +1,247 @@
+"""Sequence parallelism over the TIME axis (capability beyond the
+reference — CURRENNT is strictly single-GPU, SURVEY.md §2.7).
+
+Every [T, B, ...] array is sharded over a "seq" mesh axis: device i holds
+time block i. Everything FRAME-LOCAL then runs fully parallel with zero
+communication — the LSTM input projections (the FLOP-dominant GEMMs), the
+feedforward/softmax layers, and every post-output loss/counter (all are
+masked per-frame sums, so one psum over the axis reassembles them). Only
+the LSTM recurrence is inherently sequential, and it runs as a WAVEFRONT:
+S rounds, in round r the device holding block r scans its local timesteps
+and `ppermute`s the (h, c) carry to block r+1 over ICI. A bidirectional
+layer runs the two directions as opposite-direction wavefronts
+concurrently (the forward carry travels 0 -> S-1 while the backward carry
+travels S-1 -> 0), so two devices are active every round. jax autodiff
+through the round scan + ppermute yields the exact BPTT: carry cotangents
+flow backwards along the same links in reverse round order.
+
+What this buys, TPU-first:
+- LONG SEQUENCES THAT DON'T FIT ONE CHIP: per-device memory for
+  activations, recurrence residuals, and loss tensors scales as T/S —
+  the axis to reach sequence lengths where `--truncate_seq` (the
+  reference's only recourse) would destroy context.
+- The projection/softmax/loss FLOPs genuinely parallelize; the
+  recurrence's wall-clock stays T steps per layer (its data dependence is
+  irreducible without changing the cell math), but each step's tensors
+  are block-local and the carry hop is a [B, H]-sized ICI transfer.
+
+Design choices (mirroring parallel/pipeline.py):
+- Parameters stay REPLICATED — gradient psum over "seq" reproduces the
+  single-device gradient exactly (each frame's contribution is computed
+  on exactly one device).
+- The cell math is the shared `lstm_cell_step` (models/lstm.py), so the
+  CURRENNT numerics — tanh2 cells, ±1 gate-delta clipping with the
+  unclipped-og quirk (LstmLayer.cu:246-284) — live in one place; the
+  local block scan is frame-for-frame identical to the single-device
+  `lax.scan` path, proven in tests/test_sequence.py.
+- Composes with data parallelism: a 2-D ("data", "seq") mesh shards B
+  over "data" and T over "seq" within each data shard.
+- Pairs with the lax.scan cell (the fused Pallas kernel assumes it owns
+  the whole sequence; carries in/out of a block are scan territory) —
+  the same pairing tensor parallelism uses.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from lstm_rnn_tpu.models.feedforward import (_precision, feedforward_forward,
+                                             softmax_forward)
+from lstm_rnn_tpu.models.lstm import lstm_cell_step
+from lstm_rnn_tpu.ops.activations import grad_clip
+
+
+def _scan_block(acts, w_rec, peep, mask, gclip, h0, c0):
+    """Scan ONE direction's local time block from an explicit carry.
+
+    acts: [Tl, B, 4, H] complete preactivations (projection + bias);
+    w_rec: [H, 4, H]; peep: [3, H]; mask: [Tl, B, 1]; h0/c0: [B, H].
+    Frame-for-frame the same math as models/lstm._lstm_scan (shared
+    lstm_cell_step; identical einsum reduction order), so a chain of
+    blocks linked by carries equals the single-device scan exactly.
+    """
+
+    def step(carry, inp):
+        h, c = carry
+        a, m = inp
+        a = a + jnp.einsum("bh,hgj->bgj", h.astype(w_rec.dtype), w_rec,
+                           preferred_element_type=h.dtype,
+                           precision=_precision(w_rec.dtype))
+        h2, c2 = lstm_cell_step(a[None], c[None], peep[None], gclip)
+        h2 = h2[0] * m
+        c2 = c2[0] * m
+        return (h2, c2), h2
+
+    (h_t, c_t), ys = jax.lax.scan(step, (h0, c0), (acts, mask))
+    return ys, h_t, c_t
+
+
+def _wavefront(acts, w_rec, peep, mask, gclip, axis: str, n: int,
+               reverse: bool):
+    """One direction's recurrence over the time-sharded sequence.
+
+    Runs inside shard_map: acts [Tl, B, 4, H] is this device's block.
+    Round r activates the device scanning global block r (or S-1-r for
+    the reverse direction); the (h, c) carry ppermutes one hop per round.
+    Inactive devices take the cheap cond branch and wait at the ppermute,
+    so total compute equals the single-device scan.
+    """
+    idx = jax.lax.axis_index(axis)
+    if reverse:
+        # global time order T-1..0 = blocks S-1..0, each scanned reversed.
+        # Suffix padding is handled exactly like the single-device path:
+        # the mask zeroes h/c at NONE slots, which is equivalent to the
+        # reference's backward iteration visiting them first.
+        acts = acts[::-1]
+        mask = mask[::-1]
+        active_round = n - 1 - idx
+        shift = -1
+    else:
+        active_round = idx
+        shift = 1
+    perm = [(i, i + shift) for i in range(n) if 0 <= i + shift < n]
+
+    b, h = acts.shape[1], acts.shape[3]
+    zeros = jnp.zeros((b, h), acts.dtype)
+    ys0 = jnp.zeros(acts.shape[:2] + (h,), acts.dtype)
+
+    def tick(state, r):
+        def run(op):
+            h0, c0, _ys = op
+            ys, h_t, c_t = _scan_block(acts, w_rec, peep, mask, gclip,
+                                       h0, c0)
+            return h_t, c_t, ys
+
+        h_c, c_c, ys = jax.lax.cond(jnp.equal(active_round, r), run,
+                                    lambda op: op, state)
+        if perm:
+            h_c = jax.lax.ppermute(h_c, axis, perm)
+            c_c = jax.lax.ppermute(c_c, axis, perm)
+        return (h_c, c_c, ys), None
+
+    (_, _, ys), _ = jax.lax.scan(tick, (zeros, zeros, ys0), jnp.arange(n))
+    return ys[::-1] if reverse else ys
+
+
+def lstm_forward_seq(params, x, pattypes, bias_mult: float,
+                     bidirectional: bool, axis: str, n: int,
+                     clip_gradients: bool = True,
+                     compute_dtype=jnp.float32):
+    """Time-sharded LSTM layer; call INSIDE shard_map over `axis`.
+
+    x: this device's [Tl, B, P] block; pattypes: [Tl, B]. Returns the
+    local [Tl, B, L] output block (L = H or 2H, [fw | bw] per frame as in
+    ResortOutputsFn, LstmLayer.cu:140-161). The input projection + bias
+    runs block-local (the parallel win); only the recurrence wavefronts.
+    """
+    w_in, w_rec, b, peep = (params["W_in"], params["W_rec"], params["b"],
+                            params["peep"])
+    gclip = grad_clip if clip_gradients else (lambda v: v)
+
+    acts = jnp.einsum("tbp,dpgh->tdbgh", x.astype(compute_dtype),
+                      w_in.astype(compute_dtype),
+                      preferred_element_type=jnp.float32,
+                      precision=_precision(compute_dtype))
+    acts = acts + bias_mult * b[None, :, None]
+    mask = (pattypes != 0).astype(x.dtype)[:, :, None]  # [Tl, B, 1]
+    w_rec = w_rec.astype(compute_dtype)
+
+    fw = _wavefront(acts[:, 0], w_rec[0], peep[0], mask, gclip, axis, n,
+                    reverse=False)
+    if not bidirectional:
+        return fw
+    bw = _wavefront(acts[:, 1], w_rec[1], peep[1], mask, gclip, axis, n,
+                    reverse=True)
+    return jnp.concatenate([fw, bw], axis=-1)
+
+
+def _pad_time(x, targets, pattypes, n: int):
+    """Pad T to a multiple of the seq-axis size with PATTYPE_NONE rows —
+    numerically inert (losses/counters mask them; the LSTM zeroes h/c)."""
+    t = x.shape[0]
+    tp = -(-t // n) * n
+    dt = tp - t
+    if not dt:
+        return x, targets, pattypes, t
+    x = jnp.pad(x, ((0, dt), (0, 0), (0, 0)))
+    pattypes = jnp.pad(pattypes, ((0, dt), (0, 0)))
+    if targets is not None:
+        if targets.ndim == 2:
+            targets = jnp.pad(targets, ((0, dt), (0, 0)), constant_values=-1)
+        else:
+            targets = jnp.pad(targets, ((0, dt), (0, 0), (0, 0)))
+    return x, targets, pattypes, t
+
+
+def loss_and_count_seq(net, params, x, targets, pattypes, mesh: Mesh,
+                       axis: str = "seq"):
+    """(total error, correct count) of the full net, sequence-parallel.
+
+    x: [T, B, F]; targets [T, B] int or [T, B, W]; pattypes [T, B] int8.
+    Differentiable: jax.grad reproduces the single-device gradients
+    (psum'd over the seq axis). Composes with a "data" axis (B sharded)
+    when the mesh has one.
+    """
+    return _seq_run(net, params, x, targets, pattypes, mesh, axis,
+                    want_outputs=False)
+
+
+def apply_seq(net, params, x, pattypes, mesh: Mesh, axis: str = "seq"):
+    """Sequence-parallel forward pass: [T, B, output_size] activations —
+    the serving twin of loss_and_count_seq (CLI forward mode with
+    --seq_devices). The output is naturally time-sharded; shard_map's
+    out_specs reassemble it."""
+    return _seq_run(net, params, x, None, pattypes, mesh, axis,
+                    want_outputs=True)
+
+
+def _seq_run(net, params, x, targets, pattypes, mesh, axis, want_outputs):
+    from lstm_rnn_tpu import io_currennt as ioc
+
+    n = int(mesh.shape[axis])
+    data_ax = "data" if "data" in mesh.axis_names else None
+    x, targets, pattypes, t = _pad_time(x, targets, pattypes, n)
+
+    def local(prm, x_loc, tg_loc, pt_loc):
+        h = x_loc
+        for s in net.specs[1:-1]:
+            p = prm[s.name]
+            if s.type in ioc.LSTM_TYPES:
+                h = lstm_forward_seq(p, h, pt_loc, s.bias,
+                                     ioc.LSTM_TYPES[s.type], axis, n,
+                                     clip_gradients=net.clip_gradients,
+                                     compute_dtype=net.compute_dtype)
+            elif s.type == "softmax":
+                h = softmax_forward(p, h, s.bias, net.compute_dtype)
+            else:
+                h = feedforward_forward(p, h,
+                                        ioc.FEEDFORWARD_TYPES[s.type],
+                                        s.bias, net.compute_dtype)
+        if want_outputs:
+            return h
+        axes = (axis,) if data_ax is None else (axis, data_ax)
+        err = net.loss_fn(h, tg_loc, pt_loc)
+        corr = net.correct_count(h, tg_loc, pt_loc)
+        return jax.lax.psum(err, axes), jax.lax.psum(corr, axes)
+
+    from jax import shard_map
+    xspec = P(axis, data_ax, None)
+    tspec = P(axis, data_ax)
+    # check_vma=False: the layer bodies are the SHARED single-device code,
+    # whose internal scan carries are not annotated for this mesh axis; the
+    # scalar outputs are explicitly psum'd and the outputs path's sharding
+    # is declared by out_specs (equality vs the single-device net is
+    # tested)
+    if want_outputs:
+        return shard_map(local, mesh=mesh,
+                         in_specs=(P(), xspec, P(), tspec),
+                         out_specs=xspec,
+                         check_vma=False)(params, x, jnp.zeros(()),
+                                          pattypes)[:t]
+    tgspec = tspec if targets.ndim == 2 else xspec
+    return shard_map(local, mesh=mesh,
+                     in_specs=(P(), xspec, tgspec, tspec),
+                     out_specs=(P(), P()),
+                     check_vma=False)(params, x, targets, pattypes)

@@ -59,7 +59,7 @@ class Trainer:
                  validate_every: int = 1, test_every: int = 1,
                  hybrid_online_batch: bool = False,
                  weight_noise_sigma: float = 0.0,
-                 seed: int = 1, mesh=None, pipe_mesh=None,
+                 seed: int = 1, mesh=None, pipe_mesh=None, seq_mesh=None,
                  pipeline_microbatches: int = 0,
                  fuse_fractions: int = 1,
                  padded_pipeline: Optional[bool] = None,
@@ -79,6 +79,7 @@ class Trainer:
         self.weight_noise_sigma = weight_noise_sigma
         self.mesh = mesh
         self.pipe_mesh = pipe_mesh
+        self.seq_mesh = seq_mesh
         self.pipeline_microbatches = pipeline_microbatches
         # fuse_fractions > 1: stochastic-mode updates for K same-shape
         # fractions run as ONE jitted lax.scan — identical sequential
@@ -135,6 +136,13 @@ class Trainer:
         if pipe_mesh is not None:
             from lstm_rnn_tpu.parallel.pipeline import stage_ranges
             stage_ranges(len(net.specs) - 2, int(pipe_mesh.shape["pipe"]))
+
+        # sequence parallelism (a "seq" mesh, parallel/sequence.py): pairs
+        # with the lax.scan cell — the wavefront's block scans carry
+        # explicit (h, c) states the fused kernel does not accept — so the
+        # padded fused-kernel view does not apply
+        if seq_mesh is not None:
+            padded_pipeline = False
 
         # padded training view (see Network.pad_params): default on when the
         # fused TPU kernels will run and the net has LSTM layers
@@ -253,6 +261,7 @@ class Trainer:
         fused_tail = (net.supports_fused_tail()
                       and not self.tensor_parallel
                       and self.pipe_mesh is None
+                      and self.seq_mesh is None
                       and (net.backend == "pallas_interpret"
                            or (jax.default_backend() == "tpu"
                                and net.backend in ("auto", "pallas"))))
@@ -267,6 +276,10 @@ class Trainer:
                     net, params, inputs, targets, pattypes, self.pipe_mesh,
                     padded=padded,
                     microbatches=self.pipeline_microbatches)
+            if self.seq_mesh is not None:
+                from lstm_rnn_tpu.parallel.sequence import loss_and_count_seq
+                return loss_and_count_seq(
+                    net, params, inputs, targets, pattypes, self.seq_mesh)
             if fused_tail:
                 return net.loss_and_count_fused(
                     params, inputs, targets, pattypes, padded=padded,

@@ -592,3 +592,80 @@ def test_forward_mode_dp_x_pp_and_early_validation(tmp_path, rng):
     assert r.returncode == 2
     assert "exceeds" in r.stdout + r.stderr
     assert "Computing outputs" not in r.stdout  # failed before any fraction
+
+
+def test_dp_x_sp_cli_matches_single_device(tmp_path, rng):
+    """--num_devices 4 --seq_devices 2 (2-D data x seq mesh,
+    parallel/sequence.py) trains to the same trained_network.jsn as a
+    single-device run."""
+    nc = str(tmp_path / "train.nc")
+    _write_classification_nc(nc, [6, 5, 4, 7], in_size=3, num_labels=4,
+                             seed=17)
+    net = {
+        "layers": [
+            {"name": "input", "type": "input", "size": 3},
+            {"name": "l1", "type": "blstm", "size": 4, "bias": 1.0},
+            {"name": "l2", "type": "lstm", "size": 3, "bias": 1.0},
+            {"name": "output", "type": "softmax", "size": 4, "bias": 1.0},
+            {"name": "postoutput", "type": "multiclass_classification",
+             "size": 4},
+        ],
+    }
+    net_path = tmp_path / "net.jsn"
+    net_path.write_text(json.dumps(net))
+    common = ["--network", str(net_path), "--train", "true",
+              "--train_file", nc, "--stochastic", "true",
+              "--learning_rate", "1e-3", "--parallel_sequences", "4",
+              "--random_seed", "5", "--max_epochs", "2"]
+
+    d1 = tmp_path / "single"
+    d1.mkdir()
+    r = _cli(*common, cwd=d1)
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    d2 = tmp_path / "dsp"
+    d2.mkdir()
+    r = _cli(*common, "--num_devices", "4", "--seq_devices", "2", cwd=d2)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "DP x SP mesh" in r.stdout
+
+    w1 = json.loads((d1 / "trained_network.jsn").read_text())["weights"]
+    w2 = json.loads((d2 / "trained_network.jsn").read_text())["weights"]
+    for layer in w1:
+        for sec in w1[layer]:
+            np.testing.assert_allclose(
+                w1[layer][sec], w2[layer][sec], rtol=1e-5, atol=1e-7,
+                err_msg=f"{layer}.{sec}")
+
+
+def test_forward_mode_seq_devices_matches(tmp_path, rng):
+    """--train false --seq_devices 2 (time-sharded serving) writes the
+    same posteriors as the single-device forward pass, and combining it
+    with --pipeline_devices fails cleanly."""
+    nc, net_path = _toy_setup(tmp_path, rng)
+    r = _cli("--network", net_path, "--train", "true", "--train_file", nc,
+             "--max_epochs", "1", cwd=tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    fwd = ["--network", str(tmp_path / "trained_network.jsn"),
+           "--train", "false", "--ff_input_file", nc,
+           "--ff_output_format", "single_csv"]
+    r = _cli(*fwd, "--ff_output_file", "single.csv", cwd=tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    r = _cli(*fwd, "--ff_output_file", "sp.csv",
+             "--seq_devices", "2", cwd=tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "Sequence-parallel mesh" in r.stdout
+    a = (tmp_path / "single.csv").read_text().strip().split("\n")
+    b = (tmp_path / "sp.csv").read_text().strip().split("\n")
+    assert len(a) == len(b)
+    for la, lb in zip(a, b):
+        ca, cb = la.split(";"), lb.split(";")
+        assert ca[0] == cb[0]  # sequence tag
+        np.testing.assert_allclose([float(v) for v in ca[1:]],
+                                   [float(v) for v in cb[1:]],
+                                   rtol=1e-4, atol=1e-6)
+
+    r = _cli(*fwd, "--ff_output_file", "x.csv", "--seq_devices", "2",
+             "--pipeline_devices", "2", cwd=tmp_path)
+    assert r.returncode != 0
+    assert "does not combine" in r.stdout + r.stderr
