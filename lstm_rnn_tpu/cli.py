@@ -198,6 +198,7 @@ def train_mode(cfg: Config) -> int:
                   input_size_override=train_set.input_pattern_size,
                   backend=cfg.lstm_backend,
                   compute_dtype=cfg.compute_dtype)
+    net.remat_blocks = cfg.remat_blocks
     if train_set.output_pattern_size != net.target_size:
         raise RuntimeError("Post output layer size != target pattern size of the training set")
     net.init_params(cfg.random_seed, dist=cfg.weights_dist,
@@ -428,6 +429,7 @@ def forward_mode(cfg: Config) -> int:
                   input_size_override=ff_set.input_pattern_size,
                   backend=cfg.lstm_backend,
                   compute_dtype=cfg.compute_dtype)
+    net.remat_blocks = cfg.remat_blocks
     net.init_params(cfg.random_seed)
     _print_layers(net)
 

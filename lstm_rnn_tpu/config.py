@@ -156,6 +156,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="microbatches per pipeline data shard (0 = stage "
                         "count); more microbatches shrink the GPipe "
                         "bubble: utilization = m / (m + stages - 1)")
+    g.add_argument("--remat_blocks", type=int, default=0,
+                   help="gradient-checkpoint the LSTM recurrence in K "
+                        "time blocks (scan backend): backward-pass "
+                        "activation memory scales as T/K at ~2x cell "
+                        "recompute — the single-chip long-sequence lever "
+                        "(multi-chip: --seq_devices). 0 = off")
     g.add_argument("--seq_devices", type=int, default=1,
                    help="sequence-parallel shard count: the TIME axis "
                         "shards over a 'seq' mesh axis (must divide "

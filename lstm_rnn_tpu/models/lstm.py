@@ -77,12 +77,21 @@ def lstm_cell_step(a, c, peep, gclip):
     return h_new, c_new
 
 
-def _lstm_scan(acts, w_rec, peep, mask, clip_gradients: bool):
+def _lstm_scan(acts, w_rec, peep, mask, clip_gradients: bool,
+               remat_blocks: int = 0):
     """Scan both (or one) directions at once.
 
     acts: [T, D, B, 4, H] input projections + bias (already added)
     w_rec: [D, H, 4, H]; peep: [D, 3, H]; mask: [T, D, B, 1] (1.0 valid / 0.0 pad)
     Returns outputs [T, D, B, H].
+
+    remat_blocks > 0: gradient checkpointing over K time blocks
+    (jax.checkpoint around an inner block scan) — the backward pass holds
+    only ONE block's cell intermediates (~8 [Tb, D, B, H] tensors) plus K
+    block-boundary carries instead of the whole sequence's, trading ~2x
+    cell recompute for activation memory that scales as T/K. The
+    single-chip long-sequence lever (the multi-chip one is
+    parallel/sequence.py); identical gradients, tested.
     """
     gclip = grad_clip if clip_gradients else (lambda x: x)
 
@@ -95,13 +104,31 @@ def _lstm_scan(acts, w_rec, peep, mask, clip_gradients: bool):
         h_new, c_new = lstm_cell_step(a, c, peep, gclip)
         return (h_new * m, c_new * m), h_new * m
 
-    d, b, h = acts.shape[1], acts.shape[2], acts.shape[4]
+    t, d, b, h = acts.shape[0], acts.shape[1], acts.shape[2], acts.shape[4]
     init = (
         jnp.zeros((d, b, h), dtype=acts.dtype),
         jnp.zeros((d, b, h), dtype=acts.dtype),
     )
-    _, ys = jax.lax.scan(step, init, (acts, mask))
-    return ys
+    k = min(remat_blocks, t) if remat_blocks else 0
+    if k <= 1:
+        _, ys = jax.lax.scan(step, init, (acts, mask))
+        return ys
+
+    # pad T to K equal blocks with zero-mask steps: they sit after every
+    # real frame of this (possibly direction-reversed) stream, where the
+    # reference zeroes h/c anyway, and their outputs are sliced off
+    tb = -(-t // k)
+    tp = tb * k
+    acts = _pad_axis(acts, 0, tp)
+    mask = _pad_axis(mask, 0, tp)
+
+    @jax.checkpoint
+    def block(carry, inp):
+        return jax.lax.scan(step, carry, inp)
+
+    blk = lambda a: a.reshape(k, tb, *a.shape[1:])
+    _, ys = jax.lax.scan(block, init, (blk(acts), blk(mask)))
+    return ys.reshape(tp, d, b, h)[:t]
 
 
 def _pad_axis(a, axis, target):
@@ -116,7 +143,7 @@ def _pad_axis(a, axis, target):
 def lstm_forward(params, x, pattypes, bias_mult: float, bidirectional: bool,
                  clip_gradients: bool = True, backend: str = "auto",
                  compute_dtype=jnp.float32, pre_padded: bool = False,
-                 need_dx: bool = True):
+                 need_dx: bool = True, remat_blocks: int = 0):
     """x: [T, B, P], pattypes: [T, B] int8 -> outputs [T, B, L].
 
     L = H for unidirectional, 2H for bidirectional ([fw | bw] per frame).
@@ -132,6 +159,9 @@ def lstm_forward(params, x, pattypes, bias_mult: float, bidirectional: bool,
     need_dx=False (first hidden layer) lets the fused backward kernel skip
     the preceding-layer error; the scan path ignores it (XLA dead-code
     eliminates the unused einsum cotangent there).
+    remat_blocks=K (scan backend only): checkpoint the recurrence in K
+    time blocks so backward activation memory scales as T/K (see
+    _lstm_scan); the fused Pallas kernels keep their own residual regime.
     """
     w_in, w_rec, b, peep = params["W_in"], params["W_rec"], params["b"], params["peep"]
     t, bsz, _ = x.shape
@@ -250,7 +280,7 @@ def lstm_forward(params, x, pattypes, bias_mult: float, bidirectional: bool,
         mask = valid
 
     ys = _lstm_scan(acts, w_rec.astype(compute_dtype), peep, mask,
-                    clip_gradients)  # [T, D, B, H]
+                    clip_gradients, remat_blocks)  # [T, D, B, H]
 
     if bidirectional:
         fw = ys[:, 0]

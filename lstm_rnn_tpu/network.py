@@ -120,6 +120,10 @@ class Network:
         # tensor-parallel cell (parallel/tensor.py) — cells sharded across
         # chips, batch over "data". Set by the CLI for --model_devices.
         self.mesh = None
+        # gradient checkpointing over K time blocks for the scan-backend
+        # LSTM (models/lstm._lstm_scan): backward activation memory ~ T/K.
+        # Set by the CLI for --remat_blocks; 0 = off.
+        self.remat_blocks = 0
         self.loss_fn, self.task_kind = losses_mod.LOSSES[specs[-1].type]
         self.is_classification = self.task_kind == "classification"
 
@@ -248,7 +252,8 @@ class Network:
                                      clip_gradients=self.clip_gradients,
                                      backend=self.backend,
                                      compute_dtype=self.compute_dtype,
-                                     need_dx=s is not self.specs[1])
+                                     need_dx=s is not self.specs[1],
+                                     remat_blocks=self.remat_blocks)
             elif s.type == "softmax":
                 x = softmax_forward(p, x, s.bias, self.compute_dtype)
             else:

@@ -94,3 +94,36 @@ def test_clipping_active(rng):
     assert max(jax.tree_util.tree_leaves(diffs)) > 1e-3, (
         "clipping made no difference; test regime too tame: " + str(diffs))
     del clipped
+
+
+@pytest.mark.parametrize("bidirectional", [False, True])
+@pytest.mark.parametrize("remat_blocks", [2, 3])
+def test_remat_blocks_matches_plain_scan(rng, bidirectional, remat_blocks):
+    """Gradient checkpointing over K time blocks (remat_blocks, the
+    single-chip long-sequence memory lever) must leave forward outputs
+    AND gradients identical to the plain scan — including K not dividing
+    T (zero-mask pad steps after the stream's real frames)."""
+    T, B, P, L = 7, 3, 5, 8
+    params = make_params(rng, P, L, bidirectional)
+    params = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32), params)
+    x = jnp.asarray(rng.uniform(-1, 1, (T, B, P)), jnp.float32)
+    pt = jnp.asarray(pattypes_from_lengths([7, 4, 1], T, B))
+    g_out = jnp.asarray(rng.uniform(-1, 1, (T, B, L)), jnp.float32)
+
+    def loss(p, k):
+        y = lstm_forward(p, x, pt, 1.0, bidirectional, backend="scan",
+                         remat_blocks=k)
+        return jnp.sum(y * g_out), y
+
+    (e0, y0), g0 = jax.value_and_grad(loss, has_aux=True)(params, 0)
+    (e1, y1), g1 = jax.value_and_grad(loss, has_aux=True)(
+        params, remat_blocks)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(float(e1), float(e0), rtol=1e-6)
+    flat0, _ = jax.tree_util.tree_flatten(g0)
+    flat1, _ = jax.tree_util.tree_flatten(g1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-7)
