@@ -253,43 +253,34 @@ def train_mode(cfg: Config) -> int:
         raise RuntimeError(
             "seq_devices > 1 does not combine with model_devices or "
             "pipeline_devices")
-    if sp > 1 and n > 1:
-        # composed DP x SP: num_devices is the TOTAL device count; B
-        # shards over 'data', T over 'seq' within each data shard
-        if n % sp:
-            raise RuntimeError(
-                f"seq_devices={sp} must divide num_devices={n}")
-        from lstm_rnn_tpu.parallel.mesh import make_mesh_2d
-        mesh = seq_mesh = make_mesh_2d(n, sp, data_axis="data",
-                                       model_axis="seq")
-        print(f"DP x SP mesh: {dict(mesh.shape)}")
-    elif sp > 1:
-        from lstm_rnn_tpu.parallel.mesh import make_mesh
-        seq_mesh = make_mesh(sp, axis="seq")
-        print(f"Sequence-parallel mesh: {dict(seq_mesh.shape)} "
-              "(time axis sharded)")
+    if sp > 1:
+        # composed DP x SP when num_devices (the TOTAL count) exceeds sp:
+        # B shards over 'data', T over 'seq' within each data shard
+        from lstm_rnn_tpu.parallel.mesh import composed_mesh
+        seq_mesh, composed = composed_mesh(n, sp, "seq", "seq_devices")
+        if composed:
+            mesh = seq_mesh
+            print(f"DP x SP mesh: {dict(mesh.shape)}")
+        else:
+            print(f"Sequence-parallel mesh: {dict(seq_mesh.shape)} "
+                  "(time axis sharded)")
     elif model_devices > 1:
         if n <= 1:
             raise RuntimeError("model_devices > 1 requires num_devices > 1")
         from lstm_rnn_tpu.parallel.mesh import make_mesh_2d
         mesh = make_mesh_2d(n, model_devices)
         print(f"DP x TP mesh: {dict(mesh.shape)}")
-    elif pp > 1 and n > 1:
-        # composed DP x PP: num_devices is the TOTAL device count (mirrors
-        # model_devices semantics); B shards over 'data', stages pipeline
-        # within each data shard
-        if n % pp:
-            raise RuntimeError(
-                f"pipeline_devices={pp} must divide num_devices={n}")
-        from lstm_rnn_tpu.parallel.mesh import make_mesh_2d
-        mesh = pipe_mesh = make_mesh_2d(n, pp, data_axis="data",
-                                        model_axis="pipe")
-        print(f"DP x PP mesh: {dict(mesh.shape)}")
     elif pp > 1:
-        from lstm_rnn_tpu.parallel.mesh import make_mesh
-        pipe_mesh = make_mesh(pp, axis="pipe")
-        print(f"Pipeline mesh: {dict(pipe_mesh.shape)} "
-              f"({len(net.specs) - 2} hidden layers over {pp} stages)")
+        # composed DP x PP: stages pipeline within each data shard
+        from lstm_rnn_tpu.parallel.mesh import composed_mesh
+        pipe_mesh, composed = composed_mesh(n, pp, "pipe",
+                                            "pipeline_devices")
+        if composed:
+            mesh = pipe_mesh
+            print(f"DP x PP mesh: {dict(mesh.shape)}")
+        else:
+            print(f"Pipeline mesh: {dict(pipe_mesh.shape)} "
+                  f"({len(net.specs) - 2} hidden layers over {pp} stages)")
     elif n > 1:
         from lstm_rnn_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(n)
@@ -429,14 +420,18 @@ def forward_mode(cfg: Config) -> int:
                   input_size_override=ff_set.input_pattern_size,
                   backend=cfg.lstm_backend,
                   compute_dtype=cfg.compute_dtype)
-    net.remat_blocks = cfg.remat_blocks
+    # --remat_blocks is a TRAINING memory lever (backward residuals);
+    # forward mode has no backward pass, so it is deliberately not applied
     net.init_params(cfg.random_seed)
     _print_layers(net)
 
     import jax
     use_padded = (any(s.type in ("lstm", "blstm") for s in net.specs)
                   and jax.default_backend() == "tpu"
-                  and cfg.lstm_backend in ("auto", "pallas"))
+                  and cfg.lstm_backend in ("auto", "pallas")
+                  # the seq path serves the exact layout — don't build and
+                  # transfer a padded parameter view it would discard
+                  and cfg.seq_devices <= 1)
     fwd_params = (jax.tree_util.tree_map(jax.numpy.asarray,
                                          net.pad_params(net.params))
                   if use_padded else net.params)
@@ -452,18 +447,11 @@ def forward_mode(cfg: Config) -> int:
                                                     stage_ranges)
         stage_ranges(len(net.specs) - 2, pp)  # fail early, not mid-trace
         n = cfg.num_devices if cfg.num_devices != 0 else len(jax.devices())
-        if n > 1 and n != pp:
-            if n % pp:
-                raise RuntimeError(
-                    f"pipeline_devices={pp} must divide num_devices={n}")
-            from lstm_rnn_tpu.parallel.mesh import make_mesh_2d
-            pipe_mesh = make_mesh_2d(n, pp, data_axis="data",
-                                     model_axis="pipe")
-            print(f"DP x PP mesh: {dict(pipe_mesh.shape)}")
-        else:
-            from lstm_rnn_tpu.parallel.mesh import make_mesh
-            pipe_mesh = make_mesh(pp, axis="pipe")
-            print(f"Pipeline mesh: {dict(pipe_mesh.shape)}")
+        from lstm_rnn_tpu.parallel.mesh import composed_mesh
+        pipe_mesh, composed = composed_mesh(n, pp, "pipe",
+                                            "pipeline_devices")
+        print(("DP x PP" if composed else "Pipeline")
+              + f" mesh: {dict(pipe_mesh.shape)}")
         apply_fn = jax.jit(lambda p, xx, pp_: apply_pipelined(
             net, p, xx, pp_, pipe_mesh, padded=use_padded,
             microbatches=cfg.pipeline_microbatches))
@@ -475,19 +463,10 @@ def forward_mode(cfg: Config) -> int:
         sp = cfg.seq_devices
         from lstm_rnn_tpu.parallel.sequence import apply_seq
         n = cfg.num_devices if cfg.num_devices != 0 else len(jax.devices())
-        if n > 1 and n != sp:
-            if n % sp:
-                raise RuntimeError(
-                    f"seq_devices={sp} must divide num_devices={n}")
-            from lstm_rnn_tpu.parallel.mesh import make_mesh_2d
-            seq_mesh = make_mesh_2d(n, sp, data_axis="data",
-                                    model_axis="seq")
-            print(f"DP x SP mesh: {dict(seq_mesh.shape)}")
-        else:
-            from lstm_rnn_tpu.parallel.mesh import make_mesh
-            seq_mesh = make_mesh(sp, axis="seq")
-            print(f"Sequence-parallel mesh: {dict(seq_mesh.shape)}")
-        fwd_params = net.params
+        from lstm_rnn_tpu.parallel.mesh import composed_mesh
+        seq_mesh, composed = composed_mesh(n, sp, "seq", "seq_devices")
+        print(("DP x SP" if composed else "Sequence-parallel")
+              + f" mesh: {dict(seq_mesh.shape)}")
         apply_fn = jax.jit(
             lambda p, xx, pp_: apply_seq(net, p, xx, pp_, seq_mesh))
     elif use_padded:

@@ -194,6 +194,11 @@ def lstm_forward(params, x, pattypes, bias_mult: float, bidirectional: bool,
 
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "scan"
+        if remat_blocks:
+            # checkpointing exists to shrink the scan path's residuals;
+            # the fused kernel has its own residual regime, so the flag
+            # forces the scan backend rather than silently doing nothing
+            backend = "scan"
         if backend == "pallas":
             # VMEM guard: fall back to lax.scan when the fused kernels'
             # resident set would not fit
@@ -215,6 +220,11 @@ def lstm_forward(params, x, pattypes, bias_mult: float, bidirectional: bool,
                     backend = "scan"
 
     if backend in ("pallas", "pallas_interpret"):
+        if remat_blocks:
+            raise ValueError(
+                "remat_blocks only applies to the scan backend (the fused "
+                "Pallas kernels keep their own residual regime); use "
+                "lstm_backend=scan or auto")
         from lstm_rnn_tpu.ops.lstm_cell import (DEFAULT_CHUNK, _storage,
                                                 fused_fits, lstm_scan_fused,
                                                 round_up)

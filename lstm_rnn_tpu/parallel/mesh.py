@@ -73,6 +73,26 @@ def make_mesh_2d(num_devices: int = 0, model_devices: int = 1,
     return Mesh(grid, (data_axis, model_axis))
 
 
+def composed_mesh(num_devices: int, k: int, model_axis: str, flag: str):
+    """Mesh for a k-way pipeline/sequence request, composed with data
+    parallelism when the requested device total exceeds k.
+
+    Returns (mesh, composed): a 2-D ('data', model_axis) mesh with B
+    sharding over 'data' when num_devices > k (composed=True), else a
+    1-D model_axis mesh over k devices. `flag` names the CLI option in
+    the divisibility error. Shared by train and forward mode for both
+    --pipeline_devices and --seq_devices so their mesh rules cannot
+    drift.
+    """
+    if num_devices > 1 and num_devices != k:
+        if num_devices % k:
+            raise ValueError(
+                f"{flag}={k} must divide num_devices={num_devices}")
+        return make_mesh_2d(num_devices, k, data_axis="data",
+                            model_axis=model_axis), True
+    return make_mesh(k, axis=model_axis), False
+
+
 def data_axis_size(mesh: Mesh, axis: str = "data") -> int:
     """Devices along the batch-sharding axis (the full mesh for 1-D)."""
     return int(mesh.shape.get(axis, mesh.devices.size))

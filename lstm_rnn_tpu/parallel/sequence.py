@@ -78,51 +78,74 @@ def _scan_block(acts, w_rec, peep, mask, gclip, h0, c0):
     return ys, h_t, c_t
 
 
-def _wavefront(acts, w_rec, peep, mask, gclip, axis: str, n: int,
-               reverse: bool):
-    """One direction's recurrence over the time-sharded sequence.
+def _wavefront(dirs, gclip, axis: str, n: int):
+    """The recurrence over the time-sharded sequence, all directions in
+    ONE round scan.
 
-    Runs inside shard_map: acts [Tl, B, 4, H] is this device's block.
-    Round r activates the device scanning global block r (or S-1-r for
-    the reverse direction); the (h, c) carry ppermutes one hop per round.
-    Inactive devices take the cheap cond branch and wait at the ppermute,
-    so total compute equals the single-device scan.
+    Runs inside shard_map. dirs: list of (acts [Tl, B, 4, H], w_rec
+    [H, 4, H], peep [3, H], mask [Tl, B, 1], reverse) — one entry per
+    direction. Round r activates the device scanning global block r for
+    a forward direction and block S-1-r for a reverse one; the (h, c)
+    carries ppermute one hop per round. Every direction's cond runs
+    BEFORE any ppermute, so in a bidirectional layer the two active
+    devices (opposite ends of the wavefront) compute their blocks
+    concurrently — the collectives only join them at the end of the
+    round. Inactive devices take the cheap cond branch and wait at the
+    ppermutes; total compute equals the single-device scan. Returns one
+    [Tl, B, H] output block per direction (reverse directions restored
+    to natural order).
     """
     idx = jax.lax.axis_index(axis)
-    if reverse:
-        # global time order T-1..0 = blocks S-1..0, each scanned reversed.
-        # Suffix padding is handled exactly like the single-device path:
-        # the mask zeroes h/c at NONE slots, which is equivalent to the
-        # reference's backward iteration visiting them first.
-        acts = acts[::-1]
-        mask = mask[::-1]
-        active_round = n - 1 - idx
-        shift = -1
-    else:
-        active_round = idx
-        shift = 1
-    perm = [(i, i + shift) for i in range(n) if 0 <= i + shift < n]
+    chans = []
+    for acts, w_rec, peep, mask, reverse in dirs:
+        if reverse:
+            # global time order T-1..0 = blocks S-1..0, each scanned
+            # reversed. Suffix padding is handled exactly like the
+            # single-device path: the mask zeroes h/c at NONE slots,
+            # which is equivalent to the reference's backward iteration
+            # visiting them first.
+            acts, mask = acts[::-1], mask[::-1]
+            active_round = n - 1 - idx
+            shift = -1
+        else:
+            active_round = idx
+            shift = 1
+        perm = [(i, i + shift) for i in range(n) if 0 <= i + shift < n]
+        chans.append((acts, w_rec, peep, mask, active_round, perm))
 
-    b, h = acts.shape[1], acts.shape[3]
-    zeros = jnp.zeros((b, h), acts.dtype)
-    ys0 = jnp.zeros(acts.shape[:2] + (h,), acts.dtype)
+    b, h = dirs[0][0].shape[1], dirs[0][0].shape[3]
+    dt = dirs[0][0].dtype
 
     def tick(state, r):
-        def run(op):
-            h0, c0, _ys = op
-            ys, h_t, c_t = _scan_block(acts, w_rec, peep, mask, gclip,
-                                       h0, c0)
-            return h_t, c_t, ys
+        # all direction scans first (concurrent across their active
+        # devices), collectives after
+        ran = []
+        for (acts, w_rec, peep, mask, active, _perm), st in zip(chans,
+                                                                state):
+            def run(op, acts=acts, w_rec=w_rec, peep=peep, mask=mask):
+                h0, c0, _ys = op
+                ys, h_t, c_t = _scan_block(acts, w_rec, peep, mask,
+                                           gclip, h0, c0)
+                return h_t, c_t, ys
 
-        h_c, c_c, ys = jax.lax.cond(jnp.equal(active_round, r), run,
-                                    lambda op: op, state)
-        if perm:
-            h_c = jax.lax.ppermute(h_c, axis, perm)
-            c_c = jax.lax.ppermute(c_c, axis, perm)
-        return (h_c, c_c, ys), None
+            ran.append(jax.lax.cond(jnp.equal(active, r), run,
+                                    lambda op: op, st))
+        new = []
+        for (_a, _w, _p, _m, _act, perm), (h_c, c_c, ys) in zip(chans,
+                                                                ran):
+            if perm:
+                h_c = jax.lax.ppermute(h_c, axis, perm)
+                c_c = jax.lax.ppermute(c_c, axis, perm)
+            new.append((h_c, c_c, ys))
+        return tuple(new), None
 
-    (_, _, ys), _ = jax.lax.scan(tick, (zeros, zeros, ys0), jnp.arange(n))
-    return ys[::-1] if reverse else ys
+    state0 = tuple(
+        (jnp.zeros((b, h), dt), jnp.zeros((b, h), dt),
+         jnp.zeros(acts.shape[:2] + (h,), dt))
+        for (acts, _w, _p, _m, _act, _perm) in chans)
+    state, _ = jax.lax.scan(tick, state0, jnp.arange(n))
+    return [st[2][::-1] if d[4] else st[2]
+            for st, d in zip(state, dirs)]
 
 
 def lstm_forward_seq(params, x, pattypes, bias_mult: float,
@@ -148,13 +171,11 @@ def lstm_forward_seq(params, x, pattypes, bias_mult: float,
     mask = (pattypes != 0).astype(x.dtype)[:, :, None]  # [Tl, B, 1]
     w_rec = w_rec.astype(compute_dtype)
 
-    fw = _wavefront(acts[:, 0], w_rec[0], peep[0], mask, gclip, axis, n,
-                    reverse=False)
-    if not bidirectional:
-        return fw
-    bw = _wavefront(acts[:, 1], w_rec[1], peep[1], mask, gclip, axis, n,
-                    reverse=True)
-    return jnp.concatenate([fw, bw], axis=-1)
+    dirs = [(acts[:, 0], w_rec[0], peep[0], mask, False)]
+    if bidirectional:
+        dirs.append((acts[:, 1], w_rec[1], peep[1], mask, True))
+    ys = _wavefront(dirs, gclip, axis, n)
+    return ys[0] if not bidirectional else jnp.concatenate(ys, axis=-1)
 
 
 def _pad_time(x, targets, pattypes, n: int):

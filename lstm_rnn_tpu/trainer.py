@@ -144,6 +144,13 @@ class Trainer:
         if seq_mesh is not None:
             padded_pipeline = False
 
+        # remat_blocks shrinks the SCAN path's residuals (models/lstm.py):
+        # force the exact layout so lstm_forward's auto branch picks the
+        # scan backend instead of the padded fused-kernel view silently
+        # ignoring the flag
+        if getattr(net, "remat_blocks", 0):
+            padded_pipeline = False
+
         # padded training view (see Network.pad_params): default on when the
         # fused TPU kernels will run and the net has LSTM layers
         if padded_pipeline is None:

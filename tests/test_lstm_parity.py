@@ -127,3 +127,37 @@ def test_remat_blocks_matches_plain_scan(rng, bidirectional, remat_blocks):
     for a, b in zip(flat0, flat1):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_remat_blocks_rejects_pallas_backend(rng):
+    """remat_blocks only applies to the scan backend; the explicit pallas
+    path must fail loudly rather than silently ignore the flag (the auto
+    path forces the scan backend instead)."""
+    params = make_params(rng, 5, 8, True)
+    params = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32), params)
+    x = jnp.asarray(rng.uniform(-1, 1, (4, 2, 5)), jnp.float32)
+    pt = jnp.asarray(pattypes_from_lengths([4, 3], 4, 2))
+    with pytest.raises(ValueError, match="remat_blocks"):
+        lstm_forward(params, x, pt, 1.0, True,
+                     backend="pallas_interpret", remat_blocks=2)
+
+
+def test_trainer_remat_disables_padded_view():
+    """net.remat_blocks > 0 forces the exact layout so lstm_forward's auto
+    branch picks the scan backend (the padded fused-kernel view would
+    silently ignore the flag)."""
+    from lstm_rnn_tpu.network import Network
+    from lstm_rnn_tpu.trainer import Trainer
+
+    layers = [
+        {"name": "input", "type": "input", "size": 3},
+        {"name": "b1", "type": "blstm", "size": 4, "bias": 1.0},
+        {"name": "output", "type": "softmax", "size": 4, "bias": 1.0},
+        {"name": "post", "type": "multiclass_classification", "size": 4},
+    ]
+    net = Network(layers, backend="pallas_interpret")
+    net.init_params(3)
+    assert Trainer(net, None, device_cache=False).padded
+    net.remat_blocks = 2
+    assert not Trainer(net, None, device_cache=False).padded
