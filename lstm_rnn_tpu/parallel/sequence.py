@@ -143,7 +143,15 @@ def _wavefront(dirs, gclip, axis: str, n: int):
         (jnp.zeros((b, h), dt), jnp.zeros((b, h), dt),
          jnp.zeros(acts.shape[:2] + (h,), dt))
         for (acts, _w, _p, _m, _act, _perm) in chans)
-    state, _ = jax.lax.scan(tick, state0, jnp.arange(n))
+    # checkpoint each round: without it the round scan stores a FULL
+    # block's cell residuals for every one of the n rounds (the cond
+    # allocates the run branch's residuals even in skip rounds), making
+    # per-device backward memory ~T instead of ~T/S. With it the scan
+    # saves only the (h, c) carries per round and the backward
+    # recomputes each device's single active block — measured ~n-fold
+    # residual reduction in tests/test_sequence.py's memory_analysis
+    # check, gradients identical.
+    state, _ = jax.lax.scan(jax.checkpoint(tick), state0, jnp.arange(n))
     return [st[2][::-1] if d[4] else st[2]
             for st, d in zip(state, dirs)]
 

@@ -161,3 +161,27 @@ def test_trainer_remat_disables_padded_view():
     assert Trainer(net, None, device_cache=False).padded
     net.remat_blocks = 2
     assert not Trainer(net, None, device_cache=False).padded
+
+
+def test_remat_blocks_reduce_backward_memory(rng):
+    """--remat_blocks exists to shrink backward residuals: XLA
+    memory_analysis of the compiled grad must show a real reduction."""
+    params = make_params(rng, 16, 32, True)
+    params = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32), params)
+    T, B = 512, 4
+    x = jnp.zeros((T, B, 16), jnp.float32)
+    pt = jnp.asarray(pattypes_from_lengths([T] * B, T, B))
+
+    def loss(p, k):
+        y = lstm_forward(p, x, pt, 1.0, True, backend="scan",
+                         remat_blocks=k)
+        return jnp.sum(y * y)
+
+    temp = {}
+    for k in (0, 8):
+        c = jax.jit(jax.grad(lambda p: loss(p, k))).lower(params).compile()
+        temp[k] = c.memory_analysis().temp_size_in_bytes
+    # measured ~2.1x at these shapes (the [T,...] acts input stream is
+    # not rematerializable); assert a conservative 1.5x
+    assert temp[8] * 1.5 < temp[0], temp

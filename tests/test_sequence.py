@@ -179,3 +179,39 @@ def test_sp_inside_fused_fraction_scan(tmp_path):
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_seq_reduces_per_device_backward_memory(rng):
+    """The point of the axis: per-device backward temp memory must scale
+    ~T/S (XLA memory_analysis of the compiled executables). Guards the
+    jax.checkpoint around the wavefront tick — without it the round scan
+    stores a full block's residuals every round and per-device memory is
+    ~T regardless of S."""
+    layers = [
+        {"name": "input", "type": "input", "size": 8},
+        {"name": "b1", "type": "blstm", "size": 16, "bias": 1.0},
+        {"name": "output", "type": "softmax", "size": 5, "bias": 1.0},
+        {"name": "post", "type": "multiclass_classification", "size": 5},
+    ]
+    net = Network(layers)
+    net.init_params(3)
+    params = jax.tree_util.tree_map(jnp.asarray, net.params)
+    t, b = 512, 4
+    x = jnp.zeros((t, b, 8), jnp.float32)
+    pt = jnp.asarray(pattypes_from_lengths([t] * b, t, b))
+    tc = jnp.zeros((t, b), jnp.int32)
+    mesh = make_mesh(4, axis="seq")
+
+    def ref(p):
+        return net.loss_fn(net.apply(p, x, pt), tc, pt)
+
+    def sp(p):
+        return loss_and_count_seq(net, p, x, tc, pt, mesh)[0]
+
+    temp = {}
+    for name, fn in (("single", ref), ("seq4", sp)):
+        c = jax.jit(jax.grad(fn)).lower(params).compile()
+        temp[name] = c.memory_analysis().temp_size_in_bytes
+    # measured ~4.1x at these shapes; assert a conservative 2.5x so the
+    # test tracks the mechanism, not the exact allocator layout
+    assert temp["seq4"] * 2.5 < temp["single"], temp
