@@ -209,3 +209,40 @@ def test_apply_pipelined_matches_apply(rng, padded):
     assert y_pp.shape == y_ref.shape
     np.testing.assert_allclose(np.asarray(y_pp), np.asarray(y_ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_pipelined_reduces_per_device_backward_memory(rng):
+    """GPipe-standard per-microbatch rematerialization: per-device
+    backward temp memory must come out well BELOW the unpipelined
+    network's (XLA memory_analysis). Guards the jax.checkpoint around
+    the tick — without it the tick scan stores every tick's stage
+    residuals and pipelining costs MORE memory than it saves."""
+    layers = [
+        {"name": "input", "type": "input", "size": 8},
+        {"name": "b1", "type": "blstm", "size": 16, "bias": 1.0},
+        {"name": "b2", "type": "blstm", "size": 16, "bias": 1.0},
+        {"name": "output", "type": "softmax", "size": 5, "bias": 1.0},
+        {"name": "post", "type": "multiclass_classification", "size": 5},
+    ]
+    net = Network(layers)
+    net.init_params(3)
+    params = jax.tree_util.tree_map(jnp.asarray, net.params)
+    t, b = 256, 8
+    x = jnp.zeros((t, b, 8), jnp.float32)
+    pt = jnp.asarray(pattypes_from_lengths([t] * b, t, b))
+    tc = jnp.zeros((t, b), jnp.int32)
+    mesh = make_mesh(3, axis="pipe")
+
+    def ref(p):
+        return net.loss_fn(net.apply(p, x, pt), tc, pt)
+
+    def pp(p):
+        return loss_and_count_pipelined(net, p, x, tc, pt, mesh,
+                                        microbatches=4)[0]
+
+    temp = {}
+    for name, fn in (("single", ref), ("pipe", pp)):
+        c = jax.jit(jax.grad(fn)).lower(params).compile()
+        temp[name] = c.memory_analysis().temp_size_in_bytes
+    # measured ~5x at these shapes; assert a conservative 2x
+    assert temp["pipe"] * 2 < temp["single"], temp
