@@ -209,3 +209,39 @@ def test_tensor_parallel_composes_with_data_parallel(rng):
     for k in g_1d:
         np.testing.assert_allclose(np.asarray(g_tp[k]), np.asarray(g_1d[k]),
                                    rtol=1e-4, atol=1e-5, err_msg=k)
+
+
+def test_tensor_parallel_reduces_per_device_memory(rng):
+    """The point of TP (cells too wide for one chip): per-device backward
+    temp AND parameter argument memory must scale down with the model
+    axis (XLA memory_analysis of the compiled grads)."""
+    from lstm_rnn_tpu.models.lstm import init_lstm_params, lstm_forward
+    from lstm_rnn_tpu.ops.masking import pattypes_from_lengths
+    from lstm_rnn_tpu.parallel.tensor import (lstm_forward_tp,
+                                              shard_lstm_params)
+
+    t, b, p_in, size = 128, 4, 16, 64
+    params = init_lstm_params(jax.random.PRNGKey(0), p_in, size, True)
+    x = jnp.zeros((t, b, p_in), jnp.float32)
+    pt = jnp.asarray(pattypes_from_lengths([t] * b, t, b))
+
+    def ref_loss(p):
+        y = lstm_forward(p, x, pt, 1.0, True, backend="scan")
+        return jnp.sum(y * y)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(1, 4),
+                ("data", "model"))
+    ps = shard_lstm_params(mesh, params)
+
+    def tp_loss(p):
+        y = lstm_forward_tp(p, x, pt, 1.0, True, mesh, batch_axis="data")
+        return jnp.sum(y * y)
+
+    ma0 = jax.jit(jax.grad(ref_loss)).lower(params).compile() \
+        .memory_analysis()
+    ma1 = jax.jit(jax.grad(tp_loss)).lower(ps).compile().memory_analysis()
+    # measured ~3.5x temp / 4x args at these shapes; assert conservative
+    assert ma1.temp_size_in_bytes * 2 < ma0.temp_size_in_bytes, (
+        ma1.temp_size_in_bytes, ma0.temp_size_in_bytes)
+    assert ma1.argument_size_in_bytes * 2 < ma0.argument_size_in_bytes, (
+        ma1.argument_size_in_bytes, ma0.argument_size_in_bytes)
