@@ -119,3 +119,46 @@ def test_host_local_slice_is_contiguous_block():
     a = np.arange(24).reshape(2, 12)
     out = host_local_slice(a, None, batch_axis=1)
     np.testing.assert_array_equal(out, a)  # single process: passthrough
+
+
+def test_two_process_dp_x_sp_matches_single_device(tmp_path):
+    """Multi-host composes with sequence parallelism: 2 processes x 2
+    devices on a ('data', 'seq') mesh — data blocks align with hosts
+    (process-major mesh rows), the wavefront's carry hops stay
+    intra-host, and the trained network equals a plain single-device
+    run."""
+    nc, net_path = _setup(tmp_path)
+
+    d1 = tmp_path / "single"
+    d1.mkdir()
+    r = subprocess.run(
+        [sys.executable, "-m", "lstm_rnn_tpu.cli",
+         *_train_args(nc, net_path)],
+        capture_output=True, text=True, cwd=str(d1), env=_cli_env(1),
+        timeout=420)
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    d2 = tmp_path / "multi"
+    d2.mkdir()
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "lstm_rnn_tpu.cli",
+             *_train_args(nc, net_path), "--seq_devices", "2",
+             "--coordinator_address", f"127.0.0.1:{port}",
+             "--num_processes", "2", "--process_id", str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=str(d2), env=_cli_env(2)))
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+    assert "DP x SP mesh" in outs[0]
+
+    w1 = json.loads((d1 / "trained_network.jsn").read_text())["weights"]
+    w2 = json.loads((d2 / "trained_network.jsn").read_text())["weights"]
+    for layer in w1:
+        for sec in w1[layer]:
+            np.testing.assert_allclose(
+                w1[layer][sec], w2[layer][sec], rtol=1e-5, atol=1e-7,
+                err_msg=f"{layer}.{sec}")
