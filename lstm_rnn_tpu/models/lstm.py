@@ -42,6 +42,8 @@ D = 1 or 2 directions, P = input size; gate order [ni, ig, fg, og]):
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -122,7 +124,9 @@ def _lstm_scan(acts, w_rec, peep, mask, clip_gradients: bool,
     acts = _pad_axis(acts, 0, tp)
     mask = _pad_axis(mask, 0, tp)
 
-    @jax.checkpoint
+    # prevent_cse=False: inside lax.scan the CSE barriers are unnecessary
+    # (per the jax.checkpoint docs) and would inhibit fusion
+    @functools.partial(jax.checkpoint, prevent_cse=False)
     def block(carry, inp):
         return jax.lax.scan(step, carry, inp)
 

@@ -209,10 +209,13 @@ def _pipelined(net, params, x, targets, pattypes, mesh, axis, padded,
         # (~(m + P - 1) microbatch-sized residual sets per device, MORE
         # than unpipelined); with it only the [T, bm, max_w] stage
         # messages persist and the backward recomputes one tick at a
-        # time — measured ~3x per-device reduction in
-        # tests/test_pipeline.py, gradients identical
+        # time — measured ~5x below even the UNPIPELINED per-device
+        # memory in tests/test_pipeline.py, gradients identical.
+        # prevent_cse=False: inside lax.scan the CSE barriers are
+        # unnecessary (per the jax.checkpoint docs)
         (_, acc), _ = jax.lax.scan(
-            jax.checkpoint(tick), (zero, acc0), jnp.arange(m + n_stages - 1))
+            jax.checkpoint(tick, prevent_cse=False), (zero, acc0),
+            jnp.arange(m + n_stages - 1))
         if want_outputs:
             # [M, T, bm, out] -> this shard's [T, M*bm, out]; non-last
             # stages scattered nothing (zeros), so the pipe psum is the

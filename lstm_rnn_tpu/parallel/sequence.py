@@ -147,11 +147,16 @@ def _wavefront(dirs, gclip, axis: str, n: int):
     # block's cell residuals for every one of the n rounds (the cond
     # allocates the run branch's residuals even in skip rounds), making
     # per-device backward memory ~T instead of ~T/S. With it the scan
-    # saves only the (h, c) carries per round and the backward
-    # recomputes each device's single active block — measured ~n-fold
-    # residual reduction in tests/test_sequence.py's memory_analysis
-    # check, gradients identical.
-    state, _ = jax.lax.scan(jax.checkpoint(tick), state0, jnp.arange(n))
+    # saves only the carried state per round — (h, c) plus each
+    # direction's [Tl, B, H] ys block, one layer-output copy in total —
+    # and the backward recomputes each device's single active block.
+    # Measured ~S-fold residual reduction (clean T/S scaling at S=2/4/8)
+    # in tests/test_sequence.py's memory_analysis check, gradients
+    # identical. prevent_cse=False: inside lax.scan the CSE barriers are
+    # unnecessary (per the jax.checkpoint docs) and would inhibit fusion
+    # in the hot loop.
+    state, _ = jax.lax.scan(jax.checkpoint(tick, prevent_cse=False),
+                            state0, jnp.arange(n))
     return [st[2][::-1] if d[4] else st[2]
             for st, d in zip(state, dirs)]
 
