@@ -39,6 +39,15 @@ Design choices (mirroring parallel/pipeline.py):
 - Pairs with the lax.scan cell (the fused Pallas kernel assumes it owns
   the whole sequence; carries in/out of a block are scan territory) —
   the same pairing tensor parallelism uses.
+- Layers run their wavefronts SEQUENTIALLY rather than as a diagonal
+  (layer, block) pipeline. For unidirectional stacks a diagonal would
+  overlap layers (L*S/(S+L-1) speedup), but CURRENNT's stacks are
+  BLSTM: layer l's block-0 output is complete only once its backward
+  direction has swept all the way down (round S-1), so layer l+1's
+  forward wavefront cannot start earlier anyway — the diagonal
+  degenerates to ~L*S rounds for bidirectional stacks, which is what
+  the sequential schedule already costs. Pipeline parallelism
+  (--pipeline_devices) is the axis that overlaps layers.
 """
 
 from __future__ import annotations
