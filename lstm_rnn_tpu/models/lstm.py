@@ -80,12 +80,17 @@ def lstm_cell_step(a, c, peep, gclip):
 
 
 def _lstm_scan(acts, w_rec, peep, mask, clip_gradients: bool,
-               remat_blocks: int = 0):
+               remat_blocks: int = 0, init=None, return_carry: bool = False):
     """Scan both (or one) directions at once.
 
     acts: [T, D, B, 4, H] input projections + bias (already added)
     w_rec: [D, H, 4, H]; peep: [D, 3, H]; mask: [T, D, B, 1] (1.0 valid / 0.0 pad)
     Returns outputs [T, D, B, H].
+
+    init: optional explicit (h, c) starting state ([D, B, H] each) and
+    return_carry=True additionally returns the final (h, c) — the
+    streaming-inference hooks (Network.apply_streaming carries state
+    across chunks; only meaningful for the forward direction).
 
     remat_blocks > 0: gradient checkpointing over K time blocks
     (jax.checkpoint around an inner block scan) — the backward pass holds
@@ -107,14 +112,15 @@ def _lstm_scan(acts, w_rec, peep, mask, clip_gradients: bool,
         return (h_new * m, c_new * m), h_new * m
 
     t, d, b, h = acts.shape[0], acts.shape[1], acts.shape[2], acts.shape[4]
-    init = (
-        jnp.zeros((d, b, h), dtype=acts.dtype),
-        jnp.zeros((d, b, h), dtype=acts.dtype),
-    )
+    if init is None:
+        init = (
+            jnp.zeros((d, b, h), dtype=acts.dtype),
+            jnp.zeros((d, b, h), dtype=acts.dtype),
+        )
     k = min(remat_blocks, t) if remat_blocks else 0
     if k <= 1:
-        _, ys = jax.lax.scan(step, init, (acts, mask))
-        return ys
+        carry, ys = jax.lax.scan(step, init, (acts, mask))
+        return (ys, carry) if return_carry else ys
 
     # pad T to K equal blocks with zero-mask steps: they sit after every
     # real frame of this (possibly direction-reversed) stream, where the
@@ -130,6 +136,9 @@ def _lstm_scan(acts, w_rec, peep, mask, clip_gradients: bool,
     def block(carry, inp):
         return jax.lax.scan(step, carry, inp)
 
+    # (the remat path's trailing zero-mask pad steps would zero a returned
+    # carry; streaming never remats, so the combination is rejected)
+    assert not return_carry, "return_carry is not supported with remat_blocks"
     blk = lambda a: a.reshape(k, tb, *a.shape[1:])
     _, ys = jax.lax.scan(block, init, (blk(acts), blk(mask)))
     return ys.reshape(tp, d, b, h)[:t]
@@ -301,6 +310,32 @@ def lstm_forward(params, x, pattypes, bias_mult: float, bidirectional: bool,
         bw = ys[::-1, 1]
         return jnp.concatenate([fw, bw], axis=-1)  # [T, B, 2H]
     return ys[:, 0]
+
+
+def lstm_forward_streaming(params, x, pattypes, bias_mult: float, carry,
+                           clip_gradients: bool = True,
+                           compute_dtype=jnp.float32):
+    """One chunk of a UNIDIRECTIONAL layer from an explicit (h, c) state.
+
+    x: [T, B, P] chunk; carry: ((h, c), [1, B, H] each) from the previous
+    chunk (or Network.init_stream_state). Returns (y [T, B, H],
+    new_carry). Chaining chunks is exactly lstm_forward(backend="scan")
+    on their concatenation — the streaming-serving primitive
+    (Network.apply_streaming). Bidirectional layers cannot stream (the
+    backward half consumes the future); callers validate.
+    """
+    w_in, w_rec, b, peep = (params["W_in"], params["W_rec"], params["b"],
+                            params["peep"])
+    acts = jnp.einsum("tbp,dpgh->tdbgh", x.astype(compute_dtype),
+                      w_in.astype(compute_dtype),
+                      preferred_element_type=jnp.float32,
+                      precision=_precision(compute_dtype))
+    acts = acts + bias_mult * b[None, :, None]
+    mask = (pattypes != 0).astype(x.dtype)[:, None, :, None]
+    ys, new_carry = _lstm_scan(acts, w_rec.astype(compute_dtype), peep,
+                               mask, clip_gradients, init=carry,
+                               return_carry=True)
+    return ys[:, 0], new_carry
 
 
 def init_lstm_params(rng, in_size: int, size: int, bidirectional: bool,

@@ -21,7 +21,7 @@ import numpy as np
 from lstm_rnn_tpu import io_currennt as ioc
 from lstm_rnn_tpu.models import losses as losses_mod
 from lstm_rnn_tpu.models.feedforward import feedforward_forward, softmax_forward
-from lstm_rnn_tpu.models.lstm import lstm_forward
+from lstm_rnn_tpu.models.lstm import lstm_forward, lstm_forward_streaming
 
 
 @dataclasses.dataclass
@@ -284,6 +284,48 @@ class Network:
         """Total error over the fraction (reference calculateError sum)."""
         y = self.apply(params, inputs, pattypes)
         return self.loss_fn(y, targets, pattypes)
+
+    # ------------------------------------------------- streaming inference
+    #
+    # Online serving for UNIDIRECTIONAL stacks (no reference analogue —
+    # CURRENNT's forward pass consumes whole sequences): feed the input in
+    # time chunks, carrying each LSTM layer's (h, c) across calls. Chained
+    # chunks produce exactly apply() on the concatenation (tested).
+    # Bidirectional layers cannot stream (the backward half needs the
+    # future) and are rejected up front.
+
+    def init_stream_state(self, batch: int):
+        """Zero (h, c) per LSTM layer for apply_streaming."""
+        state = {}
+        for s in self.specs[1:-1]:
+            if s.type in ioc.LSTM_TYPES:
+                if ioc.LSTM_TYPES[s.type]:
+                    raise ValueError(
+                        f"layer '{s.name}' is bidirectional — blstm nets "
+                        "cannot stream (the backward half consumes the "
+                        "future); use the whole-sequence forward mode")
+                z = jnp.zeros((1, batch, s.size), jnp.float32)
+                state[s.name] = (z, z)
+        return state
+
+    def apply_streaming(self, params, x, pattypes, state):
+        """One chunk's forward pass: x [Tc, B, input_size], pattypes
+        [Tc, B], state from init_stream_state / the previous chunk.
+        Returns (y [Tc, B, output_size], new_state)."""
+        new_state = {}
+        for s in self.specs[1:-1]:
+            p = params[s.name]
+            if s.type in ioc.LSTM_TYPES:
+                x, new_state[s.name] = lstm_forward_streaming(
+                    p, x, pattypes, s.bias, state[s.name],
+                    clip_gradients=self.clip_gradients,
+                    compute_dtype=self.compute_dtype)
+            elif s.type == "softmax":
+                x = softmax_forward(p, x, s.bias, self.compute_dtype)
+            else:
+                x = feedforward_forward(p, x, ioc.FEEDFORWARD_TYPES[s.type],
+                                        s.bias, self.compute_dtype)
+        return x, new_state
 
     def correct_count(self, y, targets, pattypes):
         if self.specs[-1].type == "binary_classification":
