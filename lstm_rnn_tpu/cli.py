@@ -429,9 +429,10 @@ def forward_mode(cfg: Config) -> int:
     use_padded = (any(s.type in ("lstm", "blstm") for s in net.specs)
                   and jax.default_backend() == "tpu"
                   and cfg.lstm_backend in ("auto", "pallas")
-                  # the seq path serves the exact layout — don't build and
-                  # transfer a padded parameter view it would discard
-                  and cfg.seq_devices <= 1)
+                  # the seq/streaming paths serve the exact layout — don't
+                  # build and transfer a padded parameter view they would
+                  # discard
+                  and cfg.seq_devices <= 1 and cfg.stream_chunk <= 0)
     fwd_params = (jax.tree_util.tree_map(jax.numpy.asarray,
                                          net.pad_params(net.params))
                   if use_padded else net.params)
@@ -469,6 +470,30 @@ def forward_mode(cfg: Config) -> int:
               + f" mesh: {dict(seq_mesh.shape)}")
         apply_fn = jax.jit(
             lambda p, xx, pp_: apply_seq(net, p, xx, pp_, seq_mesh))
+    elif cfg.stream_chunk > 0:
+        # chunked serving: each fraction's sequences stream through the
+        # net in --stream_chunk-frame slices with carried LSTM state —
+        # output identical to the whole-sequence forward (the online
+        # serving mode; unidirectional nets only, validated up front)
+        if cfg.pipeline_devices > 1 or cfg.seq_devices > 1:
+            raise RuntimeError(
+                "stream_chunk does not combine with pipeline_devices or "
+                "seq_devices")
+        net.init_stream_state(1)  # rejects bidirectional nets early
+        chunk = cfg.stream_chunk
+        step = jax.jit(net.apply_streaming)
+
+        def apply_fn(p, xx, pp_):
+            state = net.init_stream_state(xx.shape[1])
+            outs = []
+            for lo in range(0, xx.shape[0], chunk):
+                y, state = step(p, xx[lo:lo + chunk], pp_[lo:lo + chunk],
+                                state)
+                outs.append(y)
+            import jax.numpy as jnp
+            return jnp.concatenate(outs, axis=0)
+        print(f"Streaming forward: {chunk}-frame chunks, carried LSTM "
+              "state")
     elif use_padded:
         apply_fn = jax.jit(net.apply_padded)
     else:

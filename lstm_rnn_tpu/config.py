@@ -156,6 +156,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="microbatches per pipeline data shard (0 = stage "
                         "count); more microbatches shrink the GPipe "
                         "bubble: utilization = m / (m + stages - 1)")
+    g.add_argument("--stream_chunk", type=int, default=0,
+                   help="forward mode only: serve each sequence in time "
+                        "chunks of this many frames with carried LSTM "
+                        "state (Network.apply_streaming) — the online/"
+                        "low-latency serving mode; unidirectional nets "
+                        "only, output identical to whole-sequence. 0 = "
+                        "whole sequences")
     g.add_argument("--remat_blocks", type=int, default=0,
                    help="gradient-checkpoint the LSTM recurrence in K "
                         "time blocks (scan backend): backward-pass "

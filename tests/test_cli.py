@@ -669,3 +669,48 @@ def test_forward_mode_seq_devices_matches(tmp_path, rng):
              "--pipeline_devices", "2", cwd=tmp_path)
     assert r.returncode != 0
     assert "does not combine" in r.stdout + r.stderr
+
+
+def test_forward_mode_stream_chunk_matches(tmp_path, rng):
+    """--train false --stream_chunk 3 (chunked serving with carried LSTM
+    state) writes the same posteriors as the whole-sequence forward, and
+    a bidirectional net fails cleanly up front."""
+    nc, net_path = _toy_setup(tmp_path, rng)
+    r = _cli("--network", net_path, "--train", "true", "--train_file", nc,
+             "--max_epochs", "1", cwd=tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    fwd = ["--network", str(tmp_path / "trained_network.jsn"),
+           "--train", "false", "--ff_input_file", nc,
+           "--ff_output_format", "single_csv"]
+    r = _cli(*fwd, "--ff_output_file", "whole.csv", cwd=tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    r = _cli(*fwd, "--ff_output_file", "stream.csv",
+             "--stream_chunk", "3", cwd=tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "Streaming forward" in r.stdout
+    a = (tmp_path / "whole.csv").read_text().strip().split("\n")
+    b = (tmp_path / "stream.csv").read_text().strip().split("\n")
+    assert len(a) == len(b)
+    for la, lb in zip(a, b):
+        ca, cb = la.split(";"), lb.split(";")
+        assert ca[0] == cb[0]
+        np.testing.assert_allclose([float(v) for v in ca[1:]],
+                                   [float(v) for v in cb[1:]],
+                                   rtol=1e-4, atol=1e-6)
+
+    # bidirectional nets cannot stream — rejected before any fraction
+    bnet = {"layers": [
+        {"name": "input", "type": "input", "size": 3},
+        {"name": "b1", "type": "blstm", "size": 4, "bias": 1.0},
+        {"name": "output", "type": "softmax", "size": 4, "bias": 1.0},
+        {"name": "postoutput", "type": "multiclass_classification",
+         "size": 4}]}
+    bpath = tmp_path / "bnet.jsn"
+    bpath.write_text(json.dumps(bnet))
+    r = _cli("--network", str(bpath), "--train", "false",
+             "--ff_input_file", nc, "--ff_output_format", "single_csv",
+             "--ff_output_file", "x.csv", "--stream_chunk", "3",
+             cwd=tmp_path)
+    assert r.returncode != 0
+    assert "bidirectional" in r.stdout + r.stderr
+    assert "Computing outputs" not in r.stdout
