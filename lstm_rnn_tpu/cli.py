@@ -439,6 +439,13 @@ def forward_mode(cfg: Config) -> int:
     if cfg.pipeline_devices > 1 and cfg.seq_devices > 1:
         raise RuntimeError(
             "seq_devices > 1 does not combine with pipeline_devices")
+    if cfg.stream_chunk > 0 and (cfg.pipeline_devices > 1
+                                 or cfg.seq_devices > 1):
+        # must fire BEFORE the dispatch chain below: the pipeline/seq
+        # branches would otherwise win and silently ignore --stream_chunk
+        raise RuntimeError(
+            "stream_chunk does not combine with pipeline_devices or "
+            "seq_devices")
     if cfg.pipeline_devices > 1:
         # pipeline-parallel serving: stages over a 'pipe' mesh, composed
         # with data parallelism when --num_devices > pipeline_devices
@@ -475,23 +482,29 @@ def forward_mode(cfg: Config) -> int:
         # net in --stream_chunk-frame slices with carried LSTM state —
         # output identical to the whole-sequence forward (the online
         # serving mode; unidirectional nets only, validated up front)
-        if cfg.pipeline_devices > 1 or cfg.seq_devices > 1:
-            raise RuntimeError(
-                "stream_chunk does not combine with pipeline_devices or "
-                "seq_devices")
         net.init_stream_state(1)  # rejects bidirectional nets early
         chunk = cfg.stream_chunk
         step = jax.jit(net.apply_streaming)
+        import jax.numpy as jnp
 
         def apply_fn(p, xx, pp_):
             state = net.init_stream_state(xx.shape[1])
+            # pad T up to a chunk multiple with PATTYPE_NONE frames so
+            # every slice compiles to ONE (chunk, B) program — otherwise
+            # each distinct T%chunk remainder costs a fresh XLA compile
+            # (dominant on the remote tunnel). The mask zeroes padded
+            # steps; the tail is stripped below.
+            t = xx.shape[0]
+            pad = -t % chunk
+            if pad:
+                xx = jnp.pad(xx, ((0, pad), (0, 0), (0, 0)))
+                pp_ = jnp.pad(pp_, ((0, pad), (0, 0)))
             outs = []
-            for lo in range(0, xx.shape[0], chunk):
+            for lo in range(0, t + pad, chunk):
                 y, state = step(p, xx[lo:lo + chunk], pp_[lo:lo + chunk],
                                 state)
                 outs.append(y)
-            import jax.numpy as jnp
-            return jnp.concatenate(outs, axis=0)
+            return jnp.concatenate(outs, axis=0)[:t]
         print(f"Streaming forward: {chunk}-frame chunks, carried LSTM "
               "state")
     elif use_padded:

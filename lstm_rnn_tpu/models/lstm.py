@@ -289,13 +289,8 @@ def lstm_forward(params, x, pattypes, bias_mult: float, bidirectional: bool,
         return ys[..., :hdim]
 
     # lax.scan path
-    acts = jnp.einsum("tbp,dpgh->tdbgh", x.astype(compute_dtype),
-                      w_in.astype(compute_dtype),
-                      preferred_element_type=jnp.float32,
-                      precision=_precision(compute_dtype))
-    acts = acts + bias_mult * b[None, :, None]  # bias multiplier, TrainableLayer bias()
-
-    valid = (pattypes != 0).astype(x.dtype)[:, None, :, None]  # [T, 1, B, 1]
+    acts, valid = _scan_acts_valid(x, pattypes, w_in, b, bias_mult,
+                                   compute_dtype)
     if bidirectional:
         acts = jnp.concatenate([acts[:, 0:1], acts[::-1, 1:2]], axis=1)
         mask = jnp.concatenate([valid, valid[::-1]], axis=1)
@@ -312,6 +307,21 @@ def lstm_forward(params, x, pattypes, bias_mult: float, bidirectional: bool,
     return ys[:, 0]
 
 
+def _scan_acts_valid(x, pattypes, w_in, b, bias_mult, compute_dtype):
+    """Input projection + validity mask shared by the whole-sequence scan
+    path and the streaming path — the parity-pinned numerics (f32
+    accumulation, precision pin, bias multiplier) live in exactly one
+    place so the 'chained chunks == whole-sequence apply' contract cannot
+    silently fork."""
+    acts = jnp.einsum("tbp,dpgh->tdbgh", x.astype(compute_dtype),
+                      w_in.astype(compute_dtype),
+                      preferred_element_type=jnp.float32,
+                      precision=_precision(compute_dtype))
+    acts = acts + bias_mult * b[None, :, None]  # TrainableLayer bias()
+    valid = (pattypes != 0).astype(x.dtype)[:, None, :, None]  # [T, 1, B, 1]
+    return acts, valid
+
+
 def lstm_forward_streaming(params, x, pattypes, bias_mult: float, carry,
                            clip_gradients: bool = True,
                            compute_dtype=jnp.float32):
@@ -326,12 +336,8 @@ def lstm_forward_streaming(params, x, pattypes, bias_mult: float, carry,
     """
     w_in, w_rec, b, peep = (params["W_in"], params["W_rec"], params["b"],
                             params["peep"])
-    acts = jnp.einsum("tbp,dpgh->tdbgh", x.astype(compute_dtype),
-                      w_in.astype(compute_dtype),
-                      preferred_element_type=jnp.float32,
-                      precision=_precision(compute_dtype))
-    acts = acts + bias_mult * b[None, :, None]
-    mask = (pattypes != 0).astype(x.dtype)[:, None, :, None]
+    acts, mask = _scan_acts_valid(x, pattypes, w_in, b, bias_mult,
+                                  compute_dtype)
     ys, new_carry = _lstm_scan(acts, w_rec.astype(compute_dtype), peep,
                                mask, clip_gradients, init=carry,
                                return_carry=True)

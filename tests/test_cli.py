@@ -714,3 +714,11 @@ def test_forward_mode_stream_chunk_matches(tmp_path, rng):
     assert r.returncode != 0
     assert "bidirectional" in r.stdout + r.stderr
     assert "Computing outputs" not in r.stdout
+
+    # --stream_chunk does not combine with pipeline/seq serving; the
+    # guard must fire (not silently take the pipeline branch)
+    for combo in (["--pipeline_devices", "2"], ["--seq_devices", "2"]):
+        r = _cli(*fwd, "--ff_output_file", "x.csv", "--stream_chunk", "3",
+                 *combo, cwd=tmp_path)
+        assert r.returncode != 0
+        assert "stream_chunk does not combine" in r.stdout + r.stderr
