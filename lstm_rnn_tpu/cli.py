@@ -433,9 +433,12 @@ def forward_mode(cfg: Config) -> int:
                   # build and transfer a padded parameter view they would
                   # discard
                   and cfg.seq_devices <= 1 and cfg.stream_chunk <= 0)
-    fwd_params = (jax.tree_util.tree_map(jax.numpy.asarray,
-                                         net.pad_params(net.params))
-                  if use_padded else net.params)
+    # device-convert ONCE: leaving a numpy pytree here would re-upload the
+    # full weight tree on every jitted call (per fraction — and per CHUNK
+    # in streaming mode), which dominates on the ~25 ms/call remote tunnel
+    fwd_params = jax.tree_util.tree_map(
+        jax.numpy.asarray,
+        net.pad_params(net.params) if use_padded else net.params)
     if cfg.pipeline_devices > 1 and cfg.seq_devices > 1:
         raise RuntimeError(
             "seq_devices > 1 does not combine with pipeline_devices")
@@ -446,6 +449,13 @@ def forward_mode(cfg: Config) -> int:
         raise RuntimeError(
             "stream_chunk does not combine with pipeline_devices or "
             "seq_devices")
+    if cfg.stream_chunk > 0 and cfg.lstm_backend == "pallas":
+        # streaming serves via the lax.scan cell (carried state); honor the
+        # repo convention that an explicitly requested backend that cannot
+        # apply fails loudly rather than silently measuring the wrong path
+        raise RuntimeError(
+            "stream_chunk serves via the lax.scan cell and does not "
+            "support --lstm_backend pallas (use auto or scan)")
     if cfg.pipeline_devices > 1:
         # pipeline-parallel serving: stages over a 'pipe' mesh, composed
         # with data parallelism when --num_devices > pipeline_devices
@@ -480,8 +490,11 @@ def forward_mode(cfg: Config) -> int:
     elif cfg.stream_chunk > 0:
         # chunked serving: each fraction's sequences stream through the
         # net in --stream_chunk-frame slices with carried LSTM state —
-        # output identical to the whole-sequence forward (the online
-        # serving mode; unidirectional nets only, validated up front)
+        # output equal to the whole-sequence scan-backend forward (the
+        # online serving mode; unidirectional nets only, validated up
+        # front). On TPU the default whole-sequence path uses the fused
+        # Pallas kernel, so the two CLI outputs agree to float rounding,
+        # not byte-for-byte.
         net.init_stream_state(1)  # rejects bidirectional nets early
         chunk = cfg.stream_chunk
         step = jax.jit(net.apply_streaming)

@@ -161,7 +161,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "chunks of this many frames with carried LSTM "
                         "state (Network.apply_streaming) — the online/"
                         "low-latency serving mode; unidirectional nets "
-                        "only, output identical to whole-sequence. 0 = "
+                        "only, scan backend (chained chunks exactly equal "
+                        "the whole-sequence scan forward; vs the fused "
+                        "TPU kernel they agree to float rounding). 0 = "
                         "whole sequences")
     g.add_argument("--remat_blocks", type=int, default=0,
                    help="gradient-checkpoint the LSTM recurrence in K "

@@ -121,6 +121,12 @@ def _lstm_scan(acts, w_rec, peep, mask, clip_gradients: bool,
     if k <= 1:
         carry, ys = jax.lax.scan(step, init, (acts, mask))
         return (ys, carry) if return_carry else ys
+    if return_carry:
+        # the remat path's trailing zero-mask pad steps would zero a
+        # returned carry; streaming never remats. A hard error (not an
+        # assert, which python -O strips) — silently unpacking the plain
+        # ys return as (ys, carry) would propagate garbage state
+        raise ValueError("return_carry is not supported with remat_blocks")
 
     # pad T to K equal blocks with zero-mask steps: they sit after every
     # real frame of this (possibly direction-reversed) stream, where the
@@ -136,9 +142,6 @@ def _lstm_scan(acts, w_rec, peep, mask, clip_gradients: bool,
     def block(carry, inp):
         return jax.lax.scan(step, carry, inp)
 
-    # (the remat path's trailing zero-mask pad steps would zero a returned
-    # carry; streaming never remats, so the combination is rejected)
-    assert not return_carry, "return_carry is not supported with remat_blocks"
     blk = lambda a: a.reshape(k, tb, *a.shape[1:])
     _, ys = jax.lax.scan(block, init, (blk(acts), blk(mask)))
     return ys.reshape(tp, d, b, h)[:t]

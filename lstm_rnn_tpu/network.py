@@ -304,7 +304,12 @@ class Network:
                         f"layer '{s.name}' is bidirectional — blstm nets "
                         "cannot stream (the backward half consumes the "
                         "future); use the whole-sequence forward mode")
-                z = jnp.zeros((1, batch, s.size), jnp.float32)
+                # carry dtype must match what _lstm_scan's step emits:
+                # f32-accumulated acts promoted by the raw bias dtype
+                # (f64 under jax_enable_x64 — hardcoding f32 here would
+                # die with a scan carry dtype mismatch on chunk 1)
+                dt = jnp.result_type(jnp.float32, self.params[s.name]["b"])
+                z = jnp.zeros((1, batch, s.size), dt)
                 state[s.name] = (z, z)
         return state
 

@@ -722,3 +722,10 @@ def test_forward_mode_stream_chunk_matches(tmp_path, rng):
                  *combo, cwd=tmp_path)
         assert r.returncode != 0
         assert "stream_chunk does not combine" in r.stdout + r.stderr
+
+    # an explicitly requested pallas backend must fail loudly instead of
+    # silently serving via the scan cell (misleading benchmark numbers)
+    r = _cli(*fwd, "--ff_output_file", "x.csv", "--stream_chunk", "3",
+             "--lstm_backend", "pallas", cwd=tmp_path)
+    assert r.returncode != 0
+    assert "does not support --lstm_backend pallas" in r.stdout + r.stderr

@@ -63,6 +63,49 @@ def test_streaming_state_resets_on_sequence_end(rng):
             np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_streaming_float64_params(rng):
+    """init_stream_state's carry dtype must follow the param dtype: under
+    jax_enable_x64 with f64 params the scan carry is f64, and a hardcoded
+    f32 zero state would die with a carry dtype mismatch on chunk 1."""
+    with jax.enable_x64():
+        net = Network(UNI_LAYERS, backend="scan")
+        net.init_params(5)
+        net.params = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, jnp.float64), net.params)
+        t, b = 8, 2
+        x = jnp.asarray(rng.uniform(-1, 1, (t, b, 3)), jnp.float64)
+        pt = jnp.asarray(pattypes_from_lengths([t, 5], t, b))
+        y_ref = net.apply(net.params, x, pt)
+        state = net.init_stream_state(b)
+        outs = []
+        for lo in range(0, t, 4):
+            y, state = net.apply_streaming(net.params, x[lo:lo + 4],
+                                           pt[lo:lo + 4], state)
+            outs.append(y)
+        # not assert_array_equal: the compute path casts x/w to f32
+        # (compute_dtype) and XLA may fuse those intermediates differently
+        # across the two program shapes — ~1e-11 noise, not carried state
+        np.testing.assert_allclose(
+            np.asarray(jnp.concatenate(outs, axis=0)), np.asarray(y_ref),
+            rtol=1e-9, atol=1e-9)
+
+
+def test_scan_rejects_return_carry_with_remat(rng):
+    """return_carry + remat_blocks must raise (the remat pad steps would
+    zero a returned carry) — a hard ValueError, not an -O-strippable
+    assert, since silent tuple-unpack of the array return would propagate
+    garbage state."""
+    from lstm_rnn_tpu.models.lstm import _lstm_scan
+    acts = jnp.zeros((6, 1, 2, 4, 3))
+    w_rec = jnp.zeros((1, 3, 4, 3))
+    peep = jnp.zeros((1, 3, 3))
+    mask = jnp.ones((6, 1, 2, 1))
+    init = (jnp.zeros((1, 2, 3)), jnp.zeros((1, 2, 3)))
+    with pytest.raises(ValueError, match="return_carry"):
+        _lstm_scan(acts, w_rec, peep, mask, True, init=init,
+                   return_carry=True, remat_blocks=3)
+
+
 def test_streaming_rejects_bidirectional():
     layers = [
         {"name": "input", "type": "input", "size": 3},
