@@ -537,7 +537,8 @@ class Network:
         (softmax_ce_proj_fused): the logits never exist in HBM and dW/db
         accumulate inside the backward kernel."""
         from lstm_rnn_tpu.ops.lstm_cell import _storage, round_up
-        from lstm_rnn_tpu.ops.softmax_ce import (softmax_ce_fused,
+        from lstm_rnn_tpu.ops.softmax_ce import (proj_tail_fits,
+                                                 softmax_ce_fused,
                                                  softmax_ce_proj_fused)
         s = self.specs[-2]
         s_dim = s.size
@@ -545,7 +546,12 @@ class Network:
         x = self._fused_tail_hidden(params, inputs, pattypes, padded)
         t, b, p_dim = x.shape
         tc2 = targets.astype(jnp.int32).reshape(t * b, 1)
-        if p_dim % 128 == 0:
+        # wide softmax layers (LVCSR-scale state counts) exceed the proj
+        # kernels' scoped-VMEM budget ([P, Sp] W + dW accumulator blocks) —
+        # fall through to materialized logits + the plain fused tail, whose
+        # row blocks shrink with Sp and always fit
+        if p_dim % 128 == 0 and proj_tail_fits(t * b, p_dim, sp,
+                                               self.compute_dtype):
             w = params[s.name]["W"]
             bb = params[s.name]["b"]
             w_pad = jnp.pad(w, ((0, 0), (0, sp - s_dim)))

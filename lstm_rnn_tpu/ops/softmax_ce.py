@@ -43,6 +43,31 @@ from lstm_rnn_tpu.ops.activations import EXP_LIMIT, LOG_ZERO, REAL_MAX, REAL_MIN
 # [2048, 256] f32 in + bf16 out is ~3 MB of VMEM streams, well in budget
 _ROWS = 2048
 
+# Conservative slice of Mosaic's ~16 MiB scoped-VMEM stack (same figure the
+# LSTM kernels budget against, ops/lstm_cell.py VMEM_BUDGET). The row caps
+# below keep the flagship shapes (Sp=256) at their measured block sizes and
+# only shrink for wide softmax layers (LVCSR-scale state counts), where the
+# uncapped [2048, Sp] f32 temporaries would fail at device compile with a
+# Mosaic scoped-allocation overflow.
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+# live [rows, Sp] f32 values in a tail kernel body (logits cast, masked
+# offset operand, safeExp output, probabilities, one-hot, product — Mosaic
+# fuses some, 6 is the conservative count that still admits [2048, 256])
+_F32_STREAMS = 6
+
+
+def _row_block(N: int, Sp: int, base: int = _ROWS) -> int:
+    """Largest row block <= base that divides N and keeps the kernel's
+    ~_F32_STREAMS live [rows, Sp] f32 temporaries inside the VMEM budget."""
+    cap = max(1, _VMEM_BUDGET // (4 * _F32_STREAMS * Sp))
+    rows = base
+    while rows > cap:
+        rows //= 2
+    while N % rows:
+        rows //= 2
+    return rows
+
 
 def _safe_exp(x):
     e = jnp.exp(jnp.clip(x, LOG_ZERO, EXP_LIMIT))
@@ -133,9 +158,7 @@ def softmax_ce_fused(a, targets, S: int, interpret: bool = False,
 
 def _fwd_impl(a, targets, S, interpret, store_dtype, want_p=True):
     N, Sp = a.shape
-    rows = _ROWS
-    while N % rows:
-        rows //= 2
+    rows = _row_block(N, Sp)
     grid = (N // rows,)
     outs = pl.pallas_call(
         functools.partial(_fwd_kernel, S=S, want_p=want_p),
@@ -168,9 +191,7 @@ def _fused_bwd(S, interpret, store_dtype, res, cts):
     p, targets, dtype_token = res
     a_dtype = dtype_token.dtype
     N, Sp = p.shape
-    rows = _ROWS
-    while N % rows:
-        rows //= 2
+    rows = _row_block(N, Sp)
     grid = (N // rows,)
     g = jnp.reshape(g_loss.astype(jnp.float32), (1, 1))
     dz = pl.pallas_call(
@@ -204,6 +225,47 @@ def _pick_rows(N: int, rows: int) -> int:
     while N % rows:
         rows //= 2
     return rows
+
+
+def _proj_fixed_bytes(P: int, Sp: int, itemsize: int) -> int:
+    """Row-independent VMEM residents of the proj kernels (the backward,
+    the larger of the pair): the W block, a working copy for the f32 hi/lo
+    matmul decomposition, and the [P, Sp] f32 dW accumulator block."""
+    return P * Sp * (2 * itemsize + 4)
+
+
+def _proj_row_bytes(P: int, Sp: int, itemsize: int) -> int:
+    """Per-row VMEM of the proj kernels: the [rows, Sp] f32 temporaries
+    (probabilities, dz, one-hot chain) plus the [rows, P] h/dh blocks and
+    a matmul accumulator."""
+    return Sp * 4 * _F32_STREAMS + P * (2 * itemsize + 4)
+
+
+def _proj_rows(N: int, P: int, Sp: int, itemsize: int) -> int:
+    fixed = _proj_fixed_bytes(P, Sp, itemsize)
+    if fixed >= _VMEM_BUDGET:
+        return min(8, _pick_rows(N, 8))
+    cap = max(1, (_VMEM_BUDGET - fixed) // _proj_row_bytes(P, Sp, itemsize))
+    rows = _PROJ_ROWS
+    while rows > cap:
+        rows //= 2
+    return _pick_rows(N, rows)
+
+
+def proj_tail_fits(N: int, P: int, Sp: int, compute_dtype=jnp.float32) -> bool:
+    """True when the projection-fused tail can run at SOME useful row block.
+
+    Wide softmax layers (LVCSR-scale state counts) make the [P, Sp] weight
+    and dW-accumulator blocks alone exceed the scoped-VMEM budget — those
+    nets must fall back to materialized logits + softmax_ce_fused (whose
+    row blocks shrink with Sp and always fit). Callers gate on this before
+    choosing softmax_ce_proj_fused (Network.loss_and_count_fused)."""
+    from lstm_rnn_tpu.ops.lstm_cell import _storage
+    itemsize = jnp.dtype(_storage(compute_dtype)).itemsize
+    rows = _proj_rows(N, P, Sp, itemsize)
+    used = _proj_fixed_bytes(P, Sp, itemsize) \
+        + rows * _proj_row_bytes(P, Sp, itemsize)
+    return rows >= 8 and used <= _VMEM_BUDGET
 
 
 def _fwd_proj_kernel(h_ref, w_ref, b_ref, tc_ref, *rest,
@@ -259,7 +321,7 @@ def _proj_fwd_impl(h2, W, b, targets, S, bias_mult, interpret,
     N, P = h2.shape
     Sp = W.shape[1]
     sdtype = _storage(compute_dtype)
-    rows = _pick_rows(N, _PROJ_ROWS)
+    rows = _proj_rows(N, P, Sp, jnp.dtype(sdtype).itemsize)
     grid = (N // rows,)
     hc = h2.astype(sdtype)
     wc = W.astype(sdtype)
@@ -302,7 +364,7 @@ def _proj_fused_bwd(S, bias_mult, interpret, compute_dtype, res, cts):
     N, P = hc.shape
     Sp = p.shape[1]
     sdtype = _storage(compute_dtype)
-    rows = _pick_rows(N, _PROJ_ROWS)
+    rows = _proj_rows(N, P, Sp, jnp.dtype(sdtype).itemsize)
     grid = (N // rows,)
     g = jnp.reshape(g_loss.astype(jnp.float32), (1, 1))
     dh, dw, db = pl.pallas_call(

@@ -91,6 +91,97 @@ def test_proj_fused_tail_matches_composed(rng):
                                    err_msg=name)
 
 
+def test_vmem_row_caps_and_proj_fits():
+    """Wide softmax layers (LVCSR-scale state counts) must shrink the tail
+    kernels' row blocks / reject the proj-fused variant instead of failing
+    at device compile with a Mosaic scoped-VMEM overflow; the flagship
+    shapes must keep their measured block sizes."""
+    from lstm_rnn_tpu.ops.softmax_ce import (_PROJ_ROWS, _ROWS, _proj_rows,
+                                             _row_block, proj_tail_fits)
+
+    # flagship: Sp=256 keeps the full measured blocks
+    assert _row_block(32768, 256) == _ROWS
+    assert _proj_rows(32768, 512, 256, 2) == _PROJ_ROWS
+    assert proj_tail_fits(32000, 512, 256, jnp.bfloat16)
+    assert proj_tail_fits(32000, 512, 256, jnp.float32)
+
+    # wide state counts: rows shrink with Sp but stay positive and divide N
+    for sp in (1536, 4096, 10112):
+        r = _row_block(32768, sp)
+        assert r >= 1 and 32768 % r == 0
+        assert r * sp * 4 * 6 <= 12 * 1024 * 1024
+
+    # LVCSR-scale proj tail cannot fit its [P, Sp] W/dW blocks -> falls back
+    assert not proj_tail_fits(32768, 512, 10112, jnp.bfloat16)
+    assert not proj_tail_fits(32768, 512, 10112, jnp.float32)
+
+
+def test_fused_tail_wide_softmax_matches_composed(rng):
+    """A state count wide enough to engage the VMEM row cap (rows bound by
+    Sp, not by N's divisibility) still matches the composed reference."""
+    from lstm_rnn_tpu.ops.softmax_ce import _row_block
+
+    T, B, S = 32, 32, 600  # Sp=640: row cap 512 < N=1024
+    Sp = -(-S // 128) * 128
+    assert _row_block(T * B, Sp) < T * B
+    a = jnp.asarray(rng.randn(T, B, S).astype(np.float32) * 3)
+    tc = rng.randint(-1, S, (T, B)).astype(np.int32)
+    tc_j = jnp.asarray(tc)
+
+    loss_r, cnt_r = _ref(a, tc_j)
+    a2 = jnp.pad(a, ((0, 0), (0, 0), (0, Sp - S))).reshape(T * B, Sp)
+    tc2 = tc_j.reshape(T * B, 1)
+    loss_f, cnt_f = softmax_ce_fused(a2, tc2, S, True, jnp.float32)
+    assert float(loss_f) == pytest.approx(float(loss_r), rel=1e-6)
+    assert int(cnt_f) == int(cnt_r)
+
+    g_r = jax.grad(lambda a: _ref(a, tc_j)[0])(a)
+    g_f = jax.grad(lambda a: softmax_ce_fused(
+        jnp.pad(a, ((0, 0), (0, 0), (0, Sp - S))).reshape(T * B, Sp),
+        tc2, S, True, jnp.float32)[0])(a)
+    scale = float(jnp.abs(g_r).max())
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_r),
+                               rtol=0, atol=1e-6 * scale)
+
+
+def test_loss_and_count_fused_wide_softmax_fallback(rng):
+    """Network.loss_and_count_fused on a net whose softmax is too wide for
+    the proj-fused kernels must take the materialized-logits fallback and
+    still match the unfused apply + loss_fn path."""
+    from lstm_rnn_tpu.network import Network
+
+    from lstm_rnn_tpu.ops.softmax_ce import proj_tail_fits
+
+    # P=128 (the blstm width) is lane-aligned, so only the fits gate keeps
+    # this off the proj path: Sp=8192 makes the [P, Sp] W + dW blocks alone
+    # exceed the scoped-VMEM budget
+    S = 8100
+    assert not proj_tail_fits(8 * 4, 128, 8192, jnp.float32)
+    layers = [
+        {"name": "input", "type": "input", "size": 3},
+        {"name": "l1", "type": "blstm", "size": 128, "bias": 1.0},
+        {"name": "output", "type": "softmax", "size": S, "bias": 1.0},
+        {"name": "postoutput", "type": "multiclass_classification", "size": S},
+    ]
+    net = Network(layers, backend="pallas_interpret")
+    net.init_params(5)
+    t, b = 8, 4
+    x = jnp.asarray(rng.randn(t, b, 3).astype(np.float32))
+    from lstm_rnn_tpu.ops.masking import pattypes_from_lengths
+    pt = jnp.asarray(pattypes_from_lengths([8, 6, 8, 5], t, b))
+    tc = rng.randint(0, S, (t, b)).astype(np.int32)
+    tc[np.asarray(pt) == 0] = -1
+    tc = jnp.asarray(tc)
+
+    loss_f, cnt_f = net.loss_and_count_fused(net.params, x, tc, pt,
+                                             interpret=True)
+    y = net.apply(net.params, x, pt)
+    loss_r = net.loss_fn(y, tc, pt)
+    cnt_r = net.correct_count(y, tc, pt)
+    assert float(loss_f) == pytest.approx(float(loss_r), rel=1e-5)
+    assert int(cnt_f) == int(cnt_r)
+
+
 def test_fused_tail_through_trainer(rng, tmp_path):
     """Trainer with backend=pallas_interpret engages the fused tail; the
     trained network must match the scan/unfused trainer closely."""
