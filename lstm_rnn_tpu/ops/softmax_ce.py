@@ -56,10 +56,24 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 # fuses some, 6 is the conservative count that still admits [2048, 256])
 _F32_STREAMS = 6
 
+# Set only by ops/vmem_probe.py while AOT-compiling a candidate row block;
+# forces the row pickers' answer so the probe measures exactly that block.
+_rows_override = None
 
-def _row_block(N: int, Sp: int, base: int = _ROWS) -> int:
+
+def _row_block(N: int, Sp: int, base: int = _ROWS,
+               store_dtype=jnp.float32, analytic_only: bool = False) -> int:
     """Largest row block <= base that divides N and keeps the kernel's
-    ~_F32_STREAMS live [rows, Sp] f32 temporaries inside the VMEM budget."""
+    ~_F32_STREAMS live [rows, Sp] f32 temporaries inside the VMEM budget.
+    A device-probed verdict (ops/vmem_probe.py), when recorded for this
+    (Sp, dtype) point, overrides the analytic cap in either direction."""
+    if _rows_override is not None:
+        return _rows_override
+    if not analytic_only:
+        from lstm_rnn_tpu.ops.vmem_probe import lookup_tail_rows
+        probed = lookup_tail_rows(N, 0, Sp, store_dtype, proj=False)
+        if probed is not None:
+            return min(probed, base)
     cap = max(1, _VMEM_BUDGET // (4 * _F32_STREAMS * Sp))
     rows = base
     while rows > cap:
@@ -158,7 +172,7 @@ def softmax_ce_fused(a, targets, S: int, interpret: bool = False,
 
 def _fwd_impl(a, targets, S, interpret, store_dtype, want_p=True):
     N, Sp = a.shape
-    rows = _row_block(N, Sp)
+    rows = _row_block(N, Sp, store_dtype=store_dtype)
     grid = (N // rows,)
     outs = pl.pallas_call(
         functools.partial(_fwd_kernel, S=S, want_p=want_p),
@@ -191,7 +205,7 @@ def _fused_bwd(S, interpret, store_dtype, res, cts):
     p, targets, dtype_token = res
     a_dtype = dtype_token.dtype
     N, Sp = p.shape
-    rows = _row_block(N, Sp)
+    rows = _row_block(N, Sp, store_dtype=store_dtype)
     grid = (N // rows,)
     g = jnp.reshape(g_loss.astype(jnp.float32), (1, 1))
     dz = pl.pallas_call(
@@ -241,7 +255,16 @@ def _proj_row_bytes(P: int, Sp: int, itemsize: int) -> int:
     return Sp * 4 * _F32_STREAMS + P * (2 * itemsize + 4)
 
 
-def _proj_rows(N: int, P: int, Sp: int, itemsize: int) -> int:
+def _proj_rows(N: int, P: int, Sp: int, itemsize: int,
+               analytic_only: bool = False) -> int:
+    if _rows_override is not None:
+        return _rows_override
+    if not analytic_only:
+        from lstm_rnn_tpu.ops.vmem_probe import lookup_tail_rows
+        dt = jnp.bfloat16 if itemsize == 2 else jnp.float32
+        probed = lookup_tail_rows(N, P, Sp, dt, proj=True)
+        if probed is not None:
+            return min(probed, _PROJ_ROWS)
     fixed = _proj_fixed_bytes(P, Sp, itemsize)
     if fixed >= _VMEM_BUDGET:
         return min(8, _pick_rows(N, 8))
@@ -259,10 +282,19 @@ def proj_tail_fits(N: int, P: int, Sp: int, compute_dtype=jnp.float32) -> bool:
     and dW-accumulator blocks alone exceed the scoped-VMEM budget — those
     nets must fall back to materialized logits + softmax_ce_fused (whose
     row blocks shrink with Sp and always fit). Callers gate on this before
-    choosing softmax_ce_proj_fused (Network.loss_and_count_fused)."""
+    choosing softmax_ce_proj_fused (Network.loss_and_count_fused).
+    Device-probed verdicts (ops/vmem_probe.py, recorded eagerly by the
+    Trainer on real TPUs) take priority over the analytic model in both
+    directions."""
     from lstm_rnn_tpu.ops.lstm_cell import _storage
+    from lstm_rnn_tpu.ops.vmem_probe import lookup_tail_rows, tail_known_unfit
+    if tail_known_unfit(P, Sp, compute_dtype, proj=True):
+        return False
+    probed = lookup_tail_rows(N, P, Sp, compute_dtype, proj=True)
+    if probed is not None:
+        return probed >= 8
     itemsize = jnp.dtype(_storage(compute_dtype)).itemsize
-    rows = _proj_rows(N, P, Sp, itemsize)
+    rows = _proj_rows(N, P, Sp, itemsize, analytic_only=True)
     used = _proj_fixed_bytes(P, Sp, itemsize) \
         + rows * _proj_row_bytes(P, Sp, itemsize)
     return rows >= 8 and used <= _VMEM_BUDGET

@@ -148,6 +148,159 @@ def _probe_compile(hp: int, pp: int, bp: int, ch: int, compute_dtype) -> bool:
         lc._chunk_override = old
 
 
+# ---------------------------------------------------------------- tail probe
+# Same machinery for the fused softmax+CE tail kernels (ops/softmax_ce.py):
+# their analytic row caps (_row_block/_proj_rows) are conservative stream
+# counts, so a device verdict — when one has been recorded — takes priority
+# in both directions: a probed LARGER row block claws back grid overhead,
+# and a probed "no rows fit" verdict forces the materialized-logits
+# fallback before a Mosaic compile failure can surface mid-training.
+
+# Bump whenever the tail kernels' VMEM footprint changes shape.
+TAIL_VERSION = "t1"
+
+
+def _tail_key(P: int, Sp: int, rows: int, compute_dtype, proj: bool) -> str:
+    from lstm_rnn_tpu.ops.lstm_cell import _storage, _use3
+    mode = "x3" if _use3(compute_dtype) else ""
+    fam = f"tailproj|P{P}" if proj else "tail"
+    return (f"{_device_kind()}|{TAIL_VERSION}|{fam}|S{Sp}|r{rows}|"
+            f"{_storage(compute_dtype).name}{mode}")
+
+
+def _tail_candidates(Sp: int, P: int, compute_dtype, proj: bool):
+    """Descending row candidates down to the sublane granularity. The walk
+    STARTS a couple of steps above the analytic cap (the conservative
+    stream-count model usually underestimates what Mosaic accepts, so a
+    probed larger block claws back grid overhead) but not at the static
+    maximum — starting at 2048 for a wide Sp would burn several guaranteed
+    overflow compiles before the first plausible candidate."""
+    from lstm_rnn_tpu.ops import softmax_ce as sc
+    base = sc._PROJ_ROWS if proj else sc._ROWS
+    if proj:
+        floor = sc._proj_rows(base, P, Sp, _tail_itemsize(compute_dtype),
+                              analytic_only=True)
+    else:
+        floor = sc._row_block(base, Sp, analytic_only=True)
+    rows = min(base, max(8, 4 * floor))
+    out = []
+    while rows >= 8:
+        out.append(rows)
+        rows //= 2
+    return out
+
+
+def _tail_itemsize(compute_dtype) -> int:
+    import jax.numpy as jnp
+
+    from lstm_rnn_tpu.ops.lstm_cell import _storage
+    return jnp.dtype(_storage(compute_dtype)).itemsize
+
+
+def lookup_tail_rows(N: int, P: int, Sp: int, compute_dtype,
+                     proj: bool) -> Optional[int]:
+    """Largest device-VALIDATED row block for this tail shape point,
+    shrunk to divide N (smaller blocks than a validated one always fit —
+    the row-independent VMEM residents dominate the failure modes), or
+    None when unprobed (callers fall back to the analytic cap). Table
+    read only — never compiles."""
+    table = _load()
+    rows = 2048
+    while rows >= 8:
+        if table.get(_tail_key(P, Sp, rows, compute_dtype, proj)):
+            while N % rows:
+                rows //= 2
+            return rows
+        rows //= 2
+    return None
+
+
+def tail_known_unfit(P: int, Sp: int, compute_dtype, proj: bool) -> bool:
+    """True when the device probe RECORDED that even the smallest candidate
+    row block (8, the sublane granularity — ensure_tail_validated always
+    walks down to it on total failure) overflows for this tail point
+    (proj_tail_fits then forces the materialized-logits fallback). False
+    when unprobed."""
+    table = _load()
+    if table.get(_tail_key(P, Sp, 8, compute_dtype, proj)) is not False:
+        return False
+    rows = 2048
+    while rows >= 8:
+        if table.get(_tail_key(P, Sp, rows, compute_dtype, proj)):
+            return False
+        rows //= 2
+    return True
+
+
+def _tail_probe_compile(P: int, Sp: int, rows: int, compute_dtype,
+                        proj: bool) -> bool:
+    """AOT-compile the fused tail fwd+bwd at a forced row block; True iff
+    Mosaic accepts the scoped-VMEM footprint. Nothing is executed."""
+    import jax
+    import jax.numpy as jnp
+
+    from lstm_rnn_tpu.ops import softmax_ce as sc
+
+    N = 2 * rows  # two grid steps: exercises the revisited accumulators
+    tc = jax.ShapeDtypeStruct((N, 1), jnp.int32)
+    old = sc._rows_override
+    sc._rows_override = rows
+    try:
+        if proj:
+            def loss(h, W, b, tc):
+                return sc.softmax_ce_proj_fused(
+                    h, W, b, tc, Sp - 1, 1.0, False,
+                    jnp.dtype(compute_dtype))[0]
+
+            g = jax.grad(loss, argnums=(0, 1, 2))
+            shapes = (jax.ShapeDtypeStruct((N, P), jnp.float32),
+                      jax.ShapeDtypeStruct((P, Sp), jnp.float32),
+                      jax.ShapeDtypeStruct((Sp,), jnp.float32), tc)
+        else:
+            from lstm_rnn_tpu.ops.lstm_cell import _storage
+
+            def loss(a, tc):
+                return sc.softmax_ce_fused(a, tc, Sp - 1, False,
+                                           _storage(compute_dtype))[0]
+
+            g = jax.grad(loss)
+            shapes = (jax.ShapeDtypeStruct((N, Sp), jnp.float32), tc)
+        jax.jit(g).lower(*shapes).compile()
+        return True
+    except Exception as e:
+        msg = str(e).lower()
+        if "scoped" in msg or "vmem" in msg or "exceeded" in msg:
+            return False
+        raise
+    finally:
+        sc._rows_override = old
+
+
+def ensure_tail_validated(P: int, Sp: int, compute_dtype, proj: bool,
+                          verbose: bool = True) -> int:
+    """Probe candidate row blocks (largest first) for the fused tail at
+    this (P, Sp, dtype) point; record every verdict on disk. Returns the
+    validated rows, or 0 when even the smallest candidate overflows.
+    Call EAGERLY on the target backend — never inside a trace."""
+    with _LOCK:
+        table = _load()
+        for rows in _tail_candidates(Sp, P, compute_dtype, proj):
+            key = _tail_key(P, Sp, rows, compute_dtype, proj)
+            verdict = table.get(key)
+            if verdict is None:
+                if verbose:
+                    fam = "proj tail" if proj else "tail"
+                    print(f"vmem_probe: compiling {fam} (P={P}, Sp={Sp}, "
+                          f"rows={rows}) ...", flush=True)
+                verdict = _tail_probe_compile(P, Sp, rows, compute_dtype,
+                                              proj)
+                table[key] = verdict
+                _save()
+            if verdict:
+                return rows
+        return 0
+
+
 def ensure_validated(T: int, hp: int, pp: int, bp: int, compute_dtype,
                      verbose: bool = True) -> int:
     """Probe candidate chunks (largest first) until one compiles on this

@@ -275,6 +275,26 @@ class Trainer:
         tail_interp = (net.backend == "pallas_interpret"
                        or jax.default_backend() != "tpu")
 
+        if fused_tail and not tail_interp:
+            # eagerly device-validate the tail kernels' row blocks for this
+            # net's (P, Sp, dtype) point (AOT compile probes, never inside
+            # a trace — ops/vmem_probe.py): wide softmax layers get their
+            # proj-path verdict recorded BEFORE the first training step
+            # compiles, and the row pickers read the table at trace time.
+            from lstm_rnn_tpu.ops.lstm_cell import round_up
+            from lstm_rnn_tpu.ops.vmem_probe import ensure_tail_validated
+            sp = round_up(net.specs[-2].size, 128)
+            if self.padded:
+                p_dim = net._pad_plan()[-1][2]  # softmax's padded fan-in
+            else:
+                p_dim = net.specs[-3].size
+            proj_ok = False
+            if p_dim % 128 == 0:
+                proj_ok = ensure_tail_validated(p_dim, sp, net.compute_dtype,
+                                                proj=True) > 0
+            if not proj_ok:
+                ensure_tail_validated(0, sp, net.compute_dtype, proj=False)
+
         def loss_and_metrics(params, inputs, targets, pattypes):
             if self.pipe_mesh is not None:
                 from lstm_rnn_tpu.parallel.pipeline import (

@@ -12,7 +12,7 @@ from lstm_rnn_tpu.ops import lstm_cell as lc
 from lstm_rnn_tpu.ops import vmem_probe as vp
 
 
-def _fresh(tmp_path, monkeypatch, accept):
+def _fresh(tmp_path, monkeypatch, accept, tail_accept=lambda rows: False):
     monkeypatch.setenv("LSTM_RNN_TPU_PROBE_CACHE", str(tmp_path / "probe.json"))
     monkeypatch.setattr(vp, "_MEM", None)
     monkeypatch.setattr(vp, "_device_kind", lambda: "fake_tpu")
@@ -22,12 +22,19 @@ def _fresh(tmp_path, monkeypatch, accept):
         calls.append(ch)
         return accept(ch)
 
+    tail_calls = []
+
+    def fake_tail_probe(P, Sp, rows, dt, proj):
+        tail_calls.append((P, Sp, rows, proj))
+        return tail_accept(rows)
+
     monkeypatch.setattr(vp, "_probe_compile", fake_probe)
-    return calls
+    monkeypatch.setattr(vp, "_tail_probe_compile", fake_tail_probe)
+    return calls, tail_calls
 
 
 def test_ensure_validated_descends_and_persists(tmp_path, monkeypatch):
-    calls = _fresh(tmp_path, monkeypatch, lambda ch: ch <= 8)
+    calls, _ = _fresh(tmp_path, monkeypatch, lambda ch: ch <= 8)
     # H=512 f32: a point with NO manual anchor — the round-2 pick_chunk
     # could only guess here (VERDICT weak #7)
     ch = vp.ensure_validated(16, 512, 128, 8, jnp.float32, verbose=False)
@@ -48,7 +55,7 @@ def test_ensure_validated_descends_and_persists(tmp_path, monkeypatch):
 
 
 def test_ensure_validated_total_overflow_returns_zero(tmp_path, monkeypatch):
-    calls = _fresh(tmp_path, monkeypatch, lambda ch: False)
+    calls, _ = _fresh(tmp_path, monkeypatch, lambda ch: False)
     assert vp.ensure_validated(16, 2048, 2048, 64, jnp.float32,
                                verbose=False) == 0
     assert calls == [16, 8, 4, 2, 1]
@@ -182,3 +189,84 @@ def test_trainer_probe_failure_seeds_unpadded_keys(tmp_path, monkeypatch):
     assert tr.padded is False
     assert vp.known_unfit(256, 128, 8, jnp.float32)  # padded-plan key
     assert vp.known_unfit(256, 384, 8, jnp.float32)  # exact-path key
+
+
+def test_tail_probe_descends_persists_and_overrides_rows(tmp_path,
+                                                         monkeypatch):
+    """ensure_tail_validated walks row candidates largest-first, persists
+    verdicts, and the tail kernels' row pickers prefer the device verdict
+    over the analytic cap — including upward (claw back grid overhead)."""
+    from lstm_rnn_tpu.ops import softmax_ce as sc
+
+    _, tail_calls = _fresh(tmp_path, monkeypatch, lambda ch: True,
+                           tail_accept=lambda rows: rows <= 512)
+    # Sp=1536: analytic cap is 256 -> the walk starts at 4x that (1024)
+    assert sc._row_block(32768, 1536, analytic_only=True) == 256
+    rows = vp.ensure_tail_validated(0, 1536, jnp.float32, proj=False,
+                                    verbose=False)
+    assert rows == 512
+    assert [r for (_p, _s, r, _pr) in tail_calls] == [1024, 512]
+
+    # the row picker now returns the validated 512 instead of analytic 256
+    assert sc._row_block(32768, 1536, store_dtype=jnp.float32) == 512
+    # and shrinks it to divide N (monotone: smaller blocks always fit)
+    assert sc._row_block(256 * 3, 1536, store_dtype=jnp.float32) == 256
+
+    # persisted: a fresh in-memory table still sees it
+    monkeypatch.setattr(vp, "_MEM", None)
+    assert vp.lookup_tail_rows(32768, 0, 1536, jnp.float32,
+                               proj=False) == 512
+
+
+def test_tail_unfit_verdict_forces_proj_fallback(tmp_path, monkeypatch):
+    """A recorded no-rows-fit verdict for the proj tail must flip
+    proj_tail_fits to False even where the analytic model says it fits."""
+    from lstm_rnn_tpu.ops import softmax_ce as sc
+
+    _, tail_calls = _fresh(tmp_path, monkeypatch, lambda ch: True,
+                           tail_accept=lambda rows: False)
+    # flagship point: analytic says fits
+    assert sc.proj_tail_fits(32000, 512, 256, jnp.bfloat16)
+    assert vp.ensure_tail_validated(512, 256, jnp.bfloat16, proj=True,
+                                    verbose=False) == 0
+    # the walk ended at rows=8, so the verdict is actionable
+    assert tail_calls[-1][2] == 8
+    assert vp.tail_known_unfit(512, 256, jnp.bfloat16, proj=True)
+    assert not sc.proj_tail_fits(32000, 512, 256, jnp.bfloat16)
+
+
+def test_trainer_eagerly_probes_fused_tail(tmp_path, monkeypatch):
+    """Trainer init on a (faked) TPU with the fused tail engaged must
+    record tail verdicts before the first step compiles: the proj point
+    first, the plain tail only if proj came back unfit."""
+    import unittest.mock as um
+
+    import jax
+
+    from lstm_rnn_tpu.data.dataset import DataSet
+    from lstm_rnn_tpu.network import Network
+    from lstm_rnn_tpu.trainer import Trainer
+
+    from .test_data import _write_classification_nc
+
+    _, tail_calls = _fresh(tmp_path, monkeypatch, lambda ch: True,
+                           tail_accept=lambda rows: False)
+    nc = str(tmp_path / "t.nc")
+    _write_classification_nc(nc, [4, 4], in_size=3, num_labels=4, seed=1)
+    layers = [
+        {"name": "input", "type": "input", "size": 3},
+        {"name": "l1", "type": "blstm", "size": 8, "bias": 1.0},
+        {"name": "output", "type": "softmax", "size": 4, "bias": 1.0},
+        {"name": "postoutput", "type": "multiclass_classification",
+         "size": 4},
+    ]
+    net = Network(layers)
+    net.init_params(3)
+    ds = DataSet([nc], parallel_sequences=2, prefetch=False)
+    with um.patch.object(jax, "default_backend", lambda: "tpu"):
+        Trainer(net, ds, device_cache=False)
+    # padded plan: blstm h=4 -> hp=128, softmax fan-in 256; Sp=128
+    proj_points = [(p, s) for (p, s, _r, pr) in tail_calls if pr]
+    plain_points = [(p, s) for (p, s, _r, pr) in tail_calls if not pr]
+    assert (256, 128) in proj_points
+    assert (0, 128) in plain_points  # proj unfit -> plain tail probed
