@@ -255,14 +255,15 @@ def _proj_row_bytes(P: int, Sp: int, itemsize: int) -> int:
     return Sp * 4 * _F32_STREAMS + P * (2 * itemsize + 4)
 
 
-def _proj_rows(N: int, P: int, Sp: int, itemsize: int,
+def _proj_rows(N: int, P: int, Sp: int, compute_dtype,
                analytic_only: bool = False) -> int:
+    from lstm_rnn_tpu.ops.lstm_cell import _storage
+    itemsize = jnp.dtype(_storage(compute_dtype)).itemsize
     if _rows_override is not None:
         return _rows_override
     if not analytic_only:
         from lstm_rnn_tpu.ops.vmem_probe import lookup_tail_rows
-        dt = jnp.bfloat16 if itemsize == 2 else jnp.float32
-        probed = lookup_tail_rows(N, P, Sp, dt, proj=True)
+        probed = lookup_tail_rows(N, P, Sp, compute_dtype, proj=True)
         if probed is not None:
             return min(probed, _PROJ_ROWS)
     fixed = _proj_fixed_bytes(P, Sp, itemsize)
@@ -292,12 +293,17 @@ def proj_tail_fits(N: int, P: int, Sp: int, compute_dtype=jnp.float32) -> bool:
         return False
     probed = lookup_tail_rows(N, P, Sp, compute_dtype, proj=True)
     if probed is not None:
-        return probed >= 8
+        # a positive verdict at ANY rows admits every smaller block (the
+        # failure modes are the row-independent W/dW residents) — N's
+        # divisibility shrinking the block must not flip the decision
+        return True
+    # analytic: can the kernel run at the sublane-granularity block?
+    # N-independent on purpose — different fraction shapes of one net must
+    # not flap between the proj and plain tails
     itemsize = jnp.dtype(_storage(compute_dtype)).itemsize
-    rows = _proj_rows(N, P, Sp, itemsize, analytic_only=True)
     used = _proj_fixed_bytes(P, Sp, itemsize) \
-        + rows * _proj_row_bytes(P, Sp, itemsize)
-    return rows >= 8 and used <= _VMEM_BUDGET
+        + 8 * _proj_row_bytes(P, Sp, itemsize)
+    return used <= _VMEM_BUDGET
 
 
 def _fwd_proj_kernel(h_ref, w_ref, b_ref, tc_ref, *rest,
@@ -353,7 +359,7 @@ def _proj_fwd_impl(h2, W, b, targets, S, bias_mult, interpret,
     N, P = h2.shape
     Sp = W.shape[1]
     sdtype = _storage(compute_dtype)
-    rows = _proj_rows(N, P, Sp, jnp.dtype(sdtype).itemsize)
+    rows = _proj_rows(N, P, Sp, compute_dtype)
     grid = (N // rows,)
     hc = h2.astype(sdtype)
     wc = W.astype(sdtype)
@@ -396,7 +402,7 @@ def _proj_fused_bwd(S, bias_mult, interpret, compute_dtype, res, cts):
     N, P = hc.shape
     Sp = p.shape[1]
     sdtype = _storage(compute_dtype)
-    rows = _proj_rows(N, P, Sp, jnp.dtype(sdtype).itemsize)
+    rows = _proj_rows(N, P, Sp, compute_dtype)
     grid = (N // rows,)
     g = jnp.reshape(g_loss.astype(jnp.float32), (1, 1))
     dh, dw, db = pl.pallas_call(

@@ -137,13 +137,7 @@ def _probe_compile(hp: int, pp: int, bp: int, ch: int, compute_dtype) -> bool:
     old = lc._chunk_override
     lc._chunk_override = ch
     try:
-        jax.jit(g).lower(*shapes).compile()
-        return True
-    except Exception as e:  # Mosaic VMEM overflows surface as XlaRuntimeError
-        msg = str(e).lower()
-        if "scoped" in msg or "vmem" in msg or "exceeded" in msg:
-            return False
-        raise
+        return _compiles(g, shapes)
     finally:
         lc._chunk_override = old
 
@@ -162,13 +156,20 @@ TAIL_VERSION = "t1"
 
 def _tail_key(P: int, Sp: int, rows: int, compute_dtype, proj: bool) -> str:
     from lstm_rnn_tpu.ops.lstm_cell import _storage, _use3
-    mode = "x3" if _use3(compute_dtype) else ""
-    fam = f"tailproj|P{P}" if proj else "tail"
+    if proj:
+        # the x3 (hi/lo f32 matmul) mode changes the proj kernels' _kdot
+        # temporaries; the plain tail has no matmul, so its footprint is
+        # mode-independent and the suffix would only orphan verdicts
+        mode = "x3" if _use3(compute_dtype) else ""
+        fam = f"tailproj|P{P}"
+    else:
+        mode = ""
+        fam = "tail"
     return (f"{_device_kind()}|{TAIL_VERSION}|{fam}|S{Sp}|r{rows}|"
             f"{_storage(compute_dtype).name}{mode}")
 
 
-def _tail_candidates(Sp: int, P: int, compute_dtype, proj: bool):
+def _tail_candidates(P: int, Sp: int, compute_dtype, proj: bool):
     """Descending row candidates down to the sublane granularity. The walk
     STARTS a couple of steps above the analytic cap (the conservative
     stream-count model usually underestimates what Mosaic accepts, so a
@@ -178,8 +179,7 @@ def _tail_candidates(Sp: int, P: int, compute_dtype, proj: bool):
     from lstm_rnn_tpu.ops import softmax_ce as sc
     base = sc._PROJ_ROWS if proj else sc._ROWS
     if proj:
-        floor = sc._proj_rows(base, P, Sp, _tail_itemsize(compute_dtype),
-                              analytic_only=True)
+        floor = sc._proj_rows(base, P, Sp, compute_dtype, analytic_only=True)
     else:
         floor = sc._row_block(base, Sp, analytic_only=True)
     rows = min(base, max(8, 4 * floor))
@@ -188,13 +188,6 @@ def _tail_candidates(Sp: int, P: int, compute_dtype, proj: bool):
         out.append(rows)
         rows //= 2
     return out
-
-
-def _tail_itemsize(compute_dtype) -> int:
-    import jax.numpy as jnp
-
-    from lstm_rnn_tpu.ops.lstm_cell import _storage
-    return jnp.dtype(_storage(compute_dtype)).itemsize
 
 
 def lookup_tail_rows(N: int, P: int, Sp: int, compute_dtype,
@@ -232,6 +225,23 @@ def tail_known_unfit(P: int, Sp: int, compute_dtype, proj: bool) -> bool:
     return True
 
 
+def _compiles(fn, shapes) -> bool:
+    """AOT-compile fn at the given avals; True iff Mosaic accepts the
+    scoped-VMEM footprint (overflows surface as XlaRuntimeError carrying a
+    'scoped allocation ... exceeded' message). Nothing is executed. Shared
+    by the LSTM-chunk and tail-rows probes so the overflow-vs-real-error
+    classification stays in one place."""
+    import jax
+    try:
+        jax.jit(fn).lower(*shapes).compile()
+        return True
+    except Exception as e:
+        msg = str(e).lower()
+        if "scoped" in msg or "vmem" in msg or "exceeded" in msg:
+            return False
+        raise
+
+
 def _tail_probe_compile(P: int, Sp: int, rows: int, compute_dtype,
                         proj: bool) -> bool:
     """AOT-compile the fused tail fwd+bwd at a forced row block; True iff
@@ -265,13 +275,7 @@ def _tail_probe_compile(P: int, Sp: int, rows: int, compute_dtype,
 
             g = jax.grad(loss)
             shapes = (jax.ShapeDtypeStruct((N, Sp), jnp.float32), tc)
-        jax.jit(g).lower(*shapes).compile()
-        return True
-    except Exception as e:
-        msg = str(e).lower()
-        if "scoped" in msg or "vmem" in msg or "exceeded" in msg:
-            return False
-        raise
+        return _compiles(g, shapes)
     finally:
         sc._rows_override = old
 
@@ -284,7 +288,7 @@ def ensure_tail_validated(P: int, Sp: int, compute_dtype, proj: bool,
     Call EAGERLY on the target backend — never inside a trace."""
     with _LOCK:
         table = _load()
-        for rows in _tail_candidates(Sp, P, compute_dtype, proj):
+        for rows in _tail_candidates(P, Sp, compute_dtype, proj):
             key = _tail_key(P, Sp, rows, compute_dtype, proj)
             verdict = table.get(key)
             if verdict is None:

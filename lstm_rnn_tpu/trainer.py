@@ -293,7 +293,13 @@ class Trainer:
                 proj_ok = ensure_tail_validated(p_dim, sp, net.compute_dtype,
                                                 proj=True) > 0
             if not proj_ok:
-                ensure_tail_validated(0, sp, net.compute_dtype, proj=False)
+                # loss_and_count_fused will route through the plain tail;
+                # if even its smallest row block overflows (recorded
+                # verdict), run the unfused XLA tail instead of dying at
+                # the first training step's Mosaic compile
+                if ensure_tail_validated(0, sp, net.compute_dtype,
+                                         proj=False) == 0:
+                    fused_tail = False
 
         def loss_and_metrics(params, inputs, targets, pattypes):
             if self.pipe_mesh is not None:
