@@ -237,7 +237,12 @@ def _compiles(fn, shapes) -> bool:
         return True
     except Exception as e:
         msg = str(e).lower()
-        if "scoped" in msg or "vmem" in msg or "exceeded" in msg:
+        # Only a positively-identified Mosaic VMEM overflow may persist a
+        # False verdict (observed forms: "Scoped allocation of ... exceeded"
+        # and "... exceeds available vmem"). A transient tunnel/RPC error
+        # whose message merely contains "exceeded" (resource-limit RPCs)
+        # must NOT poison the on-disk table — re-raise it instead.
+        if "exceed" in msg and ("scoped" in msg or "vmem" in msg):
             return False
         raise
 

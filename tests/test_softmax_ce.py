@@ -91,17 +91,26 @@ def test_proj_fused_tail_matches_composed(rng):
                                    err_msg=name)
 
 
-def test_vmem_row_caps_and_proj_fits():
+def test_vmem_row_caps_and_proj_fits(tmp_path, monkeypatch):
     """Wide softmax layers (LVCSR-scale state counts) must shrink the tail
     kernels' row blocks / reject the proj-fused variant instead of failing
     at device compile with a Mosaic scoped-VMEM overflow; the flagship
     shapes must keep their measured block sizes."""
+    from lstm_rnn_tpu.ops import vmem_probe as vp
     from lstm_rnn_tpu.ops.softmax_ce import (_PROJ_ROWS, _ROWS, _proj_rows,
                                              _row_block, proj_tail_fits)
 
+    # isolate from the real user probe cache and the shipped defaults —
+    # these assertions pin the ANALYTIC model, which a host's recorded
+    # device verdicts would otherwise override
+    monkeypatch.setenv("LSTM_RNN_TPU_PROBE_CACHE",
+                       str(tmp_path / "probe.json"))
+    monkeypatch.setattr(vp, "_MEM", None)
+    monkeypatch.setattr(vp, "_device_kind", lambda: "fake_tpu")
+
     # flagship: Sp=256 keeps the full measured blocks
     assert _row_block(32768, 256) == _ROWS
-    assert _proj_rows(32768, 512, 256, 2) == _PROJ_ROWS
+    assert _proj_rows(32768, 512, 256, jnp.bfloat16) == _PROJ_ROWS
     assert proj_tail_fits(32000, 512, 256, jnp.bfloat16)
     assert proj_tail_fits(32000, 512, 256, jnp.float32)
 

@@ -235,6 +235,28 @@ def test_tail_unfit_verdict_forces_proj_fallback(tmp_path, monkeypatch):
     assert not sc.proj_tail_fits(32000, 512, 256, jnp.bfloat16)
 
 
+def test_compiles_overflow_classification():
+    """Only a positively-identified Mosaic scoped-VMEM overflow may become
+    a (persisted!) False verdict; a transient RPC error whose message
+    merely contains 'exceeded' must re-raise instead of permanently
+    forcing the fallback path on this machine (ADVICE r3)."""
+    import pytest
+
+    def raising(msg):
+        def f():
+            raise RuntimeError(msg)
+        return f
+
+    assert vp._compiles(
+        raising("Mosaic failed: Scoped allocation of 20.5M exceeded "
+                "the scoped vmem limit"), ()) is False
+    assert vp._compiles(raising("program exceeds available VMEM"), ()) is False
+    with pytest.raises(Exception, match="DEADLINE"):
+        vp._compiles(raising("DEADLINE_EXCEEDED: rpc quota exceeded"), ())
+    with pytest.raises(Exception, match="UNAVAILABLE"):
+        vp._compiles(raising("UNAVAILABLE: connection reset"), ())
+
+
 def test_trainer_eagerly_probes_fused_tail(tmp_path, monkeypatch):
     """Trainer init on a (faked) TPU with the fused tail engaged must
     record tail verdicts before the first step compiles: the proj point
