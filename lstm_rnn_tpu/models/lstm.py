@@ -327,7 +327,7 @@ def _scan_acts_valid(x, pattypes, w_in, b, bias_mult, compute_dtype):
 
 def lstm_forward_streaming(params, x, pattypes, bias_mult: float, carry,
                            clip_gradients: bool = True,
-                           compute_dtype=jnp.float32):
+                           compute_dtype=jnp.float32, backend: str = "scan"):
     """One chunk of a UNIDIRECTIONAL layer from an explicit (h, c) state.
 
     x: [T, B, P] chunk; carry: ((h, c), [1, B, H] each) from the previous
@@ -336,15 +336,90 @@ def lstm_forward_streaming(params, x, pattypes, bias_mult: float, carry,
     on their concatenation — the streaming-serving primitive
     (Network.apply_streaming). Bidirectional layers cannot stream (the
     backward half consumes the future); callers validate.
+
+    backend: "scan" (default — exact parity numerics), "pallas"/
+    "pallas_interpret"/"auto" route the chunk through the carry-capable
+    fused kernel (ops/lstm_cell.lstm_scan_fused_carry) with the same
+    on-the-fly padding as lstm_forward's pallas path — the chunk rate then
+    matches the whole-sequence inference kernel instead of lax.scan.
     """
     w_in, w_rec, b, peep = (params["W_in"], params["W_rec"], params["b"],
                             params["peep"])
+    if backend != "scan":
+        hdim = w_in.shape[-1]
+        use_fused, interp = _resolve_fused(backend, hdim, x.shape[-1],
+                                           x.shape[1], compute_dtype)
+        if use_fused:
+            return _streaming_fused(params, x, pattypes, bias_mult, carry,
+                                    clip_gradients, compute_dtype, interp)
     acts, mask = _scan_acts_valid(x, pattypes, w_in, b, bias_mult,
                                   compute_dtype)
     ys, new_carry = _lstm_scan(acts, w_rec.astype(compute_dtype), peep,
                                mask, clip_gradients, init=carry,
                                return_carry=True)
     return ys[:, 0], new_carry
+
+
+def _resolve_fused(backend: str, hdim: int, pdim: int, bsz: int,
+                   compute_dtype):
+    """(use_fused, interpret) for a carry-kernel candidate — the same
+    auto/VMEM/device-verdict gates as lstm_forward's pallas dispatch."""
+    from lstm_rnn_tpu.ops.lstm_cell import _storage, fused_fits, round_up
+    from lstm_rnn_tpu.ops.vmem_probe import known_unfit
+    hp = round_up(hdim, 128)
+    pp = round_up(pdim, 128)
+    sz = _storage(compute_dtype).itemsize
+    bp = round_up(bsz, 16 if sz == 2 else 8)
+    on_tpu = jax.default_backend() == "tpu"
+    if backend == "auto" and not on_tpu:
+        return False, False  # mirror lstm_forward: auto -> scan off-TPU
+    interp = backend == "pallas_interpret" or (
+        backend == "pallas" and not on_tpu)
+    if not fused_fits(hp, pp, bp, compute_dtype):
+        return False, interp
+    if backend == "auto" and known_unfit(hp, pp, bp, compute_dtype):
+        return False, interp
+    return True, interp
+
+
+def _streaming_fused(params, x, pattypes, bias_mult, carry, clip_gradients,
+                     compute_dtype, interpret):
+    """The streaming chunk on the carry-capable fused kernel: pad widths/
+    batch/time exactly like lstm_forward's pallas path (zero padding is
+    numerically inert — padded cells emit 0 and stay 0 through the carry),
+    run lstm_scan_fused_carry, slice the exact state back out so chunks
+    can interleave with the scan path freely."""
+    from lstm_rnn_tpu.ops.lstm_cell import (DEFAULT_CHUNK, _storage,
+                                            lstm_scan_fused_carry, round_up)
+    w_in, w_rec, b, peep = (params["W_in"], params["W_rec"], params["b"],
+                            params["peep"])
+    t, bsz, pdim = x.shape
+    hdim = w_in.shape[-1]
+    hp = round_up(hdim, 128)
+    pp = round_up(pdim, 128)
+    bgran = 16 if _storage(compute_dtype).itemsize == 2 else 8
+    bp = round_up(bsz, bgran)
+    tp = round_up(t, DEFAULT_CHUNK)
+    w_in_p = _pad_axis(_pad_axis(w_in, 3, hp), 1, pp)
+    w_rec_p = _pad_axis(_pad_axis(w_rec, 3, hp), 1, hp)
+    b_p = _pad_axis(b, 2, hp)
+    peep_p = _pad_axis(peep, 2, hp)
+    xx = x.astype(compute_dtype)
+    xx = _pad_axis(_pad_axis(_pad_axis(xx, 2, pp), 1, bp), 0, tp)
+    lengths = jnp.sum((pattypes != 0).astype(jnp.int32), axis=0)
+    lengths = _pad_axis(lengths, 0, bp)
+    h_st, c_st = carry  # [1, B, H] each
+    h0 = _pad_axis(_pad_axis(h_st.astype(jnp.float32), 2, hp), 1, bp)
+    c0 = _pad_axis(_pad_axis(c_st.astype(jnp.float32), 2, hp), 1, bp)
+    ys, (hf, cf) = lstm_scan_fused_carry(
+        xx, w_in_p.reshape(1, pp, 4 * hp), w_rec_p.reshape(1, hp, 4 * hp),
+        peep_p, b_p.reshape(1, 4 * hp), lengths, h0, c0,
+        float(bias_mult), clip_gradients, interpret,
+        jnp.dtype(compute_dtype), True, t)
+    y = ys[:t, :bsz, :hdim].astype(x.dtype)
+    new_carry = (hf[:, :bsz, :hdim].astype(h_st.dtype),
+                 cf[:, :bsz, :hdim].astype(c_st.dtype))
+    return y, new_carry
 
 
 def init_lstm_params(rng, in_size: int, size: int, bidirectional: bool,

@@ -324,7 +324,8 @@ class Network:
                 x, new_state[s.name] = lstm_forward_streaming(
                     p, x, pattypes, s.bias, state[s.name],
                     clip_gradients=self.clip_gradients,
-                    compute_dtype=self.compute_dtype)
+                    compute_dtype=self.compute_dtype,
+                    backend=self.backend)
             elif s.type == "softmax":
                 x = softmax_forward(p, x, s.bias, self.compute_dtype)
             else:

@@ -157,26 +157,44 @@ def _cell_acts(fast: bool):
 
 
 def _fwd_kernel(lengths_ref, x_ref, w_in_ref, w_rec_ref, peep_ref, bias_ref,
-                h_out_ref, *rest, T, CH, NC, bias_mult, precision, use3,
-                fast, save):
+                *rest, T, CH, NC, bias_mult, precision, use3,
+                fast, save, carry, carry_t):
     """One direction's chunk per program. Blocks arrive pre-indexed (leading
     dim 1); the inner loop order and the mask time are direction-dependent.
     save=False is the INFERENCE variant (primal path outside jax.grad —
     eval passes, the CLI forward mode): only h is written; the gates/c/
     boundary residual streams (the bulk of the kernel's HBM writes) are
-    never materialized."""
+    never materialized. carry=True (streaming / sequence parallelism —
+    lstm_scan_fused_carry) starts the scan from explicit (h0, c0) inputs
+    and emits the d=0 direction's state AT step carry_t-1 (the last REAL
+    timestep — trailing chunk-alignment padding zeroes the masked state,
+    so capturing at the padded T-1 would destroy a mid-stream carry) plus
+    the d=1 direction's state at its scan end (t=0): identical to chaining
+    lax.scan blocks (the masked scan's carry is 0 for rows past their
+    length, exactly what the in-kernel masking leaves in the scratch)."""
     d = pl.program_id(0)
     k = pl.program_id(1)
-    if save:
-        c_out_ref, g_out_ref, cb_out_ref, hb_out_ref, h_scr, c_scr = rest
+    if carry:
+        h0_ref, c0_ref, *rest = rest
     else:
-        h_scr, c_scr = rest
+        h0_ref = c0_ref = None
+    h_out_ref, *rest = rest
+    if save:
+        c_out_ref, g_out_ref, cb_out_ref, hb_out_ref, *rest = rest
+    else:
         c_out_ref = g_out_ref = cb_out_ref = hb_out_ref = None
+    if carry:
+        hf_out_ref, cf_out_ref, *rest = rest
+    h_scr, c_scr = rest
 
     @pl.when(k == 0)
     def _():
-        h_scr[...] = jnp.zeros_like(h_scr)
-        c_scr[...] = jnp.zeros_like(c_scr)
+        if carry:
+            h_scr[...] = h0_ref[0].astype(jnp.float32)
+            c_scr[...] = c0_ref[0].astype(jnp.float32)
+        else:
+            h_scr[...] = jnp.zeros_like(h_scr)
+            c_scr[...] = jnp.zeros_like(c_scr)
 
     B, H = h_scr.shape
     chunk = _chunk_of(d, k, NC, False)
@@ -194,7 +212,12 @@ def _fwd_kernel(lengths_ref, x_ref, w_in_ref, w_rec_ref, peep_ref, bias_ref,
                   (((1,), (0,)), ((), ())), precision, use3)
     a_all = a_all + bias_ref[pl.ds(d, 1), :] * bias_mult
 
-    def run(js):
+    def run(js, is_fwd_dir):
+        if carry:
+            # final-state capture point: the d=0 direction's last REAL step
+            # (carry_t-1), the d=1 direction's scan end (t=0)
+            cap_chunk, j_cap = (((carry_t - 1) // CH, (carry_t - 1) % CH)
+                                if is_fwd_dir else (0, 0))
         h = h_scr[...]
         c = c_scr[...]
         for j in js:
@@ -217,6 +240,13 @@ def _fwd_kernel(lengths_ref, x_ref, w_in_ref, w_rec_ref, peep_ref, bias_ref,
                 c_out_ref[0, j] = c
                 g_out_ref[0, j] = jnp.concatenate(
                     [ni, ig, fg, og], axis=-1).astype(sdtype)
+            if carry and j == j_cap:
+                hcap, ccap = h, c
+
+                @pl.when(chunk == cap_chunk)
+                def _():
+                    hf_out_ref[0] = hcap
+                    cf_out_ref[0] = ccap
         h_scr[...] = h
         c_scr[...] = c
         # the chunk's scan-final cell state / output (cross-chunk c_prev and
@@ -227,16 +257,17 @@ def _fwd_kernel(lengths_ref, x_ref, w_in_ref, w_rec_ref, peep_ref, bias_ref,
 
     @pl.when(d == 0)
     def _():
-        run(range(CH))
+        run(range(CH), True)
 
     @pl.when(d != 0)
     def _():
-        run(range(CH - 1, -1, -1))
+        run(range(CH - 1, -1, -1), False)
 
 
 def _bwd_kernel(lengths_ref, x_ref, dh_ref, g_ref, c_ref, cb_ref,
                 h_ref, hb_ref, w_in_ref, w_rec_ref, peep_ref,
-                *rest, T, CH, NC, clip, precision, use3, fast, with_dx):
+                *rest, T, CH, NC, clip, precision, use3, fast, with_dx,
+                carry, carry_t):
     """BPTT over saved gates, walking each direction's scan in reverse.
 
     The cross-chunk c_prev / h_prev come from the forward pass's boundary
@@ -251,16 +282,30 @@ def _bwd_kernel(lengths_ref, x_ref, dh_ref, g_ref, c_ref, cb_ref,
     the largest remaining HBM stream of the backward pass). with_dx=False
     (the network's FIRST hidden layer: its input is the data, which needs
     no error signal — LstmLayer.cu:990 is skipped for layer 1 there too)
-    drops the dx output and its [CH*B, 4H] x [P, 4H]^T matmul entirely."""
+    drops the dx output and its [CH*B, 4H] x [P, 4H]^T matmul entirely.
+
+    carry=True additionally receives (h0, c0) — the forward's initial state
+    — plus the cotangents (dhf, dcf) of the forward's final state, and
+    emits (dh0, dc0). The carry chain rules fold into the existing BPTT
+    recurrence: the final (h, c) are the step-(carry_t-1) (d=0) / step-0
+    (d=1) state through an identity, so dhf joins e and dcf joins cs_err
+    at exactly that step; the sequence edge uses (h0, c0) as the
+    scan-previous state instead of zeros (c_prev for fg deltas/peepholes,
+    h_prev for dW_rec)."""
     d = pl.program_id(0)
     k = pl.program_id(1)
+    if carry:
+        h0_ref, c0_ref, dhf_ref, dcf_ref, *rest = rest
+    else:
+        h0_ref = c0_ref = dhf_ref = dcf_ref = None
     if with_dx:
-        (dx_ref, dwin_ref, dwrec_ref, dpeep_ref, dbias_ref,
-         dac_scr, da_scr, cse_scr, fg_scr) = rest
+        dx_ref, *rest = rest
     else:
         dx_ref = None
-        (dwin_ref, dwrec_ref, dpeep_ref, dbias_ref,
-         dac_scr, da_scr, cse_scr, fg_scr) = rest
+    dwin_ref, dwrec_ref, dpeep_ref, dbias_ref, *rest = rest
+    if carry:
+        dh0_ref, dc0_ref, *rest = rest
+    dac_scr, da_scr, cse_scr, fg_scr = rest
 
     @pl.when(k == 0)
     def _():
@@ -282,6 +327,10 @@ def _bwd_kernel(lengths_ref, x_ref, dh_ref, g_ref, c_ref, cb_ref,
     p_og = peep_ref[0, 2:3, :]
 
     def run(js, ascending_scan):
+        if carry:
+            # final-state capture point (mirrors the forward kernel)
+            cap_chunk, j_cap = (((carry_t - 1) // CH, (carry_t - 1) % CH)
+                                if ascending_scan else (0, 0))
         da_next = da_scr[...]
         cse_next = cse_scr[...]
         fg_next = fg_scr[...]
@@ -290,13 +339,23 @@ def _bwd_kernel(lengths_ref, x_ref, dh_ref, g_ref, c_ref, cb_ref,
             m = _valid(lengths_ref, t)
             # scan-previous neighbor: t-1 (ascending scan) or t+1 (descending)
             if ascending_scan:
-                has_prev = (t > 0).astype(jnp.float32)
-                c_prev = (c_ref[0, j - 1] if j > 0
-                          else cb_ref[0, 0] * has_prev)
+                at_edge = t <= 0
+                c_prev = c_ref[0, j - 1] if j > 0 else None
             else:
-                has_prev = (t < T - 1).astype(jnp.float32)
-                c_prev = (c_ref[0, j + 1] if j < CH - 1
-                          else cb_ref[0, 0] * has_prev)
+                at_edge = t >= T - 1
+                c_prev = c_ref[0, j + 1] if j < CH - 1 else None
+            if c_prev is None:
+                if carry:
+                    c_prev = jnp.where(at_edge,
+                                       c0_ref[0].astype(jnp.float32),
+                                       cb_ref[0, 0])
+                else:
+                    c_prev = cb_ref[0, 0] * (1.0 - at_edge.astype(
+                        jnp.float32))
+            # with an explicit carry the sequence edge HAS a previous cell
+            # state (c0) — fg deltas are not zeroed there
+            has_prev = (1.0 if carry
+                        else 1.0 - at_edge.astype(jnp.float32))
             c = c_ref[0, j]
             gg = g_ref[0, j].astype(jnp.float32)
             ni = gg[:, 0 * H:1 * H]
@@ -307,6 +366,13 @@ def _bwd_kernel(lengths_ref, x_ref, dh_ref, g_ref, c_ref, cb_ref,
             e = dh_ref[j].astype(jnp.float32) + _kdot(
                 da_next.astype(w.dtype), w,
                 (((1,), (1,)), ((), ())), precision, use3)
+            dcf_term = None
+            if carry and j == j_cap:
+                # the final (h, c) are this step's (h, c) through an
+                # identity: their cotangents join e / cs_err right here
+                inj = (chunk == cap_chunk).astype(jnp.float32)
+                e = e + dhf_ref[0].astype(jnp.float32) * inj
+                dcf_term = dcf_ref[0].astype(jnp.float32) * inj
 
             tanh_c = tanh2(c)
             og_delta = og * (1.0 - og) * tanh_c * e
@@ -316,6 +382,8 @@ def _bwd_kernel(lengths_ref, x_ref, dh_ref, g_ref, c_ref, cb_ref,
                       + fg_next * cse_next
                       + p_ig * da_next[:, 1 * H:2 * H]
                       + p_fg * da_next[:, 2 * H:3 * H])
+            if dcf_term is not None:
+                cs_err = cs_err + dcf_term
 
             ni_delta = ig * (1.0 - ni * ni) * cs_err
             fg_delta = fg * (1.0 - fg) * c_prev * cs_err * has_prev
@@ -339,6 +407,20 @@ def _bwd_kernel(lengths_ref, x_ref, dh_ref, g_ref, c_ref, cb_ref,
         cse_scr[...] = cse_next
         fg_scr[...] = fg_next
 
+        if carry:
+            # after the direction's last BPTT step, the remaining recurrence
+            # terms are exactly the initial-state gradients: dh0 = da_0 W^T
+            # (the recurrent matmul's input), dc0 = fg_0*cse_0 + the ig/fg
+            # peephole terms (the same expression the recurrence applies at
+            # every step, evaluated at the virtual step before the scan)
+            @pl.when(k == NC - 1)
+            def _():
+                dh0_ref[0] = _kdot(da_next.astype(w.dtype), w,
+                                   (((1,), (1,)), ((), ())), precision, use3)
+                dc0_ref[0] = (fg_next * cse_next
+                              + p_ig * da_next[:, 1 * H:2 * H]
+                              + p_fg * da_next[:, 2 * H:3 * H])
+
         # ---- chunk-level weight-gradient accumulation (all rows masked) ----
         # the chunk's deltas are READ BACK from the (VMEM-resident) scratch
         # block and the scan-previous h/c rows are rebuilt from the h/c
@@ -351,23 +433,33 @@ def _bwd_kernel(lengths_ref, x_ref, dh_ref, g_ref, c_ref, cb_ref,
             x_ref[...].reshape(CH * B, P), da_flat.astype(x_ref.dtype),
             (((0,), (0,)), ((), ())), precision, use3)
 
-        def scan_prev_rows(full, bound):
+        def scan_prev_rows(full, bound, edge0):
             """[CH, B, H] scan-previous rows: shift within the chunk, the
             boundary row from the neighbor chunk's scan-final output
-            (zeroed at the sequence edge)."""
+            (at the sequence edge: the explicit carry, or zeros)."""
             if ascending_scan:
-                bv = bound * (chunk > 0).astype(jnp.float32)
+                interior = (chunk > 0)
+            else:
+                interior = (chunk < NC - 1)
+            if edge0 is None:
+                bv = bound * interior.astype(jnp.float32)
+            else:
+                bv = jnp.where(interior, bound, edge0)
+            if ascending_scan:
                 return jnp.concatenate(
                     [bv[None], full[:CH - 1].astype(jnp.float32)], axis=0)
-            bv = bound * (chunk < NC - 1).astype(jnp.float32)
             return jnp.concatenate(
                 [full[1:].astype(jnp.float32), bv[None]], axis=0)
 
-        h_prev = scan_prev_rows(h_ref[...], hb_ref[0, 0].astype(jnp.float32))
+        h0_val = h0_ref[0].astype(jnp.float32) if carry else None
+        c0_val = c0_ref[0].astype(jnp.float32) if carry else None
+        h_prev = scan_prev_rows(h_ref[...], hb_ref[0, 0].astype(jnp.float32),
+                                h0_val)
         dwrec_ref[0] += _kdot(
             h_prev.reshape(CH * B, H).astype(w.dtype), da_flat.astype(w.dtype),
             (((0,), (0,)), ((), ())), precision, use3)
-        cprev_flat = scan_prev_rows(c_ref[0], cb_ref[0, 0]).reshape(CH * B, H)
+        cprev_flat = scan_prev_rows(c_ref[0], cb_ref[0, 0],
+                                    c0_val).reshape(CH * B, H)
         c_flat = c_ref[0].reshape(CH * B, H)
         da_f32 = da_flat.astype(jnp.float32)
         dpeep_ref[0, 0] += jnp.sum(cprev_flat * da_f32[:, 1 * H:2 * H], axis=0)
@@ -520,7 +612,7 @@ def lstm_scan_fused(x, w_in, w_rec, peep, bias, lengths,
 
 
 def _fwd_impl(x, w_in, w_rec, peep, bias, lengths, bias_mult, interpret,
-              compute_dtype, want_residuals=True):
+              compute_dtype, want_residuals=True, carry=None, carry_t=None):
     T, B, P = x.shape
     D, _, H4 = w_in.shape
     H = H4 // 4
@@ -535,6 +627,11 @@ def _fwd_impl(x, w_in, w_rec, peep, bias, lengths, bias_mult, interpret,
     w_rec_c = w_rec.astype(compute_dtype)
 
     idx = _dir_index(NC, False)
+    carry_specs = ([_block((1, B, H), lambda d, k: (d, 0, 0))] * 2
+                   if carry is not None else [])
+    carry_ins = ((carry[0].astype(jnp.float32),
+                  carry[1].astype(jnp.float32))
+                 if carry is not None else ())
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0, grid=(D, NC),
         in_specs=[
@@ -544,7 +641,7 @@ def _fwd_impl(x, w_in, w_rec, peep, bias, lengths, bias_mult, interpret,
             _block((1, H, H4), lambda d, k: (d, 0, 0)),
             _block((1, 3, H), lambda d, k: (d, 0, 0)),
             _block((D, H4), lambda d, k: (0, 0)),
-        ],
+        ] + carry_specs,
         out_specs=[
             # h written straight into the NEXT layer's [T, B, D*H] layout
             # (block column d) — no [fw|bw] concatenation ever materializes
@@ -557,7 +654,7 @@ def _fwd_impl(x, w_in, w_rec, peep, bias, lengths, bias_mult, interpret,
                                                0, 0)),
             _block((1, 1, B, H), lambda d, k: (d, _chunk_of(d, k, NC, False),
                                                0, 0)),
-        ] if want_residuals else []),
+        ] if want_residuals else []) + carry_specs,
         scratch_shapes=[
             pltpu.VMEM((B, H), jnp.float32),
             pltpu.VMEM((B, H), jnp.float32),
@@ -568,7 +665,8 @@ def _fwd_impl(x, w_in, w_rec, peep, bias, lengths, bias_mult, interpret,
                           bias_mult=bias_mult, precision=prec,
                           use3=_use3(compute_dtype),
                           fast=sdtype == jnp.dtype(jnp.bfloat16),
-                          save=want_residuals),
+                          save=want_residuals, carry=carry is not None,
+                          carry_t=T if carry_t is None else carry_t),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((T, B, D * H), sdtype),
@@ -577,7 +675,10 @@ def _fwd_impl(x, w_in, w_rec, peep, bias, lengths, bias_mult, interpret,
             jax.ShapeDtypeStruct((D, T, B, H4), sdtype),
             jax.ShapeDtypeStruct((D, NC, B, H), jnp.float32),
             jax.ShapeDtypeStruct((D, NC, B, H), sdtype),
-        ] if want_residuals else []),
+        ] if want_residuals else []) + ([
+            jax.ShapeDtypeStruct((D, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((D, B, H), jnp.float32),
+        ] if carry is not None else []),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * D * T * B * (P + H) * H4 + 14 * D * T * B * H,
@@ -586,23 +687,26 @@ def _fwd_impl(x, w_in, w_rec, peep, bias, lengths, bias_mult, interpret,
                             + 4 * D * T * B * H),
             transcendentals=4 * D * T * B * H,
         ),
-    )(lengths_2d, xs, w_in_c, w_rec_c, peep, bias)
+    )(lengths_2d, xs, w_in_c, w_rec_c, peep, bias, *carry_ins)
+    final = (outs[-2], outs[-1]) if carry is not None else None
+    if carry is not None:
+        outs = outs[:-2]
     if not want_residuals:
-        return outs[0], None, None, None, None, w_in_c, w_rec_c
+        return outs[0], None, None, None, None, w_in_c, w_rec_c, final
     h, c, gates, cb, hb = outs
-    return h, c, gates, cb, hb, w_in_c, w_rec_c
+    return h, c, gates, cb, hb, w_in_c, w_rec_c, final
 
 
 def _fused_fwd(x, w_in, w_rec, peep, bias, lengths, bias_mult, clip,
                interpret, compute_dtype, need_dx):
-    h, c, gates, cb, hb, w_in_c, w_rec_c = _fwd_impl(
+    h, c, gates, cb, hb, w_in_c, w_rec_c, _final = _fwd_impl(
         x, w_in, w_rec, peep, bias, lengths, bias_mult, interpret,
         compute_dtype)
     return h, (x, w_in_c, w_rec_c, peep, lengths, h, c, gates, cb, hb)
 
 
-def _fused_bwd(bias_mult, clip, interpret, compute_dtype, need_dx,
-               residuals, dh):
+def _bwd_impl(bias_mult, clip, interpret, compute_dtype, need_dx,
+              residuals, dh, carry=None, dfinal=None, carry_t=None):
     x, w_in_c, w_rec_c, peep, lengths, h, c, gates, cb, hb = residuals
     T, B, _ = h.shape
     D, P, H4 = w_in_c.shape
@@ -614,6 +718,11 @@ def _fused_bwd(bias_mult, clip, interpret, compute_dtype, need_dx,
     lengths_2d = jnp.broadcast_to(lengths.astype(jnp.int32)[:, None], (B, 128))
 
     idx = _dir_index(NC, True)
+    carry_spec = _block((1, B, H), lambda d, k: (d, 0, 0))
+    carry_ins = ()
+    if carry is not None:
+        carry_ins = tuple(a.astype(jnp.float32)
+                          for a in (*carry, *dfinal))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0, grid=(D, NC),
         in_specs=[
@@ -630,7 +739,7 @@ def _fused_bwd(bias_mult, clip, interpret, compute_dtype, need_dx,
             _block((1, P, H4), lambda d, k: (d, 0, 0)),  # W_in (for dx)
             _block((1, H, H4), lambda d, k: (d, 0, 0)),
             _block((1, 3, H), lambda d, k: (d, 0, 0)),
-        ],
+        ] + [carry_spec] * len(carry_ins),  # h0, c0, dhf, dcf
         out_specs=([
             # per-direction preceding-layer error planes (summed outside)
             _block((1, CH, B, P), idx),
@@ -639,7 +748,7 @@ def _fused_bwd(bias_mult, clip, interpret, compute_dtype, need_dx,
             _block((1, H, H4), lambda d, k: (d, 0, 0)),   # dW_rec accum
             _block((1, 3, H), lambda d, k: (d, 0, 0)),    # dpeep accum
             _block((1, 1, H4), lambda d, k: (d, 0, 0)),   # dbias accum
-        ],
+        ] + ([carry_spec] * 2 if carry is not None else []),  # dh0, dc0
         scratch_shapes=[
             pltpu.VMEM((CH, B, H4), sdtype),   # the chunk's deltas
             pltpu.VMEM((B, H4), jnp.float32),
@@ -651,7 +760,8 @@ def _fused_bwd(bias_mult, clip, interpret, compute_dtype, need_dx,
         functools.partial(_bwd_kernel, T=T, CH=CH, NC=NC, clip=clip,
                           precision=prec, use3=_use3(compute_dtype),
                           fast=sdtype == jnp.dtype(jnp.bfloat16),
-                          with_dx=need_dx),
+                          with_dx=need_dx, carry=carry is not None,
+                          carry_t=T if carry_t is None else carry_t),
         grid_spec=grid_spec,
         out_shape=([
             jax.ShapeDtypeStruct((D, T, B, P), sdtype),
@@ -660,7 +770,10 @@ def _fused_bwd(bias_mult, clip, interpret, compute_dtype, need_dx,
             jax.ShapeDtypeStruct((D, H, H4), jnp.float32),
             jax.ShapeDtypeStruct((D, 3, H), jnp.float32),
             jax.ShapeDtypeStruct((D, 1, H4), jnp.float32),
-        ],
+        ] + ([
+            jax.ShapeDtypeStruct((D, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((D, B, H), jnp.float32),
+        ] if carry is not None else []),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * D * T * B * (2 * H + 2 * P) * H4 + 30 * D * T * B * H,
@@ -670,8 +783,12 @@ def _fused_bwd(bias_mult, clip, interpret, compute_dtype, need_dx,
             transcendentals=D * T * B * H,
         ),
     )(lengths_2d, x.astype(compute_dtype), dh.astype(sdtype), gates, c, cb,
-      h, hb, w_in_c, w_rec_c, peep)
+      h, hb, w_in_c, w_rec_c, peep, *carry_ins)
 
+    dcarry = None
+    if carry is not None:
+        dcarry = (outs[-2], outs[-1])
+        outs = outs[:-2]
     if need_dx:
         dxd, dw_in, dw_rec, dpeep, dbias = outs
         dx = (jnp.sum(dxd.astype(jnp.float32), axis=0) if D > 1
@@ -680,7 +797,68 @@ def _fused_bwd(bias_mult, clip, interpret, compute_dtype, need_dx,
         dw_in, dw_rec, dpeep, dbias = outs
         dx = jnp.zeros_like(x)  # symbolic zero; DCE'd (x is the data)
     dbias = bias_mult * dbias[:, 0, :]
+    return dx, dw_in, dw_rec, dpeep, dbias, dcarry
+
+
+def _fused_bwd(bias_mult, clip, interpret, compute_dtype, need_dx,
+               residuals, dh):
+    dx, dw_in, dw_rec, dpeep, dbias, _ = _bwd_impl(
+        bias_mult, clip, interpret, compute_dtype, need_dx, residuals, dh)
     return dx, dw_in, dw_rec, dpeep, dbias, None
 
 
 lstm_scan_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ------------------------------------------------------------- carry variant
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(8, 9, 10, 11, 12, 13))
+def lstm_scan_fused_carry(x, w_in, w_rec, peep, bias, lengths, h0, c0,
+                          bias_mult: float = 1.0, clip: bool = True,
+                          interpret: bool = False, compute_dtype=jnp.float32,
+                          need_dx: bool = True, carry_t: int = None):
+    """Fused LSTM scan from an explicit initial state, emitting the final
+    state — the primitive behind streaming inference (Network.apply_streaming
+    chunks) and sequence parallelism's per-device block scans
+    (parallel/sequence.py), which chain block scans through (h, c) carries.
+
+    h0, c0: [D, B, H] f32 initial state per direction (d=0 enters at t=0,
+    d=1 — the BLSTM backward half — at t=T-1). Returns (h [T, B, D*H] in
+    the storage dtype, (hf, cf) [D, B, H] f32 scan-final state, masked to
+    0 for rows past their length — exactly the chained-lax.scan carry).
+    Gradients flow to h0/c0; with zero carries the gradients equal
+    lstm_scan_fused's exactly (tested).
+
+    carry_t (static, default T): the timestep count of the REAL chunk when
+    trailing chunk-alignment padding was added — the d=0 final state is
+    captured at step carry_t-1 (padding steps are masked and would zero a
+    mid-stream carry)."""
+    h, _, _, _, _, _, _, final = _fwd_impl(
+        x, w_in, w_rec, peep, bias, lengths, bias_mult, interpret,
+        compute_dtype, want_residuals=False, carry=(h0, c0),
+        carry_t=carry_t)
+    return h, final
+
+
+def _fused_carry_fwd(x, w_in, w_rec, peep, bias, lengths, h0, c0, bias_mult,
+                     clip, interpret, compute_dtype, need_dx, carry_t):
+    h, c, gates, cb, hb, w_in_c, w_rec_c, final = _fwd_impl(
+        x, w_in, w_rec, peep, bias, lengths, bias_mult, interpret,
+        compute_dtype, carry=(h0, c0), carry_t=carry_t)
+    return (h, final), (x, w_in_c, w_rec_c, peep, lengths, h, c, gates, cb,
+                        hb, h0, c0)
+
+
+def _fused_carry_bwd(bias_mult, clip, interpret, compute_dtype, need_dx,
+                     carry_t, residuals, cts):
+    *res, h0, c0 = residuals
+    dh, (dhf, dcf) = cts
+    dx, dw_in, dw_rec, dpeep, dbias, dcarry = _bwd_impl(
+        bias_mult, clip, interpret, compute_dtype, need_dx, tuple(res), dh,
+        carry=(h0, c0), dfinal=(dhf, dcf), carry_t=carry_t)
+    dh0, dc0 = dcarry
+    return (dx, dw_in, dw_rec, dpeep, dbias, None,
+            dh0.astype(h0.dtype), dc0.astype(c0.dtype))
+
+
+lstm_scan_fused_carry.defvjp(_fused_carry_fwd, _fused_carry_bwd)

@@ -43,6 +43,43 @@ def test_streaming_matches_whole_sequence(rng, chunks):
                                rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.parametrize("chunks", [[4, 4, 4], [1, 5, 3, 3]])
+def test_streaming_fused_kernel_matches_scan(rng, chunks):
+    """backend=pallas_interpret routes apply_streaming chunks through the
+    carry-capable fused kernel (lstm_scan_fused_carry) — outputs and the
+    carried state must match the scan streaming path and the whole-sequence
+    apply (VERDICT r3 item #3)."""
+    net = Network(UNI_LAYERS, backend="pallas_interpret")
+    net.init_params(11)
+    params = jax.tree_util.tree_map(jnp.asarray, net.params)
+    t, b = sum(chunks), 3
+    x = jnp.asarray(rng.uniform(-1, 1, (t, b, 3)), jnp.float32)
+    pt = jnp.asarray(pattypes_from_lengths([t, t - 2, 4], t, b))
+
+    net_ref = Network(UNI_LAYERS, backend="scan")
+    net_ref.params = net.params
+    y_ref = net_ref.apply(params, x, pt)
+
+    state = net.init_stream_state(b)
+    state_ref = net_ref.init_stream_state(b)
+    outs, lo = [], 0
+    for c in chunks:
+        y, state = net.apply_streaming(params, x[lo:lo + c],
+                                       pt[lo:lo + c], state)
+        _, state_ref = net_ref.apply_streaming(params, x[lo:lo + c],
+                                               pt[lo:lo + c], state_ref)
+        outs.append(y)
+        lo += c
+    y_stream = jnp.concatenate(outs, axis=0)
+    np.testing.assert_allclose(np.asarray(y_stream), np.asarray(y_ref),
+                               rtol=2e-5, atol=2e-5)
+    # the carried state stays interchangeable with the scan path's
+    for name in state:
+        for got, want in zip(state[name], state_ref[name]):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=2e-5, atol=2e-5)
+
+
 def test_streaming_state_resets_on_sequence_end(rng):
     """A NONE slot zeroes the carried state (exactly as the whole-sequence
     mask does), so a new sequence started in a later chunk sees zero
