@@ -540,7 +540,9 @@ class Network:
         from lstm_rnn_tpu.ops.lstm_cell import _storage, round_up
         from lstm_rnn_tpu.ops.softmax_ce import (proj_tail_fits,
                                                  softmax_ce_fused,
-                                                 softmax_ce_proj_fused)
+                                                 softmax_ce_proj_fused,
+                                                 softmax_ce_wide_fused,
+                                                 wide_plan)
         s = self.specs[-2]
         s_dim = s.size
         sp = round_up(s_dim, 128)
@@ -549,17 +551,30 @@ class Network:
         tc2 = targets.astype(jnp.int32).reshape(t * b, 1)
         # wide softmax layers (LVCSR-scale state counts) exceed the proj
         # kernels' scoped-VMEM budget ([P, Sp] W + dW accumulator blocks) —
-        # fall through to materialized logits + the plain fused tail, whose
-        # row blocks shrink with Sp and always fit
-        if p_dim % 128 == 0 and proj_tail_fits(t * b, p_dim, sp,
-                                               self.compute_dtype):
+        # those route to the WIDE variant (Sp-column-blocked backward, tiny
+        # per-row residuals, ops/softmax_ce.py) instead of the materialized
+        # logits + plain-tail fallback, which paid three extra [N, Sp] HBM
+        # streams per step
+        if p_dim % 128 == 0:
             w = params[s.name]["W"]
             bb = params[s.name]["b"]
-            w_pad = jnp.pad(w, ((0, 0), (0, sp - s_dim)))
-            b_pad = jnp.pad(bb, (0, sp - s_dim))
-            return softmax_ce_proj_fused(
-                x.reshape(t * b, p_dim), w_pad, b_pad, tc2, s_dim,
-                float(s.bias), interpret, jnp.dtype(self.compute_dtype))
+            if proj_tail_fits(t * b, p_dim, sp, self.compute_dtype):
+                w_pad = jnp.pad(w, ((0, 0), (0, sp - s_dim)))
+                b_pad = jnp.pad(bb, (0, sp - s_dim))
+                return softmax_ce_proj_fused(
+                    x.reshape(t * b, p_dim), w_pad, b_pad, tc2, s_dim,
+                    float(s.bias), interpret, jnp.dtype(self.compute_dtype))
+            try:
+                spw, _sb, _rows = wide_plan(t * b, p_dim, s_dim,
+                                            self.compute_dtype)
+            except ValueError:
+                spw = None
+            if spw is not None:
+                w_pad = jnp.pad(w, ((0, 0), (0, spw - s_dim)))
+                b_pad = jnp.pad(bb, (0, spw - s_dim))
+                return softmax_ce_wide_fused(
+                    x.reshape(t * b, p_dim), w_pad, b_pad, tc2, s_dim,
+                    float(s.bias), interpret, jnp.dtype(self.compute_dtype))
         a = feedforward_forward(params[s.name], x, "identity", s.bias,
                                 self.compute_dtype)
         a2 = jnp.pad(a, ((0, 0), (0, 0), (0, sp - s_dim)))

@@ -110,28 +110,33 @@ def _block(shape, index_map):
 
 def _chunk_of(d, k, NC: int, reverse_scan: bool):
     """Chunk index for direction d at grid step k (both traced). d=0 scans
-    natural time ascending, d=1 descending; BPTT kernels flip both."""
+    natural time ascending, d=1 descending; BPTT kernels flip both.
+    Callers pass d + dir_offset: a D=1 kernel with dir_offset=1 runs its
+    single direction as the DESCENDING scan over natural-order arrays —
+    sequence parallelism's per-device block scan for the BLSTM backward
+    half (reversed copies would break the suffix-padding mask)."""
     fwd = (1 - d) * k + d * (NC - 1 - k)
     if reverse_scan:
         return (1 - d) * (NC - 1 - k) + d * k
     return fwd
 
 
-def _dir_index(NC: int, reverse_scan: bool):
-    return lambda d, k: (d, _chunk_of(d, k, NC, reverse_scan), 0, 0)
+def _dir_index(NC: int, reverse_scan: bool, off: int = 0):
+    return lambda d, k: (d, _chunk_of(d + off, k, NC, reverse_scan), 0, 0)
 
 
-def _x_index(NC: int, reverse_scan: bool):
+def _x_index(NC: int, reverse_scan: bool, off: int = 0):
     """x [T, B, P] has no direction axis; both directions read each chunk."""
-    return lambda d, k: (_chunk_of(d, k, NC, reverse_scan), 0, 0)
+    return lambda d, k: (_chunk_of(d + off, k, NC, reverse_scan), 0, 0)
 
 
-def _nb_index(NC: int):
+def _nb_index(NC: int, off: int = 0):
     """BPTT: chunk holding direction d's forward-scan-previous neighbor —
     chunk-1 for d=0 (its scan ascends), chunk+1 for d=1 (clamped)."""
     def f(d, k):
-        cur = _chunk_of(d, k, NC, True)
-        return (d, jnp.clip(cur - 1 + 2 * d, 0, NC - 1), 0, 0)
+        dd = d + off
+        cur = _chunk_of(dd, k, NC, True)
+        return (d, jnp.clip(cur - 1 + 2 * dd, 0, NC - 1), 0, 0)
     return f
 
 
@@ -158,7 +163,7 @@ def _cell_acts(fast: bool):
 
 def _fwd_kernel(lengths_ref, x_ref, w_in_ref, w_rec_ref, peep_ref, bias_ref,
                 *rest, T, CH, NC, bias_mult, precision, use3,
-                fast, save, carry, carry_t):
+                fast, save, carry, carry_t, dir_offset):
     """One direction's chunk per program. Blocks arrive pre-indexed (leading
     dim 1); the inner loop order and the mask time are direction-dependent.
     save=False is the INFERENCE variant (primal path outside jax.grad —
@@ -197,7 +202,7 @@ def _fwd_kernel(lengths_ref, x_ref, w_in_ref, w_rec_ref, peep_ref, bias_ref,
             c_scr[...] = jnp.zeros_like(c_scr)
 
     B, H = h_scr.shape
-    chunk = _chunk_of(d, k, NC, False)
+    chunk = _chunk_of(d + dir_offset, k, NC, False)
     w = w_rec_ref[0]
     sdtype = h_out_ref.dtype
     logistic, tanh2 = _cell_acts(fast)
@@ -255,11 +260,11 @@ def _fwd_kernel(lengths_ref, x_ref, w_in_ref, w_rec_ref, peep_ref, bias_ref,
             cb_out_ref[0, 0] = c
             hb_out_ref[0, 0] = h.astype(sdtype)
 
-    @pl.when(d == 0)
+    @pl.when(d + dir_offset == 0)
     def _():
         run(range(CH), True)
 
-    @pl.when(d != 0)
+    @pl.when(d + dir_offset != 0)
     def _():
         run(range(CH - 1, -1, -1), False)
 
@@ -267,7 +272,7 @@ def _fwd_kernel(lengths_ref, x_ref, w_in_ref, w_rec_ref, peep_ref, bias_ref,
 def _bwd_kernel(lengths_ref, x_ref, dh_ref, g_ref, c_ref, cb_ref,
                 h_ref, hb_ref, w_in_ref, w_rec_ref, peep_ref,
                 *rest, T, CH, NC, clip, precision, use3, fast, with_dx,
-                carry, carry_t):
+                carry, carry_t, dir_offset):
     """BPTT over saved gates, walking each direction's scan in reverse.
 
     The cross-chunk c_prev / h_prev come from the forward pass's boundary
@@ -318,7 +323,7 @@ def _bwd_kernel(lengths_ref, x_ref, dh_ref, g_ref, c_ref, cb_ref,
         dbias_ref[...] = jnp.zeros_like(dbias_ref)
 
     B, H = cse_scr.shape
-    chunk = _chunk_of(d, k, NC, True)
+    chunk = _chunk_of(d + dir_offset, k, NC, True)
     w = w_rec_ref[0]
     sdtype = dac_scr.dtype
     logistic, tanh2 = _cell_acts(fast)
@@ -478,11 +483,11 @@ def _bwd_kernel(lengths_ref, x_ref, dh_ref, g_ref, c_ref, cb_ref,
 
     # d=0's scan ascends time -> BPTT walks the chunk descending; d=1's scan
     # descends -> BPTT ascends
-    @pl.when(d == 0)
+    @pl.when(d + dir_offset == 0)
     def _():
         run(range(CH - 1, -1, -1), True)
 
-    @pl.when(d != 0)
+    @pl.when(d + dir_offset != 0)
     def _():
         run(range(CH), False)
 
@@ -612,7 +617,8 @@ def lstm_scan_fused(x, w_in, w_rec, peep, bias, lengths,
 
 
 def _fwd_impl(x, w_in, w_rec, peep, bias, lengths, bias_mult, interpret,
-              compute_dtype, want_residuals=True, carry=None, carry_t=None):
+              compute_dtype, want_residuals=True, carry=None, carry_t=None,
+              dir_offset=0):
     T, B, P = x.shape
     D, _, H4 = w_in.shape
     H = H4 // 4
@@ -626,7 +632,7 @@ def _fwd_impl(x, w_in, w_rec, peep, bias, lengths, bias_mult, interpret,
     w_in_c = w_in.astype(compute_dtype)
     w_rec_c = w_rec.astype(compute_dtype)
 
-    idx = _dir_index(NC, False)
+    idx = _dir_index(NC, False, dir_offset)
     carry_specs = ([_block((1, B, H), lambda d, k: (d, 0, 0))] * 2
                    if carry is not None else [])
     carry_ins = ((carry[0].astype(jnp.float32),
@@ -636,7 +642,7 @@ def _fwd_impl(x, w_in, w_rec, peep, bias, lengths, bias_mult, interpret,
         num_scalar_prefetch=0, grid=(D, NC),
         in_specs=[
             _block((B, 128), lambda d, k: (0, 0)),
-            _block((CH, B, P), _x_index(NC, False)),
+            _block((CH, B, P), _x_index(NC, False, dir_offset)),
             _block((1, P, H4), lambda d, k: (d, 0, 0)),
             _block((1, H, H4), lambda d, k: (d, 0, 0)),
             _block((1, 3, H), lambda d, k: (d, 0, 0)),
@@ -645,15 +651,18 @@ def _fwd_impl(x, w_in, w_rec, peep, bias, lengths, bias_mult, interpret,
         out_specs=[
             # h written straight into the NEXT layer's [T, B, D*H] layout
             # (block column d) — no [fw|bw] concatenation ever materializes
-            _block((CH, B, H), lambda d, k: (_chunk_of(d, k, NC, False),
-                                             0, d)),
+            _block((CH, B, H),
+                   lambda d, k: (_chunk_of(d + dir_offset, k, NC, False),
+                                 0, d)),
         ] + ([
             _block((1, CH, B, H), idx),
             _block((1, CH, B, H4), idx),
-            _block((1, 1, B, H), lambda d, k: (d, _chunk_of(d, k, NC, False),
-                                               0, 0)),
-            _block((1, 1, B, H), lambda d, k: (d, _chunk_of(d, k, NC, False),
-                                               0, 0)),
+            _block((1, 1, B, H),
+                   lambda d, k: (d, _chunk_of(d + dir_offset, k, NC, False),
+                                 0, 0)),
+            _block((1, 1, B, H),
+                   lambda d, k: (d, _chunk_of(d + dir_offset, k, NC, False),
+                                 0, 0)),
         ] if want_residuals else []) + carry_specs,
         scratch_shapes=[
             pltpu.VMEM((B, H), jnp.float32),
@@ -666,7 +675,8 @@ def _fwd_impl(x, w_in, w_rec, peep, bias, lengths, bias_mult, interpret,
                           use3=_use3(compute_dtype),
                           fast=sdtype == jnp.dtype(jnp.bfloat16),
                           save=want_residuals, carry=carry is not None,
-                          carry_t=T if carry_t is None else carry_t),
+                          carry_t=T if carry_t is None else carry_t,
+                          dir_offset=dir_offset),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((T, B, D * H), sdtype),
@@ -706,7 +716,8 @@ def _fused_fwd(x, w_in, w_rec, peep, bias, lengths, bias_mult, clip,
 
 
 def _bwd_impl(bias_mult, clip, interpret, compute_dtype, need_dx,
-              residuals, dh, carry=None, dfinal=None, carry_t=None):
+              residuals, dh, carry=None, dfinal=None, carry_t=None,
+              dir_offset=0):
     x, w_in_c, w_rec_c, peep, lengths, h, c, gates, cb, hb = residuals
     T, B, _ = h.shape
     D, P, H4 = w_in_c.shape
@@ -717,7 +728,7 @@ def _bwd_impl(bias_mult, clip, interpret, compute_dtype, need_dx,
     prec = _precision_of(compute_dtype)
     lengths_2d = jnp.broadcast_to(lengths.astype(jnp.int32)[:, None], (B, 128))
 
-    idx = _dir_index(NC, True)
+    idx = _dir_index(NC, True, dir_offset)
     carry_spec = _block((1, B, H), lambda d, k: (d, 0, 0))
     carry_ins = ()
     if carry is not None:
@@ -727,15 +738,17 @@ def _bwd_impl(bias_mult, clip, interpret, compute_dtype, need_dx,
         num_scalar_prefetch=0, grid=(D, NC),
         in_specs=[
             _block((B, 128), lambda d, k: (0, 0)),
-            _block((CH, B, P), _x_index(NC, True)),  # layer input
-            _block((CH, B, H), lambda d, k: (_chunk_of(d, k, NC, True),
-                                             0, d)),  # dh (direction column)
+            _block((CH, B, P), _x_index(NC, True, dir_offset)),  # layer input
+            _block((CH, B, H),
+                   lambda d, k: (_chunk_of(d + dir_offset, k, NC, True),
+                                 0, d)),  # dh (direction column)
             _block((1, CH, B, H4), idx),    # saved gates
             _block((1, CH, B, H), idx),     # c
-            _block((1, 1, B, H), _nb_index(NC)),  # scan-prev chunk's last c
-            _block((CH, B, H), lambda d, k: (_chunk_of(d, k, NC, True),
-                                             0, d)),  # h (for dW_rec)
-            _block((1, 1, B, H), _nb_index(NC)),  # scan-prev chunk's last h
+            _block((1, 1, B, H), _nb_index(NC, dir_offset)),  # prev chunk c
+            _block((CH, B, H),
+                   lambda d, k: (_chunk_of(d + dir_offset, k, NC, True),
+                                 0, d)),  # h (for dW_rec)
+            _block((1, 1, B, H), _nb_index(NC, dir_offset)),  # prev chunk h
             _block((1, P, H4), lambda d, k: (d, 0, 0)),  # W_in (for dx)
             _block((1, H, H4), lambda d, k: (d, 0, 0)),
             _block((1, 3, H), lambda d, k: (d, 0, 0)),
@@ -761,7 +774,8 @@ def _bwd_impl(bias_mult, clip, interpret, compute_dtype, need_dx,
                           precision=prec, use3=_use3(compute_dtype),
                           fast=sdtype == jnp.dtype(jnp.bfloat16),
                           with_dx=need_dx, carry=carry is not None,
-                          carry_t=T if carry_t is None else carry_t),
+                          carry_t=T if carry_t is None else carry_t,
+                          dir_offset=dir_offset),
         grid_spec=grid_spec,
         out_shape=([
             jax.ShapeDtypeStruct((D, T, B, P), sdtype),
@@ -812,11 +826,12 @@ lstm_scan_fused.defvjp(_fused_fwd, _fused_bwd)
 
 # ------------------------------------------------------------- carry variant
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(8, 9, 10, 11, 12, 13))
+                   nondiff_argnums=(8, 9, 10, 11, 12, 13, 14))
 def lstm_scan_fused_carry(x, w_in, w_rec, peep, bias, lengths, h0, c0,
                           bias_mult: float = 1.0, clip: bool = True,
                           interpret: bool = False, compute_dtype=jnp.float32,
-                          need_dx: bool = True, carry_t: int = None):
+                          need_dx: bool = True, carry_t: int = None,
+                          dir_offset: int = 0):
     """Fused LSTM scan from an explicit initial state, emitting the final
     state — the primitive behind streaming inference (Network.apply_streaming
     chunks) and sequence parallelism's per-device block scans
@@ -832,30 +847,38 @@ def lstm_scan_fused_carry(x, w_in, w_rec, peep, bias, lengths, h0, c0,
     carry_t (static, default T): the timestep count of the REAL chunk when
     trailing chunk-alignment padding was added — the d=0 final state is
     captured at step carry_t-1 (padding steps are masked and would zero a
-    mid-stream carry)."""
+    mid-stream carry).
+
+    dir_offset=1 (static; D must be 1) runs the single direction as the
+    DESCENDING scan over natural-order arrays — sequence parallelism's
+    block scan for the BLSTM backward half: the carry then ENTERS at
+    t=T-1 and the final state is the masked state at t=0."""
     h, _, _, _, _, _, _, final = _fwd_impl(
         x, w_in, w_rec, peep, bias, lengths, bias_mult, interpret,
         compute_dtype, want_residuals=False, carry=(h0, c0),
-        carry_t=carry_t)
+        carry_t=carry_t, dir_offset=dir_offset)
     return h, final
 
 
 def _fused_carry_fwd(x, w_in, w_rec, peep, bias, lengths, h0, c0, bias_mult,
-                     clip, interpret, compute_dtype, need_dx, carry_t):
+                     clip, interpret, compute_dtype, need_dx, carry_t,
+                     dir_offset):
     h, c, gates, cb, hb, w_in_c, w_rec_c, final = _fwd_impl(
         x, w_in, w_rec, peep, bias, lengths, bias_mult, interpret,
-        compute_dtype, carry=(h0, c0), carry_t=carry_t)
+        compute_dtype, carry=(h0, c0), carry_t=carry_t,
+        dir_offset=dir_offset)
     return (h, final), (x, w_in_c, w_rec_c, peep, lengths, h, c, gates, cb,
                         hb, h0, c0)
 
 
 def _fused_carry_bwd(bias_mult, clip, interpret, compute_dtype, need_dx,
-                     carry_t, residuals, cts):
+                     carry_t, dir_offset, residuals, cts):
     *res, h0, c0 = residuals
     dh, (dhf, dcf) = cts
     dx, dw_in, dw_rec, dpeep, dbias, dcarry = _bwd_impl(
         bias_mult, clip, interpret, compute_dtype, need_dx, tuple(res), dh,
-        carry=(h0, c0), dfinal=(dhf, dcf), carry_t=carry_t)
+        carry=(h0, c0), dfinal=(dhf, dcf), carry_t=carry_t,
+        dir_offset=dir_offset)
     dh0, dc0 = dcarry
     return (dx, dw_in, dw_rec, dpeep, dbias, None,
             dh0.astype(h0.dtype), dc0.astype(c0.dtype))

@@ -90,7 +90,9 @@ def _safe_exp(x):
 
 
 def _row_probs(a, S: int):
-    """CURRENNT softmax over the real lanes of one [R, Sp] block (f32)."""
+    """CURRENNT softmax over the real lanes of one [R, Sp] block (f32).
+    Returns (p, col, off, ssum) — the offset/sum are the wide tail's
+    per-row residuals (backward recomputes p from the logits block)."""
     Sp = a.shape[-1]
     col = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
     real = col < S
@@ -98,27 +100,37 @@ def _row_probs(a, S: int):
     mn = jnp.min(jnp.where(real, a, jnp.inf), axis=-1, keepdims=True)
     # the reference's max search STARTS at FLT_MIN (SoftmaxLayer.cu:60)
     mx = jnp.maximum(jnp.max(a, axis=-1, keepdims=True), REAL_MIN)
-    e = _safe_exp(a - 0.5 * (mn + mx))
-    return e / jnp.sum(e, axis=-1, keepdims=True), col
+    off = 0.5 * (mn + mx)
+    e = _safe_exp(a - off)
+    ssum = jnp.sum(e, axis=-1, keepdims=True)
+    return e / ssum, col, off, ssum
 
 
-def _tail_fwd_body(a, tc_ref, p_ref, loss_ref, cnt_ref, *, S, first_step):
+def _tail_fwd_body(a, tc_ref, p_ref, loss_ref, cnt_ref, *, S, first_step,
+                   stats_refs=None):
     """Shared forward tail from f32 logits `a` [R, Sp]: write p (p_ref=None
     on the inference path: no residual store), accumulate the block's loss
-    and correct-count partials."""
+    and correct-count partials. stats_refs=(off, sum, pt) — the wide tail's
+    tiny per-row residuals written INSTEAD of the [N, Sp] p tensor."""
     @pl.when(first_step)
     def _():
         loss_ref[...] = jnp.zeros_like(loss_ref)
         cnt_ref[...] = jnp.zeros_like(cnt_ref)
 
-    p, col = _row_probs(a, S)
+    p, col, off, ssum = _row_probs(a, S)
     if p_ref is not None:
         p_ref[...] = p.astype(p_ref.dtype)
 
     tc = tc_ref[...]  # [R, 1] int32; -1 = dummy
     valid = (tc >= 0).astype(jnp.float32)
     onehot = (col == tc).astype(jnp.float32)  # zero everywhere for tc < 0
-    p_c = jnp.maximum(jnp.sum(p * onehot, axis=-1, keepdims=True), REAL_MIN)
+    p_t = jnp.sum(p * onehot, axis=-1, keepdims=True)
+    if stats_refs is not None:
+        off_ref, sum_ref, pt_ref = stats_refs
+        off_ref[...] = off
+        sum_ref[...] = ssum
+        pt_ref[...] = p_t
+    p_c = jnp.maximum(p_t, REAL_MIN)
     # Mosaic cannot store scalars to VMEM: accumulate the block partial
     # into every lane of a [1, 128] vector (any lane then holds the total)
     loss_ref[...] += jnp.full(loss_ref.shape, -jnp.sum(jnp.log(p_c) * valid),
@@ -428,3 +440,225 @@ def _proj_fused_bwd(S, bias_mult, interpret, compute_dtype, res, cts):
 
 
 softmax_ce_proj_fused.defvjp(_proj_fused_fwd, _proj_fused_bwd)
+
+
+# --------------------------------------------------------------------------
+# Wide (LVCSR-scale) variant: when Sp is in the thousands the proj-fused
+# kernels cannot hold their [P, Sp] W / dW blocks in VMEM (proj_tail_fits
+# rejects them). The previous recourse — materialized logits + the plain
+# fused tail — paid three [N, Sp]-sized residual/intermediate streams (the
+# p residual, and dz read twice by the outside dh/dW matmuls). This variant
+# keeps the forward's single XLA projection matmul (optimal MXU tiling for
+# a [N, P] x [P, Sp] problem — a row-blocked in-kernel matmul would restream
+# W N/rows times), but:
+#
+# - forward: a row-blocked Pallas pass over the logits emits loss/count and
+#   THREE [N, 1] per-row stats (CURRENNT offset, exp-sum, target prob) —
+#   the [N, Sp] probability tensor never exists; the logits themselves are
+#   the residual (stored once, in the storage dtype);
+# - backward: ONE kernel on an (Sp-blocks, row-blocks) grid recomputes each
+#   p block from the logits + stats (VPU only — bit-identical: the stats
+#   were computed from the same rounded logits), builds dz in-block, writes
+#   it once, and accumulates dW / db into REVISITED [P, SB] column blocks
+#   (the same revisit trick as the LSTM kernels' dW_in,
+#   ops/lstm_cell.py). dh = dz . W^T runs as one XLA matmul outside.
+#
+# Per step this removes ~3 [N, Sp] HBM streams vs the fallback and never
+# holds more than [P, SB] of dW in VMEM, so it scales to any state count.
+
+_WIDE_ROWS = 256   # backward row block (VMEM-fitted by wide_plan)
+_WIDE_SB = 1024    # backward Sp column block
+
+# Set only by ops/vmem_probe.py while AOT-compiling a candidate (SB, rows)
+# point; forces wide_plan's blocks so the probe measures exactly them.
+_wide_override = None
+
+
+def _wide_analytic(P: int, compute_dtype):
+    """Analytic (SB, rows) for the wide backward kernel:
+      fixed   = P*SB*4 (the dW accumulator block)
+      per-row = SB*(2*itemsize + 5*4) (a + dz blocks, ~5 f32 temps)
+                + P*itemsize (the h block)
+    """
+    from lstm_rnn_tpu.ops.lstm_cell import _storage
+    item = jnp.dtype(_storage(compute_dtype)).itemsize
+    for sb in (_WIDE_SB, 512, 256, 128):
+        fixed = P * sb * 4
+        per_row = sb * (2 * item + 5 * 4) + P * item
+        cap = (_VMEM_BUDGET - fixed) // per_row if fixed < _VMEM_BUDGET else 0
+        rows = _WIDE_ROWS
+        while rows > max(cap, 0):
+            rows //= 2
+        if rows >= (64 if sb > 128 else 8):
+            return sb, rows
+    return None
+
+
+def wide_plan(N: int, P: int, S: int, compute_dtype=jnp.float32,
+              analytic_only: bool = False):
+    """(Sp_w, SB, rows) for the wide tail at this shape point: SB divides
+    Sp_w (S is padded UP to a multiple of SB — callers pad W/b/logits with
+    zero columns, masked by construction), and the backward kernel's
+    resident set fits the VMEM budget. A device-probed verdict for this
+    (P, dtype) point (ops/vmem_probe.py), when recorded, overrides the
+    analytic model in both directions; a recorded no-blocks-fit verdict
+    raises (callers fall back to materialized logits + the plain tail)."""
+    if _wide_override is not None:
+        sb, rows = _wide_override
+        return -(-S // sb) * sb, sb, _pick_rows(N, rows)
+    if not analytic_only:
+        from lstm_rnn_tpu.ops.vmem_probe import (lookup_wide_blocks,
+                                                 wide_known_unfit)
+        if wide_known_unfit(P, compute_dtype):
+            raise ValueError(
+                f"wide softmax tail: device probe recorded no (SB, rows) "
+                f"block fits for P={P}")
+        probed = lookup_wide_blocks(P, compute_dtype)
+        if probed is not None:
+            sb, rows = probed
+            return -(-S // sb) * sb, sb, _pick_rows(N, rows)
+    pick = _wide_analytic(P, compute_dtype)
+    if pick is None:
+        raise ValueError(
+            f"wide softmax tail cannot fit any (SB, rows) block for P={P}")
+    sb, rows = pick
+    return -(-S // sb) * sb, sb, _pick_rows(N, rows)
+
+
+def _fwd_wide_kernel(a_ref, tc_ref, loss_ref, cnt_ref, off_ref, sum_ref,
+                     pt_ref, *, S):
+    _tail_fwd_body(a_ref[...].astype(jnp.float32), tc_ref, None, loss_ref,
+                   cnt_ref, S=S, first_step=pl.program_id(0) == 0,
+                   stats_refs=(off_ref, sum_ref, pt_ref))
+
+
+def _bwd_wide_kernel(a_ref, h_ref, tc_ref, off_ref, sum_ref, pt_ref, g_ref,
+                     dz_ref, dw_ref, db_ref, *, S, SB, precision, use3):
+    from lstm_rnn_tpu.ops.lstm_cell import _kdot
+    s = pl.program_id(0)
+    r = pl.program_id(1)
+
+    @pl.when(r == 0)
+    def _():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    a = a_ref[...].astype(jnp.float32)
+    col = s * SB + jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
+    e = jnp.where(col < S, _safe_exp(a - off_ref[...]), 0.0)
+    p = e / sum_ref[...]
+    tc = tc_ref[...]
+    onehot = (col == tc).astype(jnp.float32)
+    p_c = jnp.maximum(pt_ref[...], REAL_MIN)
+    inv = -1.0 / p_c
+    srow = pt_ref[...] * inv
+    valid = (tc >= 0).astype(jnp.float32)
+    dz = p * (onehot * inv - srow) * valid * g_ref[0, 0]
+    dzc = dz.astype(dz_ref.dtype)
+    dz_ref[...] = dzc
+    # dW / db accumulate into the REVISITED per-column blocks (r is the
+    # inner grid axis, so each (s, *) sweep keeps its block in VMEM)
+    dw_ref[...] += _kdot(h_ref[...], dzc, (((0,), (0,)), ((), ())),
+                         precision, use3)
+    db_ref[...] += jnp.sum(dz, axis=0, keepdims=True)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def softmax_ce_wide_fused(h2, W, b, targets, S: int, bias_mult: float,
+                          interpret: bool = False,
+                          compute_dtype=jnp.float32):
+    """LVCSR-scale fused tail: h2 [N, P] (P % 128 == 0), W [P, Sp_w],
+    b [Sp_w] (caller pads to wide_plan's Sp_w with zero columns), targets
+    [N, 1] int32. Returns (loss f32, correct count i32); gradients flow to
+    h2, W, b. Reference hot path: SoftmaxLayer.cu:251-353 +
+    MulticlassClassificationLayer.cu:195-240."""
+    (loss, cnt), _ = _wide_fwd_impl(h2, W, b, targets, S, bias_mult,
+                                    interpret, compute_dtype)
+    return loss, cnt
+
+
+def _wide_fwd_impl(h2, W, b, targets, S, bias_mult, interpret,
+                   compute_dtype):
+    from lstm_rnn_tpu.ops.lstm_cell import (_kdot, _precision_of, _storage,
+                                            _use3)
+    N, P = h2.shape
+    Spw = W.shape[1]
+    sdtype = _storage(compute_dtype)
+    hc = h2.astype(sdtype)
+    wc = W.astype(sdtype)
+    # ONE XLA projection matmul (the optimal tiling for this shape); the
+    # tail consumes the ROUNDED logits so the backward recompute of p from
+    # the stored a is bit-identical to the forward's stats
+    a = _kdot(hc, wc, (((1,), (0,)), ((), ())),
+              _precision_of(compute_dtype), _use3(compute_dtype))
+    a = (a + bias_mult * b.astype(jnp.float32)).astype(sdtype)
+    rows = _row_block(N, Spw, store_dtype=compute_dtype)
+    grid = (N // rows,)
+    stat = jax.ShapeDtypeStruct((N, 1), jnp.float32)
+    loss, cnt, off, ssum, pt = pl.pallas_call(
+        functools.partial(_fwd_wide_kernel, S=S),
+        grid=grid,
+        in_specs=[_blockspec((rows, Spw), lambda k: (k, 0)),
+                  _blockspec((rows, 1), lambda k: (k, 0))],
+        out_specs=[_blockspec((1, 128), lambda k: (0, 0)),
+                   _blockspec((1, 128), lambda k: (0, 0)),
+                   _blockspec((rows, 1), lambda k: (k, 0)),
+                   _blockspec((rows, 1), lambda k: (k, 0)),
+                   _blockspec((rows, 1), lambda k: (k, 0))],
+        out_shape=[jax.ShapeDtypeStruct((1, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 128), jnp.int32),
+                   stat, stat, stat],
+        interpret=interpret,
+    )(a, targets)
+    return (loss[0, 0], cnt[0, 0]), (a, hc, wc, targets, off, ssum, pt)
+
+
+def _wide_fused_fwd(h2, W, b, targets, S, bias_mult, interpret,
+                    compute_dtype):
+    (loss, cnt), res = _wide_fwd_impl(h2, W, b, targets, S, bias_mult,
+                                      interpret, compute_dtype)
+    return (loss, cnt), res + (jnp.zeros((0,), h2.dtype),
+                               jnp.zeros((0,), W.dtype))
+
+
+def _wide_fused_bwd(S, bias_mult, interpret, compute_dtype, res, cts):
+    from lstm_rnn_tpu.ops.lstm_cell import (_kdot, _precision_of, _storage,
+                                            _use3)
+    g_loss, _g_cnt = cts
+    a, hc, wc, targets, off, ssum, pt, h_token, w_token = res
+    N, P = hc.shape
+    Spw = a.shape[1]
+    sdtype = _storage(compute_dtype)
+    _spw, SB, rows = wide_plan(N, P, Spw, compute_dtype)
+    while Spw % SB:
+        # the caller padded Spw for a different SB (e.g. a probe verdict
+        # landed between trace and grad); Spw is always a 128 multiple
+        SB //= 2
+    grid = (Spw // SB, N // rows)
+    g = jnp.reshape(g_loss.astype(jnp.float32), (1, 1))
+    stat_spec = _blockspec((rows, 1), lambda s, r: (r, 0))
+    dz, dw, db = pl.pallas_call(
+        functools.partial(_bwd_wide_kernel, S=S, SB=SB,
+                          precision=_precision_of(compute_dtype),
+                          use3=_use3(compute_dtype)),
+        grid=grid,
+        in_specs=[_blockspec((rows, SB), lambda s, r: (r, s)),
+                  _blockspec((rows, P), lambda s, r: (r, 0)),
+                  stat_spec, stat_spec, stat_spec, stat_spec,
+                  _blockspec((1, 1), lambda s, r: (0, 0))],
+        out_specs=[_blockspec((rows, SB), lambda s, r: (r, s)),
+                   _blockspec((P, SB), lambda s, r: (0, s)),
+                   _blockspec((1, SB), lambda s, r: (0, s))],
+        out_shape=[jax.ShapeDtypeStruct((N, Spw), sdtype),
+                   jax.ShapeDtypeStruct((P, Spw), jnp.float32),
+                   jax.ShapeDtypeStruct((1, Spw), jnp.float32)],
+        interpret=interpret,
+    )(a, hc, targets, off, ssum, pt, g)
+    # preceding-layer error: one XLA matmul over the fresh dz
+    dh = _kdot(dz, wc, (((1,), (1,)), ((), ())),
+               _precision_of(compute_dtype), _use3(compute_dtype))
+    return (dh.astype(h_token.dtype), dw.astype(w_token.dtype),
+            bias_mult * db[0], None)
+
+
+softmax_ce_wide_fused.defvjp(_wide_fused_fwd, _wide_fused_bwd)

@@ -285,6 +285,113 @@ def _tail_probe_compile(P: int, Sp: int, rows: int, compute_dtype,
         sc._rows_override = old
 
 
+# ---------------------------------------------------------------- wide tail
+# The LVCSR-scale wide tail's backward kernel (softmax_ce_wide_fused) is
+# blocked in BOTH grid axes; its VMEM footprint depends on (P, SB, rows,
+# dtype) but NOT on the total state count, so one probed verdict per
+# (P, dtype) covers every wide net on this machine.
+
+def _wide_key(P: int, sb: int, rows: int, compute_dtype) -> str:
+    from lstm_rnn_tpu.ops.lstm_cell import _storage, _use3
+    mode = "x3" if _use3(compute_dtype) else ""
+    return (f"{_device_kind()}|{TAIL_VERSION}|tailwide|P{P}|S{sb}|r{rows}|"
+            f"{_storage(compute_dtype).name}{mode}")
+
+
+def _wide_candidates(P: int, compute_dtype):
+    """(SB, rows) candidates, best-first: the analytic pick, one clawback
+    step above it, then the descending ladder below it."""
+    from lstm_rnn_tpu.ops import softmax_ce as sc
+    pick = sc._wide_analytic(P, compute_dtype)
+    if pick is None:
+        pick = (128, 8)
+    sb0, rows0 = pick
+    out = []
+    if rows0 * 2 <= sc._WIDE_ROWS:
+        out.append((sb0, rows0 * 2))  # claw back grid overhead if it fits
+    sb, rows = sb0, rows0
+    while True:
+        out.append((sb, rows))
+        if rows > 8:
+            rows //= 2
+        elif sb > 128:
+            sb //= 2
+            rows = rows0
+        else:
+            return out
+
+
+def lookup_wide_blocks(P: int, compute_dtype):
+    """Largest device-VALIDATED (SB, rows) for the wide backward kernel at
+    this (P, dtype), or None when unprobed. Table read only."""
+    table = _load()
+    for sb, rows in _wide_candidates(P, compute_dtype):
+        if table.get(_wide_key(P, sb, rows, compute_dtype)):
+            return sb, rows
+    return None
+
+
+def wide_known_unfit(P: int, compute_dtype) -> bool:
+    """True when the probe RECORDED that even the smallest (128, 8) block
+    overflows for this (P, dtype). False when unprobed."""
+    table = _load()
+    if table.get(_wide_key(P, 128, 8, compute_dtype)) is not False:
+        return False
+    return lookup_wide_blocks(P, compute_dtype) is None
+
+
+def _wide_probe_compile(P: int, sb: int, rows: int, compute_dtype) -> bool:
+    """AOT-compile the wide tail fwd+bwd at forced (SB, rows); True iff
+    Mosaic accepts the scoped-VMEM footprint. Nothing is executed."""
+    import jax
+    import jax.numpy as jnp
+
+    from lstm_rnn_tpu.ops import softmax_ce as sc
+
+    N = 2 * rows
+    spw = 2 * sb  # two column blocks: exercises the revisited dW blocks
+    # only the BACKWARD blocks are forced: the forward's row block keeps
+    # its own analytic cap (_row_block), shared with the plain tail
+    old_wide = sc._wide_override
+    sc._wide_override = (sb, rows)
+    try:
+        def loss(h, W, b, tc):
+            return sc.softmax_ce_wide_fused(
+                h, W, b, tc, spw - 1, 1.0, False,
+                jnp.dtype(compute_dtype))[0]
+
+        g = jax.grad(loss, argnums=(0, 1, 2))
+        shapes = (jax.ShapeDtypeStruct((N, P), jnp.float32),
+                  jax.ShapeDtypeStruct((P, spw), jnp.float32),
+                  jax.ShapeDtypeStruct((spw,), jnp.float32),
+                  jax.ShapeDtypeStruct((N, 1), jnp.int32))
+        return _compiles(g, shapes)
+    finally:
+        sc._wide_override = old_wide
+
+
+def ensure_wide_validated(P: int, compute_dtype, verbose: bool = True):
+    """Probe (SB, rows) candidates (best-first) for the wide tail at this
+    (P, dtype) point; record every verdict on disk. Returns the validated
+    (SB, rows), or None when even (128, 8) overflows. Call EAGERLY on the
+    target backend — never inside a trace."""
+    with _LOCK:
+        table = _load()
+        for sb, rows in _wide_candidates(P, compute_dtype):
+            key = _wide_key(P, sb, rows, compute_dtype)
+            verdict = table.get(key)
+            if verdict is None:
+                if verbose:
+                    print(f"vmem_probe: compiling wide tail (P={P}, "
+                          f"SB={sb}, rows={rows}) ...", flush=True)
+                verdict = _wide_probe_compile(P, sb, rows, compute_dtype)
+                table[key] = verdict
+                _save()
+            if verdict:
+                return sb, rows
+        return None
+
+
 def ensure_tail_validated(P: int, Sp: int, compute_dtype, proj: bool,
                           verbose: bool = True) -> int:
     """Probe candidate row blocks (largest first) for the fused tail at

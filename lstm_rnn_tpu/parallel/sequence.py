@@ -170,19 +170,120 @@ def _wavefront(dirs, gclip, axis: str, n: int):
             for st, d in zip(state, dirs)]
 
 
+def _fused_wavefront(params, x, pattypes, bias_mult, bidirectional, axis,
+                     n, clip_gradients, compute_dtype, interpret):
+    """The wavefront on the carry-capable fused kernel: each device's block
+    scan runs lstm_scan_fused_carry (D=1; dir_offset=1 for the BLSTM
+    backward half — descending scan over natural-order arrays), chained by
+    the same ppermute carry hops as the lax.scan wavefront. The input
+    projection moves IN-KERNEL (each device is active exactly once per
+    direction, so total projection FLOPs are unchanged); weights are padded
+    once per layer call, outside the round scan."""
+    from lstm_rnn_tpu.ops.lstm_cell import (_storage, lstm_scan_fused_carry,
+                                            round_up)
+    w_in, w_rec, b, peep = (params["W_in"], params["W_rec"], params["b"],
+                            params["peep"])
+    tl, bsz, pdim = x.shape
+    hdim = w_in.shape[-1]
+    D = 2 if bidirectional else 1
+    hp = round_up(hdim, 128)
+    pp = round_up(pdim, 128)
+    bgran = 16 if _storage(compute_dtype).itemsize == 2 else 8
+    bp = round_up(bsz, bgran)
+    if tl % 16:
+        raise ValueError(
+            f"fused sequence parallelism needs the local time block ({tl}) "
+            "to be a multiple of 16 (chunk-alignment padding would zero "
+            "mid-stream carries) — _pad_time(granule=16) guarantees this")
+
+    def padw(a, ax, target):
+        widths = [(0, 0)] * a.ndim
+        widths[ax] = (0, target - a.shape[ax])
+        return jnp.pad(a, widths)
+
+    w_in_p = padw(padw(w_in, 3, hp), 1, pp)
+    w_rec_p = padw(padw(w_rec, 3, hp), 1, hp)
+    b_p = padw(b, 2, hp)
+    peep_p = padw(peep, 2, hp)
+    xx = padw(padw(x.astype(compute_dtype), 2, pp), 1, bp)
+    lengths = padw(jnp.sum((pattypes != 0).astype(jnp.int32), axis=0), 0, bp)
+
+    idx = jax.lax.axis_index(axis)
+    chans = []
+    for d in range(D):
+        if d == 0:
+            active_round, shift = idx, 1
+        else:
+            active_round, shift = n - 1 - idx, -1
+        perm = [(i, i + shift) for i in range(n) if 0 <= i + shift < n]
+        chans.append((d, active_round, perm))
+
+    dt = jnp.float32
+
+    def tick(state, r):
+        ran = []
+        for (d, active, _perm), st in zip(chans, state):
+            def run(op, d=d):
+                h0, c0, _ys = op
+                h0p = padw(padw(h0[None], 2, hp), 1, bp)
+                c0p = padw(padw(c0[None], 2, hp), 1, bp)
+                y, (hf, cf) = lstm_scan_fused_carry(
+                    xx, w_in_p[d:d + 1].reshape(1, pp, 4 * hp),
+                    w_rec_p[d:d + 1].reshape(1, hp, 4 * hp),
+                    peep_p[d:d + 1], b_p[d:d + 1].reshape(1, 4 * hp),
+                    lengths, h0p, c0p, float(bias_mult), clip_gradients,
+                    interpret, jnp.dtype(compute_dtype), True, None, d)
+                return (hf[0, :bsz, :hdim].astype(dt),
+                        cf[0, :bsz, :hdim].astype(dt),
+                        y[:tl, :bsz, :hdim].astype(dt))
+
+            ran.append(jax.lax.cond(jnp.equal(active, r), run,
+                                    lambda op: op, st))
+        new = []
+        for (_d, _act, perm), (h_c, c_c, ys) in zip(chans, ran):
+            if perm:
+                h_c = jax.lax.ppermute(h_c, axis, perm)
+                c_c = jax.lax.ppermute(c_c, axis, perm)
+            new.append((h_c, c_c, ys))
+        return tuple(new), None
+
+    state0 = tuple(
+        (jnp.zeros((bsz, hdim), dt), jnp.zeros((bsz, hdim), dt),
+         jnp.zeros((tl, bsz, hdim), dt))
+        for _ in chans)
+    # same per-round checkpoint as the scan wavefront (see _wavefront)
+    state, _ = jax.lax.scan(jax.checkpoint(tick, prevent_cse=False),
+                            state0, jnp.arange(n))
+    ys = [st[2] for st in state]
+    return ys[0] if not bidirectional else jnp.concatenate(ys, axis=-1)
+
+
 def lstm_forward_seq(params, x, pattypes, bias_mult: float,
                      bidirectional: bool, axis: str, n: int,
                      clip_gradients: bool = True,
-                     compute_dtype=jnp.float32):
+                     compute_dtype=jnp.float32, backend: str = "scan"):
     """Time-sharded LSTM layer; call INSIDE shard_map over `axis`.
 
     x: this device's [Tl, B, P] block; pattypes: [Tl, B]. Returns the
     local [Tl, B, L] output block (L = H or 2H, [fw | bw] per frame as in
     ResortOutputsFn, LstmLayer.cu:140-161). The input projection + bias
     runs block-local (the parallel win); only the recurrence wavefronts.
+
+    backend: "scan" (default) or pallas/pallas_interpret/auto — the fused
+    carry kernel then runs each device's block scan (~3x the scan cell
+    rate on device), chained by the same ppermute carries.
     """
     w_in, w_rec, b, peep = (params["W_in"], params["W_rec"], params["b"],
                             params["peep"])
+    if backend != "scan":
+        from lstm_rnn_tpu.models.lstm import _resolve_fused
+        use_fused, interp = _resolve_fused(backend, w_in.shape[-1],
+                                           x.shape[-1], x.shape[1],
+                                           compute_dtype)
+        if use_fused and x.shape[0] % 16 == 0:
+            return _fused_wavefront(params, x, pattypes, bias_mult,
+                                    bidirectional, axis, n, clip_gradients,
+                                    compute_dtype, interp)
     gclip = grad_clip if clip_gradients else (lambda v: v)
 
     acts = jnp.einsum("tbp,dpgh->tdbgh", x.astype(compute_dtype),
@@ -200,11 +301,14 @@ def lstm_forward_seq(params, x, pattypes, bias_mult: float,
     return ys[0] if not bidirectional else jnp.concatenate(ys, axis=-1)
 
 
-def _pad_time(x, targets, pattypes, n: int):
-    """Pad T to a multiple of the seq-axis size with PATTYPE_NONE rows —
-    numerically inert (losses/counters mask them; the LSTM zeroes h/c)."""
+def _pad_time(x, targets, pattypes, n: int, granule: int = 1):
+    """Pad T to a multiple of n*granule with PATTYPE_NONE rows —
+    numerically inert (losses/counters mask them; the LSTM zeroes h/c).
+    granule=16 when the fused kernel may run the block scans: every local
+    block is then a whole number of kernel chunks, so no device ever adds
+    LOCAL time padding (which would zero mid-stream carries)."""
     t = x.shape[0]
-    tp = -(-t // n) * n
+    tp = -(-t // (n * granule)) * n * granule
     dt = tp - t
     if not dt:
         return x, targets, pattypes, t
@@ -245,7 +349,12 @@ def _seq_run(net, params, x, targets, pattypes, mesh, axis, want_outputs):
 
     n = int(mesh.shape[axis])
     data_ax = "data" if "data" in mesh.axis_names else None
-    x, targets, pattypes, t = _pad_time(x, targets, pattypes, n)
+    # chunk-granule padding only when block scans can take the fused path
+    # (auto resolves to scan off-TPU — don't inflate T for nothing)
+    granule = 16 if (net.backend in ("pallas", "pallas_interpret")
+                     or (net.backend == "auto"
+                         and jax.default_backend() == "tpu")) else 1
+    x, targets, pattypes, t = _pad_time(x, targets, pattypes, n, granule)
 
     def local(prm, x_loc, tg_loc, pt_loc):
         h = x_loc
@@ -255,7 +364,8 @@ def _seq_run(net, params, x, targets, pattypes, mesh, axis, want_outputs):
                 h = lstm_forward_seq(p, h, pt_loc, s.bias,
                                      ioc.LSTM_TYPES[s.type], axis, n,
                                      clip_gradients=net.clip_gradients,
-                                     compute_dtype=net.compute_dtype)
+                                     compute_dtype=net.compute_dtype,
+                                     backend=net.backend)
             elif s.type == "softmax":
                 h = softmax_forward(p, h, s.bias, net.compute_dtype)
             else:

@@ -288,11 +288,18 @@ class Trainer:
                 p_dim = net._pad_plan()[-1][2]  # softmax's padded fan-in
             else:
                 p_dim = net.specs[-3].size
-            proj_ok = False
+            proj_ok = wide_ok = False
             if p_dim % 128 == 0:
                 proj_ok = ensure_tail_validated(p_dim, sp, net.compute_dtype,
                                                 proj=True) > 0
-            if not proj_ok:
+                if not proj_ok:
+                    # LVCSR-scale route: validate the wide tail's (SB,
+                    # rows) point for this fan-in before the step compiles
+                    from lstm_rnn_tpu.ops.vmem_probe import (
+                        ensure_wide_validated)
+                    wide_ok = ensure_wide_validated(
+                        p_dim, net.compute_dtype) is not None
+            if not proj_ok and not wide_ok:
                 # loss_and_count_fused will route through the plain tail;
                 # if even its smallest row block overflows (recorded
                 # verdict), run the unfused XLA tail instead of dying at

@@ -107,6 +107,55 @@ def test_carry_chaining_matches_whole_sequence(rng):
                                    rtol=0, atol=1e-5 * scale, err_msg=name)
 
 
+def test_dir_offset_runs_descending_direction(rng):
+    """A D=1 kernel with dir_offset=1 must reproduce the D=2 kernel's
+    backward half over natural-order arrays (SP's per-device block scan
+    for the BLSTM backward direction), including carry chaining in
+    descending block order."""
+    T, B, H = 16, 8, 128
+    acts, w_rec, peep, lengths = _setup(rng, 2, T, B, H)
+    zb2 = jnp.zeros((2, 4 * H), jnp.float32)
+    zb1 = jnp.zeros((1, 4 * H), jnp.float32)
+    z2 = jnp.zeros((2, B, H), jnp.float32)
+    z1 = jnp.zeros((1, B, H), jnp.float32)
+
+    # reference: the D=2 kernel's d=1 output half + no carries
+    ys2, hf2, cf2 = _carry_from_acts(jnp.asarray(acts), jnp.asarray(w_rec),
+                                     jnp.asarray(peep), zb2,
+                                     jnp.asarray(lengths), z2, z2, 0.0,
+                                     True, True)
+    from lstm_rnn_tpu.ops.lstm_cell import lstm_scan_fused_carry
+
+    def bw_half(a_slice, lens, h0, c0):
+        x = a_slice[0]  # [T, B, 4H] acts for the bw direction
+        y, (hf, cf) = lstm_scan_fused_carry(
+            x, _identity_w_in(1, 4 * H), jnp.asarray(w_rec[1:2]),
+            jnp.asarray(peep[1:2]), zb1, lens, h0, c0, 0.0, True, True,
+            jnp.float32, True, None, 1)
+        return y, hf, cf
+
+    y1, hf1, cf1 = bw_half(jnp.asarray(acts[1:2]), jnp.asarray(lengths),
+                           z1, z1)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(ys2[1]))
+    np.testing.assert_array_equal(np.asarray(hf1[0]), np.asarray(hf2[1]))
+    np.testing.assert_array_equal(np.asarray(cf1[0]), np.asarray(cf2[1]))
+
+    # descending carry chain: block B (t in [8,16)) first, its final state
+    # feeds block A (t in [0,8)) — equals the whole-sequence run
+    T1 = 8
+    lA = np.minimum(lengths, T1).astype(np.int32)
+    lB = np.maximum(lengths - T1, 0).astype(np.int32)
+    yB, hB, cB = bw_half(jnp.asarray(acts[1:2, T1:]), jnp.asarray(lB),
+                         z1, z1)
+    yA, hA, cA = bw_half(jnp.asarray(acts[1:2, :T1]), jnp.asarray(lA),
+                         hB, cB)
+    y_chain = jnp.concatenate([yA, yB], axis=0)
+    np.testing.assert_allclose(np.asarray(y_chain), np.asarray(ys2[1]),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(hA[0]), np.asarray(hf2[1]),
+                               rtol=0, atol=1e-6)
+
+
 @pytest.mark.parametrize("D", [1, 2])
 def test_carry_matches_scan_reference(rng, D):
     """Nonzero initial state + final-state cotangents vs the lax.scan path

@@ -64,6 +64,35 @@ def test_seq_matches_single_device(rng, n_seq):
     _assert_tree_close(g_ref, g_sp)
 
 
+@pytest.mark.parametrize("t", [8, 7])
+def test_seq_fused_kernel_matches_single_device(rng, t):
+    """backend=pallas_interpret routes the wavefront's block scans through
+    the carry-capable fused kernel (dir_offset=1 for the BLSTM backward
+    half); loss/count/gradients must match the single-device scan net —
+    including ragged T (padded to n*16 so no device adds local chunk
+    padding). VERDICT r3 item #3."""
+    net, params, x, tc, pt = _net_and_batch(rng, t=t)
+    net.backend = "pallas_interpret"
+    mesh = make_mesh(2, axis="seq")
+
+    net_ref = Network(LAYERS)
+    net_ref.params = net.params
+
+    def ref(p):
+        y = net_ref.apply(p, x, pt)
+        return net_ref.loss_fn(y, tc, pt), net_ref.correct_count(y, tc, pt)
+
+    def sp(p):
+        return loss_and_count_seq(net, p, x, tc, pt, mesh)
+
+    (e_ref, c_ref), g_ref = jax.value_and_grad(ref, has_aux=True)(params)
+    (e_sp, c_sp), g_sp = jax.jit(
+        jax.value_and_grad(sp, has_aux=True))(params)
+    np.testing.assert_allclose(float(e_sp), float(e_ref), rtol=2e-5)
+    assert int(c_sp) == int(c_ref)
+    _assert_tree_close(g_ref, g_sp, rtol=5e-4, atol=5e-4)
+
+
 def test_seq_ragged_time(rng):
     """T not divisible by the shard count pads with inert PATTYPE_NONE
     rows — results still match."""

@@ -91,6 +91,64 @@ def test_proj_fused_tail_matches_composed(rng):
                                    err_msg=name)
 
 
+def test_wide_fused_tail_matches_composed(rng):
+    """The LVCSR-scale wide variant (Sp-column-blocked backward, per-row
+    stat residuals) must match feedforward-identity -> CURRENNT softmax ->
+    CE/count, including gradients w.r.t. h, W and b — with MULTIPLE column
+    blocks and row blocks engaged (VERDICT r3 item #2)."""
+    from lstm_rnn_tpu.models.feedforward import feedforward_forward
+    from lstm_rnn_tpu.ops.softmax_ce import (softmax_ce_wide_fused,
+                                             wide_plan)
+
+    T, B, P, S = 32, 16, 128, 1500
+    N = T * B
+    spw, sb, rows = wide_plan(N, P, S, jnp.float32)
+    assert spw % sb == 0 and spw // sb >= 2, "must engage >= 2 column blocks"
+    assert N // rows >= 2, "must engage >= 2 row blocks"
+    h = jnp.asarray(rng.randn(T, B, P).astype(np.float32) * 0.2)
+    W = jnp.asarray(rng.randn(P, S).astype(np.float32) * 0.3)
+    b = jnp.asarray(rng.randn(S).astype(np.float32))
+    tc = rng.randint(-1, S, (T, B)).astype(np.int32)
+    tc2 = jnp.asarray(tc).reshape(N, 1)
+    bias_mult = 1.0
+
+    def composed(h, W, b):
+        a = feedforward_forward({"W": W, "b": b}, h, "identity", bias_mult)
+        return _ref(a, jnp.asarray(tc))
+
+    def fused(h, W, b):
+        return softmax_ce_wide_fused(
+            h.reshape(N, P), jnp.pad(W, ((0, 0), (0, spw - S))),
+            jnp.pad(b, (0, spw - S)), tc2, S, bias_mult, True, jnp.float32)
+
+    loss_r, cnt_r = composed(h, W, b)
+    loss_f, cnt_f = fused(h, W, b)
+    assert float(loss_f) == pytest.approx(float(loss_r), rel=1e-6)
+    assert int(cnt_f) == int(cnt_r)
+
+    g_r = jax.grad(lambda *a: composed(*a)[0], argnums=(0, 1, 2))(h, W, b)
+    g_f = jax.grad(lambda *a: fused(*a)[0], argnums=(0, 1, 2))(h, W, b)
+    for r, f, name in zip(g_r, g_f, ("dh", "dW", "db")):
+        rr = np.asarray(r)
+        ff = np.asarray(f).reshape(-1)[:rr.size].reshape(rr.shape)
+        scale = float(np.abs(rr).max()) or 1.0
+        np.testing.assert_allclose(ff, rr, rtol=0, atol=1e-5 * scale,
+                                   err_msg=name)
+    # padded columns of dW/db receive exactly zero gradient
+    dW_f, db_f = np.asarray(g_f[1]), np.asarray(g_f[2])
+    assert not dW_f[:, S:].any() and not db_f[S:].any()
+
+
+def test_wide_plan_blocks_fit_budget():
+    from lstm_rnn_tpu.ops.softmax_ce import _VMEM_BUDGET, wide_plan
+
+    for p, s in ((512, 10112), (512, 32000), (1024, 10112), (128, 1500)):
+        spw, sb, rows = wide_plan(32768, p, s, jnp.bfloat16)
+        assert spw % sb == 0 and spw >= s and 32768 % rows == 0
+        assert p * sb * 4 + rows * (sb * (2 * 2 + 20) + p * 2) \
+            <= _VMEM_BUDGET
+
+
 def test_vmem_row_caps_and_proj_fits(tmp_path, monkeypatch):
     """Wide softmax layers (LVCSR-scale state counts) must shrink the tail
     kernels' row blocks / reject the proj-fused variant instead of failing
@@ -155,8 +213,9 @@ def test_fused_tail_wide_softmax_matches_composed(rng):
 
 def test_loss_and_count_fused_wide_softmax_fallback(rng):
     """Network.loss_and_count_fused on a net whose softmax is too wide for
-    the proj-fused kernels must take the materialized-logits fallback and
-    still match the unfused apply + loss_fn path."""
+    the proj-fused kernels must take the WIDE tail (Sp-column-blocked
+    backward; round 3 fell back to materialized logits here) and still
+    match the unfused apply + loss_fn path."""
     from lstm_rnn_tpu.network import Network
 
     from lstm_rnn_tpu.ops.softmax_ce import proj_tail_fits

@@ -12,7 +12,8 @@ from lstm_rnn_tpu.ops import lstm_cell as lc
 from lstm_rnn_tpu.ops import vmem_probe as vp
 
 
-def _fresh(tmp_path, monkeypatch, accept, tail_accept=lambda rows: False):
+def _fresh(tmp_path, monkeypatch, accept, tail_accept=lambda rows: False,
+           wide_accept=lambda sb, rows: False):
     monkeypatch.setenv("LSTM_RNN_TPU_PROBE_CACHE", str(tmp_path / "probe.json"))
     monkeypatch.setattr(vp, "_MEM", None)
     monkeypatch.setattr(vp, "_device_kind", lambda: "fake_tpu")
@@ -28,13 +29,20 @@ def _fresh(tmp_path, monkeypatch, accept, tail_accept=lambda rows: False):
         tail_calls.append((P, Sp, rows, proj))
         return tail_accept(rows)
 
+    wide_calls = []
+
+    def fake_wide_probe(P, sb, rows, dt):
+        wide_calls.append((P, sb, rows))
+        return wide_accept(sb, rows)
+
     monkeypatch.setattr(vp, "_probe_compile", fake_probe)
     monkeypatch.setattr(vp, "_tail_probe_compile", fake_tail_probe)
-    return calls, tail_calls
+    monkeypatch.setattr(vp, "_wide_probe_compile", fake_wide_probe)
+    return calls, tail_calls, wide_calls
 
 
 def test_ensure_validated_descends_and_persists(tmp_path, monkeypatch):
-    calls, _ = _fresh(tmp_path, monkeypatch, lambda ch: ch <= 8)
+    calls, _, _w = _fresh(tmp_path, monkeypatch, lambda ch: ch <= 8)
     # H=512 f32: a point with NO manual anchor — the round-2 pick_chunk
     # could only guess here (VERDICT weak #7)
     ch = vp.ensure_validated(16, 512, 128, 8, jnp.float32, verbose=False)
@@ -55,7 +63,7 @@ def test_ensure_validated_descends_and_persists(tmp_path, monkeypatch):
 
 
 def test_ensure_validated_total_overflow_returns_zero(tmp_path, monkeypatch):
-    calls, _ = _fresh(tmp_path, monkeypatch, lambda ch: False)
+    calls, _, _w = _fresh(tmp_path, monkeypatch, lambda ch: False)
     assert vp.ensure_validated(16, 2048, 2048, 64, jnp.float32,
                                verbose=False) == 0
     assert calls == [16, 8, 4, 2, 1]
@@ -198,7 +206,7 @@ def test_tail_probe_descends_persists_and_overrides_rows(tmp_path,
     over the analytic cap — including upward (claw back grid overhead)."""
     from lstm_rnn_tpu.ops import softmax_ce as sc
 
-    _, tail_calls = _fresh(tmp_path, monkeypatch, lambda ch: True,
+    _, tail_calls, _w = _fresh(tmp_path, monkeypatch, lambda ch: True,
                            tail_accept=lambda rows: rows <= 512)
     # Sp=1536: analytic cap is 256 -> the walk starts at 4x that (1024)
     assert sc._row_block(32768, 1536, analytic_only=True) == 256
@@ -223,7 +231,7 @@ def test_tail_unfit_verdict_forces_proj_fallback(tmp_path, monkeypatch):
     proj_tail_fits to False even where the analytic model says it fits."""
     from lstm_rnn_tpu.ops import softmax_ce as sc
 
-    _, tail_calls = _fresh(tmp_path, monkeypatch, lambda ch: True,
+    _, tail_calls, _w = _fresh(tmp_path, monkeypatch, lambda ch: True,
                            tail_accept=lambda rows: False)
     # flagship point: analytic says fits
     assert sc.proj_tail_fits(32000, 512, 256, jnp.bfloat16)
@@ -271,7 +279,7 @@ def test_trainer_eagerly_probes_fused_tail(tmp_path, monkeypatch):
 
     from .test_data import _write_classification_nc
 
-    _, tail_calls = _fresh(tmp_path, monkeypatch, lambda ch: True,
+    _, tail_calls, _w = _fresh(tmp_path, monkeypatch, lambda ch: True,
                            tail_accept=lambda rows: False)
     nc = str(tmp_path / "t.nc")
     _write_classification_nc(nc, [4, 4], in_size=3, num_labels=4, seed=1)
@@ -292,3 +300,76 @@ def test_trainer_eagerly_probes_fused_tail(tmp_path, monkeypatch):
     plain_points = [(p, s) for (p, s, _r, pr) in tail_calls if not pr]
     assert (256, 128) in proj_points
     assert (0, 128) in plain_points  # proj unfit -> plain tail probed
+
+
+def test_wide_probe_descends_and_gates_wide_plan(tmp_path, monkeypatch):
+    """ensure_wide_validated walks (SB, rows) candidates best-first
+    (analytic pick, a clawback step above, then the descending ladder),
+    persists verdicts, and wide_plan prefers the device verdict; a total
+    failure flips wide_known_unfit so wide_plan raises (the network then
+    falls back to materialized logits + the plain tail)."""
+    import jax.numpy as jnp
+
+    from lstm_rnn_tpu.ops import softmax_ce as sc
+
+    _, _, wide_calls = _fresh(tmp_path, monkeypatch, lambda ch: True,
+                              wide_accept=lambda sb, rows: sb <= 512)
+    # P=512 f32: analytic pick
+    sb0, rows0 = sc._wide_analytic(512, jnp.float32)
+    got = vp.ensure_wide_validated(512, jnp.float32, verbose=False)
+    assert got[0] <= 512
+    assert wide_calls[0][1] in (sb0, sb0)  # probing starts at the pick/claw
+    # wide_plan now returns the validated blocks
+    spw, sb, rows = sc.wide_plan(32768, 512, 10112, jnp.float32)
+    assert (sb, rows) == got and spw % sb == 0
+
+    # persisted: a fresh in-memory table still sees it
+    monkeypatch.setattr(vp, "_MEM", None)
+    assert vp.lookup_wide_blocks(512, jnp.float32) == got
+
+    # a total-failure point records unfit and wide_plan raises
+    import pytest
+    _, _, wide_calls = _fresh(tmp_path, monkeypatch, lambda ch: True,
+                              wide_accept=lambda sb, rows: False)
+    assert vp.ensure_wide_validated(768, jnp.float32, verbose=False) is None
+    assert wide_calls[-1] == (768, 128, 8)
+    assert vp.wide_known_unfit(768, jnp.float32)
+    with pytest.raises(ValueError, match="wide softmax tail"):
+        sc.wide_plan(32768, 768, 10112, jnp.float32)
+
+
+def test_trainer_probes_wide_point_when_proj_unfit(tmp_path, monkeypatch):
+    """Trainer init on a (faked) TPU with a wide softmax must validate the
+    wide tail's (SB, rows) point when the proj probe came back unfit."""
+    import unittest.mock as um
+
+    import jax
+
+    from lstm_rnn_tpu.data.dataset import DataSet
+    from lstm_rnn_tpu.network import Network
+    from lstm_rnn_tpu.trainer import Trainer
+
+    from .test_data import _write_classification_nc
+
+    _, tail_calls, wide_calls = _fresh(
+        tmp_path, monkeypatch, lambda ch: True,
+        tail_accept=lambda rows: False,
+        wide_accept=lambda sb, rows: True)
+    nc = str(tmp_path / "t.nc")
+    _write_classification_nc(nc, [4, 4], in_size=3, num_labels=4, seed=1)
+    layers = [
+        {"name": "input", "type": "input", "size": 3},
+        {"name": "l1", "type": "blstm", "size": 8, "bias": 1.0},
+        {"name": "output", "type": "softmax", "size": 4, "bias": 1.0},
+        {"name": "postoutput", "type": "multiclass_classification",
+         "size": 4},
+    ]
+    net = Network(layers)
+    net.init_params(3)
+    ds = DataSet([nc], parallel_sequences=2, prefetch=False)
+    with um.patch.object(jax, "default_backend", lambda: "tpu"):
+        Trainer(net, ds, device_cache=False)
+    # padded plan: softmax fan-in 256; proj unfit -> wide point probed
+    assert any(p == 256 for (p, _s, _r) in wide_calls)
+    # the wide point validated -> the plain tail need not be probed
+    assert not [t for t in tail_calls if not t[3]]
