@@ -564,7 +564,10 @@ class Network:
                 return softmax_ce_proj_fused(
                     x.reshape(t * b, p_dim), w_pad, b_pad, tc2, s_dim,
                     float(s.bias), interpret, jnp.dtype(self.compute_dtype))
+            import os
             try:
+                if os.environ.get("LSTM_RNN_TPU_DISABLE_WIDE_TAIL"):
+                    raise ValueError("wide tail disabled by env")
                 spw, _sb, _rows = wide_plan(t * b, p_dim, s_dim,
                                             self.compute_dtype)
             except ValueError:

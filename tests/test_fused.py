@@ -513,3 +513,71 @@ def test_device_cache_keys_not_shared_across_datasets(tmp_path):
                                                     rel=1e-6)
     assert t2.cur_training_error == pytest.approx(t1.cur_training_error,
                                                   rel=1e-6)
+
+
+def test_stacked_decline_reason_is_printed_once(tmp_path, capsys):
+    """When the epoch-resident fast path declines, ONE line names the
+    gate that failed (fuse count, shape count, budget) — the epoch then
+    runs ~6x slower on grouped flushes and the reason used to be invisible
+    (VERDICT r3 #5). Repeats of the same reason stay silent."""
+    from .test_data import _write_classification_nc
+
+    tr = str(tmp_path / "tr.nc")
+    _write_classification_nc(tr, [8] * 12, in_size=3, num_labels=4, seed=2)
+    layers = [
+        {"name": "input", "type": "input", "size": 3},
+        {"name": "l1", "type": "blstm", "size": 4, "bias": 1.0},
+        {"name": "output", "type": "softmax", "size": 4, "bias": 1.0},
+        {"name": "postoutput", "type": "multiclass_classification", "size": 4},
+    ]
+
+    # fuse too small for the 4 fractions -> named decline
+    ds = DataSet([tr], parallel_sequences=3, sort_by_length=True,
+                 prefetch=False)
+    net = Network(layers)
+    net.init_params(5)
+    t = Trainer(net, ds, learning_rate=1e-3, momentum=0.9, max_epochs=2,
+                hybrid_online_batch=True, fuse_fractions=2,
+                device_cache=True)
+    while not t.train_epoch():
+        pass
+    out = capsys.readouterr().out
+    assert out.count("Epoch-resident fast path declined") == 1
+    assert "fuse_fractions=2 < " in out
+
+    # budget too small -> named decline with the GiB numbers
+    ds2 = DataSet([tr], parallel_sequences=3, sort_by_length=True,
+                  prefetch=False)
+    net2 = Network(layers)
+    net2.init_params(5)
+    t2 = Trainer(net2, ds2, learning_rate=1e-3, momentum=0.9, max_epochs=1,
+                 hybrid_online_batch=True, fuse_fractions=8,
+                 device_cache=True, device_cache_bytes=16)
+    while not t2.train_epoch():
+        pass
+    out = capsys.readouterr().out
+    assert "device_cache_bytes" in out and "GiB" in out
+
+
+def test_auto_cache_bytes_uses_memory_stats(monkeypatch):
+    """The device-cache budget follows the device's actual memory limit
+    (40% of HBM) and falls back to 6 GiB when stats are unavailable."""
+    import unittest.mock as um
+
+    import jax
+
+    with um.patch.object(jax, "default_backend", lambda: "tpu"):
+        class Dev:
+            def memory_stats(self):
+                return {"bytes_limit": 16 * 1024**3}
+
+        with um.patch.object(jax, "local_devices", lambda: [Dev()]):
+            assert Trainer._auto_cache_bytes() == int(16 * 1024**3 * 0.4)
+
+        class NoStats:
+            def memory_stats(self):
+                return None
+
+        with um.patch.object(jax, "local_devices", lambda: [NoStats()]):
+            assert Trainer._auto_cache_bytes() == 6 * 1024**3
+    assert Trainer._auto_cache_bytes() == 6 * 1024**3  # CPU fallback
