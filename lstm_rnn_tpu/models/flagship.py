@@ -33,3 +33,12 @@ def build_timit_network(input_size: int = 117, hidden: int = 250,
     net = Network(timit_dblstm_layers(input_size, hidden, depth, num_states))
     net.init_params(seed)
     return net
+
+
+def build_lvcsr_network(num_states: int = 10112, seed: int = 42) -> Network:
+    """The fork's LVCSR target: same DBLSTM stack, softmax over PHYSICAL
+    HMM-state indices (~10k decision-tree states, `htk2nc --no_label_map`
+    mode — /root/reference/README.md:12, tools/htk2nc.cpp:215-243;
+    examples/lvcsr_physical_states/). The wide state count routes the
+    classification tail through softmax_ce_wide_fused automatically."""
+    return build_timit_network(num_states=num_states, seed=seed)

@@ -107,3 +107,19 @@ def _run_example(tmp_path, subdir):
 def test_example_recipes_run(tmp_path, subdir):
     out = _run_example(tmp_path, subdir)
     assert "Storing the trained network" in out
+
+
+def test_lvcsr_flagship_routes_wide_tail():
+    """The fork's LVCSR target (examples/lvcsr_physical_states, ~10k
+    physical HMM states — reference README.md:12, htk2nc.cpp:215-243):
+    the proj-fused tail is rejected at this width and the Sp-blocked wide
+    tail takes over with VMEM-fitting blocks."""
+    from lstm_rnn_tpu.models.flagship import build_lvcsr_network
+    from lstm_rnn_tpu.ops.softmax_ce import proj_tail_fits, wide_plan
+
+    net = build_lvcsr_network(seed=1)
+    assert net.specs[-2].size == 10112
+    # padded softmax fan-in is 512 (2 x hp=256)
+    assert not proj_tail_fits(32000, 512, 10240, jnp.bfloat16)
+    spw, sb, rows = wide_plan(32000, 512, 10112, jnp.bfloat16)
+    assert spw >= 10112 and spw % sb == 0 and 32000 % rows == 0
