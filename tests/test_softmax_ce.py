@@ -294,3 +294,55 @@ def test_fused_tail_through_trainer(rng, tmp_path):
             np.testing.assert_allclose(p2[name][kk], p1[name][kk],
                                        rtol=1e-4, atol=1e-6,
                                        err_msg=f"{name}.{kk}")
+
+
+def test_wide_tail_through_trainer(rng, tmp_path):
+    """Trainer with backend=pallas_interpret and an LVCSR-scale softmax
+    engages the WIDE fused tail through the padded pipeline; the trained
+    network must match the scan/unfused trainer closely."""
+    from .test_data import _write_classification_nc
+    from lstm_rnn_tpu.data.dataset import DataSet
+    from lstm_rnn_tpu.network import Network
+    from lstm_rnn_tpu.ops.softmax_ce import proj_tail_fits
+    from lstm_rnn_tpu.trainer import Trainer
+
+    S = 4200  # proj tail rejected at P=256 ([P,Sp] W/dW blocks alone
+    # exceed the scoped-VMEM budget), the wide plan engages
+    assert not proj_tail_fits(64, 256, 4352, jnp.float32)
+    nc = str(tmp_path / "t.nc")
+    _write_classification_nc(nc, [10, 8, 12, 9], in_size=3, num_labels=S,
+                             seed=3)
+    layers = [
+        {"name": "input", "type": "input", "size": 3},
+        {"name": "l1", "type": "blstm", "size": 4, "bias": 1.0},
+        {"name": "output", "type": "softmax", "size": S, "bias": 1.0},
+        {"name": "postoutput", "type": "multiclass_classification",
+         "size": S},
+    ]
+    ds = DataSet([nc], parallel_sequences=2, sort_by_length=True,
+                 prefetch=False)
+
+    net1 = Network(layers, backend="scan")
+    net1.init_params(5)
+    t1 = Trainer(net1, ds, learning_rate=1e-3, momentum=0.9, max_epochs=1,
+                 hybrid_online_batch=True, padded_pipeline=False)
+    while not t1.train_epoch():
+        pass
+
+    net2 = Network(layers, backend="pallas_interpret")
+    net2.init_params(5)
+    t2 = Trainer(net2, ds, learning_rate=1e-3, momentum=0.9, max_epochs=1,
+                 hybrid_online_batch=True, padded_pipeline=True)
+    assert t2.padded
+    while not t2.train_epoch():
+        pass
+
+    assert t1.cur_training_error == pytest.approx(t2.cur_training_error,
+                                                  rel=1e-4)
+    assert t1.cur_training_class_error == t2.cur_training_class_error
+    p1, p2 = t1.exact_params(), t2.exact_params()
+    for name in p1:
+        for kk in p1[name]:
+            np.testing.assert_allclose(p2[name][kk], p1[name][kk],
+                                       rtol=1e-4, atol=1e-6,
+                                       err_msg=f"{name}.{kk}")
