@@ -302,9 +302,19 @@ class Trainer:
                     # LVCSR-scale route: validate the wide tail's (SB,
                     # rows) point for this fan-in before the step compiles
                     from lstm_rnn_tpu.ops.vmem_probe import (
-                        ensure_wide_validated)
+                        ensure_tail_validated as _etv, ensure_wide_validated)
                     wide_ok = ensure_wide_validated(
                         p_dim, net.compute_dtype) is not None
+                    if wide_ok:
+                        # the wide FORWARD is the plain row-blocked tail at
+                        # the wide plan's padded width — claw back its row
+                        # cap on device too (the analytic cap is tiny at
+                        # LVCSR widths: more grid steps than needed)
+                        from lstm_rnn_tpu.ops.softmax_ce import wide_plan
+                        spw = wide_plan(1 << 20, p_dim,
+                                        net.specs[-2].size,
+                                        net.compute_dtype)[0]
+                        _etv(0, spw, net.compute_dtype, proj=False)
             if not proj_ok and not wide_ok:
                 # loss_and_count_fused will route through the plain tail;
                 # if even its smallest row block overflows (recorded

@@ -55,11 +55,15 @@ def stage(name, fn):
 def probes():
     import jax.numpy as jnp
 
-    from lstm_rnn_tpu.ops.vmem_probe import ensure_wide_validated
+    from lstm_rnn_tpu.ops.vmem_probe import (ensure_tail_validated,
+                                             ensure_wide_validated)
     out = {}
     for dt, name in ((jnp.bfloat16, "bf16"), (jnp.float32, "f32")):
         got = ensure_wide_validated(512, dt)
         out[f"wide_P512_{name}"] = list(got) if got else None
+        # the wide FORWARD is the plain row-blocked tail at Spw=10240
+        out[f"tail_S10240_{name}"] = ensure_tail_validated(
+            0, 10240, dt, proj=False)
     return out
 
 

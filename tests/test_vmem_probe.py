@@ -371,5 +371,8 @@ def test_trainer_probes_wide_point_when_proj_unfit(tmp_path, monkeypatch):
         Trainer(net, ds, device_cache=False)
     # padded plan: softmax fan-in 256; proj unfit -> wide point probed
     assert any(p == 256 for (p, _s, _r) in wide_calls)
-    # the wide point validated -> the plain tail need not be probed
-    assert not [t for t in tail_calls if not t[3]]
+    # wide validated -> the PLAIN tail (the wide forward) is probed at the
+    # wide plan's padded width so its row cap gets the device clawback
+    from lstm_rnn_tpu.ops import softmax_ce as sc
+    spw = sc.wide_plan(1 << 20, 256, 4, jnp.float32)[0]
+    assert any(s == spw for (_p, s, _r, pr) in tail_calls if not pr)
