@@ -19,10 +19,16 @@ This module reimplements that stream:
   to b. The reference draws from dist(0, max-min) and adds min afterwards
   (TrainableLayer.cu:115-118) — reproduced literally, as the two forms
   round differently.
-- normal init uses boost's ziggurat-based normal_distribution, whose
-  internal tables are not replicated here: requesting
-  --init_rng currennt with --weights_dist normal raises. Every shipped
-  reference recipe uses the default uniform init.
+- normal init is NOT replayed, because no single reference stream exists
+  to replay: the reference requires only `Boost 1.48.0` as a version
+  floor (CMakeLists.txt:6) and boost::random::normal_distribution
+  changed algorithms at boost 1.57 (Box-Muller before; ziggurat with
+  boost-private tables + int_float_pair draw packing after, refined
+  again in later releases) — two valid builds of the reference produce
+  different normal-init networks from the same seed. Requesting
+  --init_rng currennt with --weights_dist normal therefore raises an
+  explicit error instead of claiming an unverifiable, ill-posed parity.
+  Every shipped reference recipe uses the default uniform init.
 """
 
 from __future__ import annotations
@@ -128,7 +134,11 @@ def currennt_init_flat(stream: CurrenntInitStream, n_weights: int,
     """One layer's flat [input|bias|internal] init vector in draw order."""
     if dist != "uniform":
         raise ValueError(
-            "--init_rng currennt replays boost's uniform stream only; "
-            "its normal_distribution (ziggurat) is not replicated — use "
-            "--weights_dist uniform or --init_rng numpy")
+            "--init_rng currennt replays boost's uniform stream only. "
+            "There is no single reference normal stream to replay: the "
+            "reference requires only Boost >= 1.48 and boost's "
+            "normal_distribution algorithm changed at 1.57 (Box-Muller "
+            "-> ziggurat), so same-seed normal init differs between "
+            "valid reference builds — use --weights_dist uniform or "
+            "--init_rng numpy")
     return stream.uniform(n_weights, lo, hi)
