@@ -178,6 +178,14 @@ def lstm_forward(params, x, pattypes, bias_mult: float, bidirectional: bool,
     remat_blocks=K (scan backend only): checkpoint the recurrence in K
     time blocks so backward activation memory scales as T/K (see
     _lstm_scan); the fused Pallas kernels keep their own residual regime.
+
+    Validity precondition (pallas backends): each row's valid frames must
+    be a PREFIX (trailing padding only) — the kernels reduce pattypes to
+    per-row lengths. Every fraction the DataSet assembles satisfies this
+    by construction (one sequence per row, trailing NONE); arbitrary
+    mid-row gaps are a STREAMING concern, where apply_streaming feeds the
+    kernel a per-step mask instead (_streaming_fused). The scan backend
+    masks per step and accepts any pattern.
     """
     w_in, w_rec, b, peep = params["W_in"], params["W_rec"], params["b"], params["peep"]
     t, bsz, _ = x.shape
@@ -363,7 +371,12 @@ def lstm_forward_streaming(params, x, pattypes, bias_mult: float, carry,
 def _resolve_fused(backend: str, hdim: int, pdim: int, bsz: int,
                    compute_dtype):
     """(use_fused, interpret) for a carry-kernel candidate — the same
-    auto/VMEM/device-verdict gates as lstm_forward's pallas dispatch."""
+    auto/VMEM/device-verdict gates as lstm_forward's pallas dispatch:
+    'auto' falls back to lax.scan on an analytic OR device-recorded unfit,
+    explicit 'pallas' on a real TPU raises instead (matching
+    lstm_forward's explicit-pallas guard — silently downgrading an
+    explicit kernel request to a ~3x slower scan, or letting the device
+    compile die with an opaque Mosaic overflow, both hide the problem)."""
     from lstm_rnn_tpu.ops.lstm_cell import _storage, fused_fits, round_up
     from lstm_rnn_tpu.ops.vmem_probe import known_unfit
     hp = round_up(hdim, 128)
@@ -375,9 +388,17 @@ def _resolve_fused(backend: str, hdim: int, pdim: int, bsz: int,
         return False, False  # mirror lstm_forward: auto -> scan off-TPU
     interp = backend == "pallas_interpret" or (
         backend == "pallas" and not on_tpu)
-    if not fused_fits(hp, pp, bp, compute_dtype):
-        return False, interp
-    if backend == "auto" and known_unfit(hp, pp, bp, compute_dtype):
+    analytic_fit = fused_fits(hp, pp, bp, compute_dtype)
+    device_unfit = on_tpu and known_unfit(hp, pp, bp, compute_dtype)
+    if backend == "pallas" and on_tpu and (not analytic_fit or device_unfit):
+        verdict = ("a recorded device probe verdict says no chunk fits"
+                   if device_unfit else "the VMEM model fits no chunk")
+        raise ValueError(
+            f"lstm_backend=pallas: layer (H={hdim}, P={pdim}, B={bsz}, "
+            f"{jnp.dtype(compute_dtype).name}) — {verdict}; use "
+            "lstm_backend=auto (falls back to lax.scan) or shard the cell "
+            "with --model_devices")
+    if not analytic_fit or (backend == "auto" and device_unfit):
         return False, interp
     return True, interp
 
@@ -408,6 +429,14 @@ def _streaming_fused(params, x, pattypes, bias_mult, carry, clip_gradients,
     xx = _pad_axis(_pad_axis(_pad_axis(xx, 2, pp), 1, bp), 0, tp)
     lengths = jnp.sum((pattypes != 0).astype(jnp.int32), axis=0)
     lengths = _pad_axis(lengths, 0, bp)
+    # streaming chunks carry PER-STEP validity, not a prefix: a sequence
+    # may end and another begin inside one chunk ([LAST, NONE, FIRST, ...]
+    # rows), and the scan backend zeroes state exactly at each NONE step —
+    # a prefix-lengths reduction would feed the gap frame into the cell
+    # and leak sequence A's state into sequence B. Hand the kernel the
+    # real [B, T] step mask (zero-padded: alignment padding is invalid).
+    step_mask = (pattypes != 0).astype(jnp.float32).T
+    step_mask = _pad_axis(_pad_axis(step_mask, 1, tp), 0, bp)
     h_st, c_st = carry  # [1, B, H] each
     h0 = _pad_axis(_pad_axis(h_st.astype(jnp.float32), 2, hp), 1, bp)
     c0 = _pad_axis(_pad_axis(c_st.astype(jnp.float32), 2, hp), 1, bp)
@@ -415,7 +444,7 @@ def _streaming_fused(params, x, pattypes, bias_mult, carry, clip_gradients,
         xx, w_in_p.reshape(1, pp, 4 * hp), w_rec_p.reshape(1, hp, 4 * hp),
         peep_p, b_p.reshape(1, 4 * hp), lengths, h0, c0,
         float(bias_mult), clip_gradients, interpret,
-        jnp.dtype(compute_dtype), True, t)
+        jnp.dtype(compute_dtype), True, t, 0, step_mask)
     y = ys[:t, :bsz, :hdim].astype(x.dtype)
     new_carry = (hf[:, :bsz, :hdim].astype(h_st.dtype),
                  cf[:, :bsz, :hdim].astype(c_st.dtype))

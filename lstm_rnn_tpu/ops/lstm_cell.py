@@ -161,9 +161,8 @@ def _cell_acts(fast: bool):
     return logistic, tanh2
 
 
-def _fwd_kernel(lengths_ref, x_ref, w_in_ref, w_rec_ref, peep_ref, bias_ref,
-                *rest, T, CH, NC, bias_mult, precision, use3,
-                fast, save, carry, carry_t, dir_offset):
+def _fwd_kernel(lengths_ref, *rest, T, CH, NC, bias_mult, precision, use3,
+                fast, save, carry, carry_t, dir_offset, with_mask=False):
     """One direction's chunk per program. Blocks arrive pre-indexed (leading
     dim 1); the inner loop order and the mask time are direction-dependent.
     save=False is the INFERENCE variant (primal path outside jax.grad —
@@ -179,6 +178,14 @@ def _fwd_kernel(lengths_ref, x_ref, w_in_ref, w_rec_ref, peep_ref, bias_ref,
     length, exactly what the in-kernel masking leaves in the scratch)."""
     d = pl.program_id(0)
     k = pl.program_id(1)
+    if with_mask:
+        # [B, CH] per-step validity (streaming chunks with mid-chunk
+        # sequence boundaries — lengths can only express a valid PREFIX);
+        # column j is natural time chunk*CH + j, like x's block
+        mask_ref, *rest = rest
+    else:
+        mask_ref = None
+    x_ref, w_in_ref, w_rec_ref, peep_ref, bias_ref, *rest = rest
     if carry:
         h0_ref, c0_ref, *rest = rest
     else:
@@ -237,7 +244,8 @@ def _fwd_kernel(lengths_ref, x_ref, w_in_ref, w_rec_ref, peep_ref, bias_ref,
             og = logistic(a[:, 3 * H:4 * H] + c_new * p_og)
             h_new = tanh2(c_new) * og
 
-            m = _valid(lengths_ref, t)
+            m = (mask_ref[:, j:j + 1] if with_mask
+                 else _valid(lengths_ref, t))
             h = h_new * m
             c = c_new * m
             h_out_ref[j] = h.astype(sdtype)
@@ -618,7 +626,7 @@ def lstm_scan_fused(x, w_in, w_rec, peep, bias, lengths,
 
 def _fwd_impl(x, w_in, w_rec, peep, bias, lengths, bias_mult, interpret,
               compute_dtype, want_residuals=True, carry=None, carry_t=None,
-              dir_offset=0):
+              dir_offset=0, step_mask=None):
     T, B, P = x.shape
     D, _, H4 = w_in.shape
     H = H4 // 4
@@ -626,6 +634,16 @@ def _fwd_impl(x, w_in, w_rec, peep, bias, lengths, bias_mult, interpret,
     NC = T // CH
     sdtype = _storage(compute_dtype)
     prec = _precision_of(compute_dtype)
+    if carry is not None and (D == 2 or dir_offset == 1) \
+            and carry_t is not None and carry_t != T:
+        # a descending direction ENTERS at t=T-1: trailing chunk-alignment
+        # padding (carry_t < T) sits at its entry and the step mask would
+        # zero the incoming carry before the first real frame — carry_t
+        # only relocates the d=0 CAPTURE, it cannot move the d=1 entry
+        raise ValueError(
+            "descending-direction carries (D == 2 or dir_offset == 1) "
+            f"require carry_t == T (got carry_t={carry_t}, T={T}): pad the "
+            "chunk before chaining, or chain ascending directions only")
     lengths_2d = jnp.broadcast_to(lengths.astype(jnp.int32)[:, None], (B, 128))
 
     xs = x.astype(compute_dtype)
@@ -638,10 +656,17 @@ def _fwd_impl(x, w_in, w_rec, peep, bias, lengths, bias_mult, interpret,
     carry_ins = ((carry[0].astype(jnp.float32),
                   carry[1].astype(jnp.float32))
                  if carry is not None else ())
+    mask_specs = ([_block((B, CH),
+                          lambda d, k: (0, _chunk_of(d + dir_offset, k, NC,
+                                                     False)))]
+                  if step_mask is not None else [])
+    mask_ins = ((step_mask.astype(jnp.float32),)
+                if step_mask is not None else ())
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0, grid=(D, NC),
         in_specs=[
             _block((B, 128), lambda d, k: (0, 0)),
+        ] + mask_specs + [
             _block((CH, B, P), _x_index(NC, False, dir_offset)),
             _block((1, P, H4), lambda d, k: (d, 0, 0)),
             _block((1, H, H4), lambda d, k: (d, 0, 0)),
@@ -676,7 +701,8 @@ def _fwd_impl(x, w_in, w_rec, peep, bias, lengths, bias_mult, interpret,
                           fast=sdtype == jnp.dtype(jnp.bfloat16),
                           save=want_residuals, carry=carry is not None,
                           carry_t=T if carry_t is None else carry_t,
-                          dir_offset=dir_offset),
+                          dir_offset=dir_offset,
+                          with_mask=step_mask is not None),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((T, B, D * H), sdtype),
@@ -697,7 +723,7 @@ def _fwd_impl(x, w_in, w_rec, peep, bias, lengths, bias_mult, interpret,
                             + 4 * D * T * B * H),
             transcendentals=4 * D * T * B * H,
         ),
-    )(lengths_2d, xs, w_in_c, w_rec_c, peep, bias, *carry_ins)
+    )(lengths_2d, *mask_ins, xs, w_in_c, w_rec_c, peep, bias, *carry_ins)
     final = (outs[-2], outs[-1]) if carry is not None else None
     if carry is not None:
         outs = outs[:-2]
@@ -831,7 +857,7 @@ def lstm_scan_fused_carry(x, w_in, w_rec, peep, bias, lengths, h0, c0,
                           bias_mult: float = 1.0, clip: bool = True,
                           interpret: bool = False, compute_dtype=jnp.float32,
                           need_dx: bool = True, carry_t: int = None,
-                          dir_offset: int = 0):
+                          dir_offset: int = 0, step_mask=None):
     """Fused LSTM scan from an explicit initial state, emitting the final
     state — the primitive behind streaming inference (Network.apply_streaming
     chunks) and sequence parallelism's per-device block scans
@@ -852,17 +878,33 @@ def lstm_scan_fused_carry(x, w_in, w_rec, peep, bias, lengths, h0, c0,
     dir_offset=1 (static; D must be 1) runs the single direction as the
     DESCENDING scan over natural-order arrays — sequence parallelism's
     block scan for the BLSTM backward half: the carry then ENTERS at
-    t=T-1 and the final state is the masked state at t=0."""
+    t=T-1 and the final state is the masked state at t=0. Descending
+    directions reject carry_t != T (the trailing padding would sit at
+    their ENTRY and zero the incoming carry — _fwd_impl raises).
+
+    step_mask (optional, [B, T] 1.0/0.0): PER-STEP validity replacing the
+    prefix-only `lengths` masking — streaming chunks where a sequence
+    ends and another starts inside one chunk (mid-chunk NONE gaps) need
+    it for scan parity. INFERENCE-ONLY: the backward kernels reason in
+    suffix masks, so taking gradients with a step_mask raises."""
     h, _, _, _, _, _, _, final = _fwd_impl(
         x, w_in, w_rec, peep, bias, lengths, bias_mult, interpret,
         compute_dtype, want_residuals=False, carry=(h0, c0),
-        carry_t=carry_t, dir_offset=dir_offset)
+        carry_t=carry_t, dir_offset=dir_offset, step_mask=step_mask)
     return h, final
 
 
 def _fused_carry_fwd(x, w_in, w_rec, peep, bias, lengths, h0, c0, bias_mult,
                      clip, interpret, compute_dtype, need_dx, carry_t,
-                     dir_offset):
+                     dir_offset, step_mask=None):
+    if step_mask is not None:
+        # the backward kernels compute their masks as length suffixes
+        # (scan_prev_rows / fg_delta edges) — a general per-step mask has
+        # no gradient path; fail loudly at trace time instead of silently
+        # producing prefix-masked gradients for step-masked data
+        raise NotImplementedError(
+            "lstm_scan_fused_carry(step_mask=...) is inference-only; "
+            "training paths must express validity as prefix lengths")
     h, c, gates, cb, hb, w_in_c, w_rec_c, final = _fwd_impl(
         x, w_in, w_rec, peep, bias, lengths, bias_mult, interpret,
         compute_dtype, carry=(h0, c0), carry_t=carry_t,
@@ -880,8 +922,10 @@ def _fused_carry_bwd(bias_mult, clip, interpret, compute_dtype, need_dx,
         carry=(h0, c0), dfinal=(dhf, dcf), carry_t=carry_t,
         dir_offset=dir_offset)
     dh0, dc0 = dcarry
+    # trailing None: step_mask's cotangent (inference-only; fwd raised if
+    # it was ever set under differentiation)
     return (dx, dw_in, dw_rec, dpeep, dbias, None,
-            dh0.astype(h0.dtype), dc0.astype(c0.dtype))
+            dh0.astype(h0.dtype), dc0.astype(c0.dtype), None)
 
 
 lstm_scan_fused_carry.defvjp(_fused_carry_fwd, _fused_carry_bwd)

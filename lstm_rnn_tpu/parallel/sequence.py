@@ -58,7 +58,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from lstm_rnn_tpu.models.feedforward import (_precision, feedforward_forward,
                                              softmax_forward)
-from lstm_rnn_tpu.models.lstm import lstm_cell_step
+from lstm_rnn_tpu.models.lstm import _pad_axis, lstm_cell_step
 from lstm_rnn_tpu.ops.activations import grad_clip
 
 
@@ -196,17 +196,16 @@ def _fused_wavefront(params, x, pattypes, bias_mult, bidirectional, axis,
             "to be a multiple of 16 (chunk-alignment padding would zero "
             "mid-stream carries) — _pad_time(granule=16) guarantees this")
 
-    def padw(a, ax, target):
-        widths = [(0, 0)] * a.ndim
-        widths[ax] = (0, target - a.shape[ax])
-        return jnp.pad(a, widths)
-
-    w_in_p = padw(padw(w_in, 3, hp), 1, pp)
-    w_rec_p = padw(padw(w_rec, 3, hp), 1, hp)
-    b_p = padw(b, 2, hp)
-    peep_p = padw(peep, 2, hp)
-    xx = padw(padw(x.astype(compute_dtype), 2, pp), 1, bp)
-    lengths = padw(jnp.sum((pattypes != 0).astype(jnp.int32), axis=0), 0, bp)
+    # the same zero-pad prologue as lstm_forward's pallas path (models/
+    # lstm.py) — shared helper so the kernels' padding contract lives in
+    # one place
+    w_in_p = _pad_axis(_pad_axis(w_in, 3, hp), 1, pp)
+    w_rec_p = _pad_axis(_pad_axis(w_rec, 3, hp), 1, hp)
+    b_p = _pad_axis(b, 2, hp)
+    peep_p = _pad_axis(peep, 2, hp)
+    xx = _pad_axis(_pad_axis(x.astype(compute_dtype), 2, pp), 1, bp)
+    lengths = _pad_axis(jnp.sum((pattypes != 0).astype(jnp.int32), axis=0),
+                        0, bp)
 
     idx = jax.lax.axis_index(axis)
     chans = []
@@ -225,8 +224,8 @@ def _fused_wavefront(params, x, pattypes, bias_mult, bidirectional, axis,
         for (d, active, _perm), st in zip(chans, state):
             def run(op, d=d):
                 h0, c0, _ys = op
-                h0p = padw(padw(h0[None], 2, hp), 1, bp)
-                c0p = padw(padw(c0[None], 2, hp), 1, bp)
+                h0p = _pad_axis(_pad_axis(h0[None], 2, hp), 1, bp)
+                c0p = _pad_axis(_pad_axis(c0[None], 2, hp), 1, bp)
                 y, (hf, cf) = lstm_scan_fused_carry(
                     xx, w_in_p[d:d + 1].reshape(1, pp, 4 * hp),
                     w_rec_p[d:d + 1].reshape(1, hp, 4 * hp),

@@ -113,7 +113,9 @@ class Trainer:
         # one-line legibility when the epoch-resident fast path declines
         # (it is ~6x faster than grouped flushes; a silent decline used to
         # cost users the diagnosis) — printed once per distinct reason
-        self._stacked_decline_reason: Optional[str] = None
+        # (a SET: train/val/test passes declining for different reasons
+        # must not re-trigger each other's line every epoch)
+        self._stacked_decline_reasons: set = set()
         # per-epoch observability (cli prints them in the epoch row)
         self.cache_hits = 0
         self.cache_misses = 0
@@ -631,8 +633,8 @@ class Trainer:
         """Name WHY _try_stacked_epoch declined (once per distinct reason):
         the epoch then quietly runs ~6x slower on grouped flushes, and the
         reason is the single most useful diagnostic (VERDICT r3 #5)."""
-        if reason != self._stacked_decline_reason:
-            self._stacked_decline_reason = reason
+        if reason not in self._stacked_decline_reasons:
+            self._stacked_decline_reasons.add(reason)
             print(f"Epoch-resident fast path declined: {reason}", flush=True)
         return None
 
@@ -682,6 +684,7 @@ class Trainer:
                 "— use --bucket_lengths single/pow2")
         token = keys[0][0]  # the DataSet's cache namespace
         entry = self._stacked.get(token)
+        hits = 0  # credited only once the pass actually dispatches stacked
         if entry is None:
             by_shape: Dict[Any, list] = {}
             for f, k, s in zip(fracs, keys, shapes):
@@ -761,9 +764,8 @@ class Trainer:
                     # overlaps the remaining shapes' host stacking/transfers
                     # instead of serializing after them
                     warm = self._spawn_warm_compile(stacks, update)
+            entry["warm"] = warm
             self._stacked[token] = entry
-            if warm is not None:
-                warm.join()
         else:
             pos = entry["pos"]
             if any(k not in pos for k in keys) or any(
@@ -772,7 +774,29 @@ class Trainer:
                 self._dev_cache_bytes -= entry["bytes"]
                 del self._stacked[token]
                 return self._try_stacked_epoch(fracs, update, fuse)
-            self.cache_hits += len(keys)
+            hits = len(keys)
+        warm = entry.get("warm")
+        if warm is not None:
+            # cold-start: don't idle behind the whole-epoch XLA compile —
+            # give fast compiles (persistent cache, test shapes) a short
+            # grace, then run THIS pass on grouped flushes while the
+            # compile finishes in the background. Numerically identical
+            # (grouped == stacked is a tested invariant); the stacked path
+            # takes over the first pass after the compile lands.
+            warm.join(timeout=2.0)
+            if warm.is_alive():
+                return self._note_stacked_decline(
+                    "whole-epoch program still compiling in the background "
+                    "— running grouped flushes meanwhile")
+            entry["warm"] = None
+        self.cache_hits += hits
+        # the resident stack supersedes per-fraction cache entries — pop any
+        # that grouped epochs re-added while the whole-epoch program was
+        # still compiling (build-time popping alone leaves duplicates)
+        for k in keys:
+            old = self._dev_cache.pop(k, None)
+            if old is not None:
+                self._dev_cache_bytes -= old[1]
         pos = entry["pos"]
         errs, corrs = [], []
         i, n = 0, len(fracs)
@@ -807,14 +831,22 @@ class Trainer:
         xk, tk, pk = stacks
         perm0 = np.zeros((int(xk.shape[0]),), np.int32)
         perm_d, n0 = self._put_perm(perm0, 0)
+        # _train_scan DONATES its params/velocity arguments: feed it COPIES
+        # so a warm call that fails mid-execution (transient tunnel/device
+        # error) cannot leave self.params pointing at deleted buffers — the
+        # live state must never be donated to a best-effort dispatch whose
+        # errors are swallowed
+        params = jax.tree_util.tree_map(jnp.copy, self.params)
+        velocity = (jax.tree_util.tree_map(jnp.copy, self.velocity)
+                    if update else None)
 
         def work():
             try:
                 if update:
-                    self.params, self.velocity, _e, _c = self._train_scan(
-                        self.params, self.velocity, xk, tk, pk, perm_d, n0)
+                    self._train_scan(params, velocity, xk, tk, pk, perm_d,
+                                     n0)
                 else:
-                    self._eval_scan(self.params, xk, tk, pk, perm_d, n0)
+                    self._eval_scan(params, xk, tk, pk, perm_d, n0)
             except Exception:  # noqa: BLE001
                 pass  # the real dispatch recompiles and surfaces the error
 

@@ -223,7 +223,7 @@ def test_stacked_epoch_with_shuffled_perm_matches_unfused(tmp_path):
                 rtol=1e-6, atol=1e-8, err_msg=f"{name}.{kk}")
 
 
-def test_stacked_epoch_multi_bucket_matches_unfused(tmp_path):
+def test_stacked_epoch_multi_bucket_matches_unfused(tmp_path, monkeypatch):
     """Multi-bucket corpus with a PARTIAL last fraction: per-shape resident
     stacks engage (one fori_loop per bucket run, bucket-major shuffle makes
     one run per bucket) and match per-fraction training exactly. The partial
@@ -259,6 +259,11 @@ def test_stacked_epoch_multi_bucket_matches_unfused(tmp_path):
     while not t1.train_epoch():
         pass
 
+    # deterministic accounting: compile synchronously at first dispatch
+    # (the background-compile decline path has its own test,
+    # test_stacked_nonblocking_warm_compile)
+    monkeypatch.setattr(Trainer, "_spawn_warm_compile",
+                        lambda self, stacks, update: None)
     t2 = make(8, True)
     while not t2.train_epoch():
         pass
@@ -365,6 +370,11 @@ def test_stacked_epoch_builds_on_host(tmp_path, monkeypatch):
     t = Trainer(net, ds, learning_rate=1e-3, momentum=0.9, max_epochs=2,
                 hybrid_online_batch=True, fuse_fractions=8, device_cache=True)
 
+    # deterministic: compile synchronously at first dispatch so epoch 1
+    # never mixes in grouped flushes (whose byte-capped on-device group
+    # stacks legitimately call _stack_parts)
+    monkeypatch.setattr(Trainer, "_spawn_warm_compile",
+                        lambda self, stacks, update: None)
     puts, stacks = [], []
     orig_put = Trainer._put_stacked
     orig_stack = Trainer._stack_parts
@@ -581,3 +591,61 @@ def test_auto_cache_bytes_uses_memory_stats(monkeypatch):
         with um.patch.object(jax, "local_devices", lambda: [NoStats()]):
             assert Trainer._auto_cache_bytes() == 6 * 1024**3
     assert Trainer._auto_cache_bytes() == 6 * 1024**3  # CPU fallback
+
+
+def test_stacked_nonblocking_warm_compile(tmp_path, capsys, monkeypatch):
+    """Cold-start epochs must not idle behind the whole-epoch XLA compile:
+    while the warm-compile thread is alive past its 2 s grace, the pass
+    runs grouped flushes (named decline, printed once), and the stacked
+    path takes over once the compile lands — results identical to the
+    always-grouped trainer."""
+    import threading
+    import time
+
+    from .test_data import _write_classification_nc
+
+    tr = str(tmp_path / "tr.nc")
+    _write_classification_nc(tr, [8] * 12, in_size=3, num_labels=4, seed=3)
+    layers = [
+        {"name": "input", "type": "input", "size": 3},
+        {"name": "l1", "type": "blstm", "size": 4, "bias": 1.0},
+        {"name": "output", "type": "softmax", "size": 4, "bias": 1.0},
+        {"name": "postoutput", "type": "multiclass_classification", "size": 4},
+    ]
+
+    def make(seed):
+        ds = DataSet([tr], parallel_sequences=3, sort_by_length=True,
+                     prefetch=False)
+        net = Network(layers)
+        net.init_params(seed)
+        return net, ds
+
+    # reference: the always-grouped path (device_cache off)
+    net1, ds1 = make(5)
+    t1 = Trainer(net1, ds1, learning_rate=1e-3, momentum=0.9, max_epochs=3,
+                 hybrid_online_batch=True, fuse_fractions=8,
+                 device_cache=False)
+    while not t1.train_epoch():
+        pass
+
+    # a warm "compile" that outlives the first pass's 2 s grace but ends
+    # inside the second pass's (3.5 < 2 + 2) — epoch 1 must run grouped,
+    # epoch 2+ stacked
+    def slow_warm(self, stacks, update):
+        th = threading.Thread(target=lambda: time.sleep(3.5), daemon=True)
+        th.start()
+        return th
+
+    monkeypatch.setattr(Trainer, "_spawn_warm_compile", slow_warm)
+    net2, ds2 = make(5)
+    t2 = Trainer(net2, ds2, learning_rate=1e-3, momentum=0.9, max_epochs=3,
+                 hybrid_online_batch=True, fuse_fractions=8,
+                 device_cache=True)
+    while not t2.train_epoch():
+        pass
+    out = capsys.readouterr().out
+    assert out.count("still compiling") == 1
+    assert t2.cur_training_error == pytest.approx(t1.cur_training_error,
+                                                  rel=1e-6)
+    # the compile landed and the stacked path took over
+    assert all(e.get("warm") is None for e in t2._stacked.values())

@@ -214,3 +214,82 @@ def test_carry_matches_scan_reference(rng, D):
         scale = float(np.abs(np.asarray(b)).max()) or 1.0
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-3 * scale, err_msg=name)
+
+
+def test_step_mask_matches_per_step_masked_scan(rng):
+    """step_mask generalizes the prefix-only lengths masking to arbitrary
+    per-step validity: a streaming chunk where one sequence ends and
+    another starts ([LAST, NONE, FIRST, ...] rows) must match the lax.scan
+    path's per-step `h_new * m` semantics exactly — state zeroed at every
+    NONE step, real frames after a gap processed from zero state."""
+    D, T, B, H = 1, 16, 8, 128
+    acts, w_rec, peep, _ = _setup(rng, D, T, B, H)
+    # general validity patterns: gaps, restarts, suffix starts, all, none
+    mask = np.ones((T, B), np.float32)
+    mask[3:6, 0] = 0.0          # mid-chunk gap, then a restart
+    mask[:5, 1] = 0.0           # suffix validity (sequence starts late)
+    mask[10:, 2] = 0.0          # plain prefix
+    mask[:, 3] = 0.0            # fully invalid row
+    mask[::2, 4] = 0.0          # pathological alternation
+    h0 = rng.uniform(-1, 1, (D, B, H)).astype(np.float32)
+    c0 = rng.uniform(-1, 1, (D, B, H)).astype(np.float32)
+    lengths = np.full((B,), T, np.int32)  # ignored when step_mask is given
+
+    # reference: the scan cell with the same per-step mask and carry
+    ys_r, (hf_r, cf_r) = _lstm_scan(
+        jnp.asarray(acts.transpose(1, 0, 2, 3).reshape(T, D, B, 4, H)),
+        jnp.asarray(w_rec.reshape(D, H, 4, H)), jnp.asarray(peep),
+        jnp.asarray(mask)[:, None, :, None], True,
+        init=(jnp.asarray(h0), jnp.asarray(c0)), return_carry=True)
+
+    x = jnp.asarray(acts[0])
+    y_f, (hf_f, cf_f) = lstm_scan_fused_carry(
+        x, _identity_w_in(D, 4 * H), jnp.asarray(w_rec), jnp.asarray(peep),
+        jnp.zeros((D, 4 * H), jnp.float32), jnp.asarray(lengths),
+        jnp.asarray(h0), jnp.asarray(c0), 0.0, True, True, jnp.float32,
+        True, None, 0, jnp.asarray(mask.T))
+    # kernel-vs-scan float noise (matmul accumulation order), same bound
+    # as test_carry_vs_scan; the SEMANTIC check is the mask pattern — a
+    # prefix-lengths reduction is off by O(1) on the gap/restart rows
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(ys_r[:, 0]),
+                               rtol=0, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(hf_f), np.asarray(hf_r),
+                               rtol=0, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(cf_f), np.asarray(cf_r),
+                               rtol=0, atol=2e-4)
+
+
+def test_step_mask_gradients_raise(rng):
+    """step_mask is inference-only: the backward kernels reason in suffix
+    masks, so differentiation must fail loudly at trace time rather than
+    silently emit prefix-masked gradients for step-masked data."""
+    D, T, B, H = 1, 8, 8, 128
+    acts, w_rec, peep, lengths = _setup(rng, D, T, B, H)
+    z = jnp.zeros((D, B, H), jnp.float32)
+    mask = jnp.ones((B, T), jnp.float32)
+
+    def loss(a):
+        y, _ = lstm_scan_fused_carry(
+            a, _identity_w_in(D, 4 * H), jnp.asarray(w_rec),
+            jnp.asarray(peep), jnp.zeros((D, 4 * H), jnp.float32),
+            jnp.asarray(lengths), z, z, 0.0, True, True, jnp.float32,
+            True, None, 0, mask)
+        return jnp.sum(y)
+
+    with pytest.raises(NotImplementedError, match="inference-only"):
+        jax.grad(loss)(jnp.asarray(acts[0]))
+
+
+def test_descending_carry_rejects_trailing_padding(rng):
+    """A descending direction ENTERS at t=T-1: trailing chunk-alignment
+    padding (carry_t < T) would zero the incoming carry before the first
+    real frame, so the kernel must reject the combination up front."""
+    D, T, B, H = 1, 8, 8, 128
+    acts, w_rec, peep, lengths = _setup(rng, D, T, B, H)
+    z = jnp.zeros((D, B, H), jnp.float32)
+    with pytest.raises(ValueError, match="descending"):
+        lstm_scan_fused_carry(
+            jnp.asarray(acts[0]), _identity_w_in(D, 4 * H),
+            jnp.asarray(w_rec), jnp.asarray(peep),
+            jnp.zeros((D, 4 * H), jnp.float32), jnp.asarray(lengths),
+            z, z, 0.0, True, True, jnp.float32, True, T - 2, 1)

@@ -154,3 +154,50 @@ def test_streaming_rejects_bidirectional():
     net.init_params(3)
     with pytest.raises(ValueError, match="bidirectional"):
         net.init_stream_state(2)
+
+
+def test_streaming_fused_mid_chunk_boundaries(rng):
+    """Chunks where one sequence ENDS and another STARTS inside the same
+    chunk (mid-chunk NONE gaps, suffix-valid rows) — the fused path must
+    match scan exactly in semantics: state zeroed at each NONE step, the
+    new sequence started from zero state, trailing real frames after a
+    gap NOT dropped. (A prefix-lengths reduction fails all three.)"""
+    from lstm_rnn_tpu.ops.masking import (PATTYPE_FIRST, PATTYPE_LAST,
+                                          PATTYPE_NONE, PATTYPE_NORMAL)
+    net = Network(UNI_LAYERS, backend="pallas_interpret")
+    net.init_params(19)
+    params = jax.tree_util.tree_map(jnp.asarray, net.params)
+    t, b = 12, 3
+    x = jnp.asarray(rng.uniform(-1, 1, (t, b, 3)), jnp.float32)
+    pt = np.full((t, b), PATTYPE_NONE, np.int8)
+    # row 0: seq A (4 frames), 2-frame gap, seq B (6 frames) — the gap and
+    # restart land inside chunk 1 of a [4, 4, 4] chunking
+    pt[:4, 0] = [PATTYPE_FIRST, PATTYPE_NORMAL, PATTYPE_NORMAL, PATTYPE_LAST]
+    pt[6:, 0] = [PATTYPE_FIRST] + [PATTYPE_NORMAL] * 4 + [PATTYPE_LAST]
+    # row 1: starts mid-stream (suffix validity)
+    pt[5:, 1] = [PATTYPE_FIRST] + [PATTYPE_NORMAL] * 5 + [PATTYPE_LAST]
+    # row 2: plain prefix
+    pt[:7, 2] = [PATTYPE_FIRST] + [PATTYPE_NORMAL] * 5 + [PATTYPE_LAST]
+    pt = jnp.asarray(pt)
+
+    net_ref = Network(UNI_LAYERS, backend="scan")
+    net_ref.params = net.params
+
+    state = net.init_stream_state(b)
+    state_ref = net_ref.init_stream_state(b)
+    outs, outs_ref = [], []
+    for lo in range(0, t, 4):
+        y, state = net.apply_streaming(params, x[lo:lo + 4],
+                                       pt[lo:lo + 4], state)
+        yr, state_ref = net_ref.apply_streaming(params, x[lo:lo + 4],
+                                                pt[lo:lo + 4], state_ref)
+        outs.append(y)
+        outs_ref.append(yr)
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate(outs, axis=0)),
+        np.asarray(jnp.concatenate(outs_ref, axis=0)),
+        rtol=2e-5, atol=2e-5)
+    for name in state:
+        for got, want in zip(state[name], state_ref[name]):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=2e-5, atol=2e-5)
