@@ -201,3 +201,30 @@ def test_streaming_fused_mid_chunk_boundaries(rng):
         for got, want in zip(state[name], state_ref[name]):
             np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                        rtol=2e-5, atol=2e-5)
+
+
+def test_streaming_explicit_pallas_unfit_raises(monkeypatch):
+    """On a real TPU, an explicit lstm_backend=pallas streaming request
+    that fails the VMEM model or a recorded device probe verdict must
+    raise the same clear error lstm_forward gives — not silently downgrade
+    to a ~3x slower scan or die in Mosaic at device compile."""
+    import lstm_rnn_tpu.models.lstm as ml
+
+    monkeypatch.setattr(ml.jax, "default_backend", lambda: "tpu")
+
+    # analytic-unfit
+    monkeypatch.setattr("lstm_rnn_tpu.ops.lstm_cell.fused_fits",
+                        lambda *a, **k: False)
+    with pytest.raises(ValueError, match="VMEM model"):
+        ml._resolve_fused("pallas", 128, 128, 16, jnp.float32)
+    # auto still falls back silently
+    assert ml._resolve_fused("auto", 128, 128, 16, jnp.float32)[0] is False
+
+    # device-verdict-unfit (analytic fits)
+    monkeypatch.setattr("lstm_rnn_tpu.ops.lstm_cell.fused_fits",
+                        lambda *a, **k: True)
+    monkeypatch.setattr("lstm_rnn_tpu.ops.vmem_probe.known_unfit",
+                        lambda *a, **k: True)
+    with pytest.raises(ValueError, match="device probe verdict"):
+        ml._resolve_fused("pallas", 128, 128, 16, jnp.float32)
+    assert ml._resolve_fused("auto", 128, 128, 16, jnp.float32)[0] is False
