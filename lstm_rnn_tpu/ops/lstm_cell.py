@@ -524,7 +524,8 @@ def fused_vmem_bytes(hp: int, pp: int, bp: int, compute_dtype=jnp.float32,
     dominates): double-buffered chunk streams + resident weights + the f32
     dW accumulator blocks + scratch. Used by pick_chunk and the callers'
     fall-back-to-scan guards — interpret-mode tests cannot catch device
-    VMEM overflows."""
+    VMEM overflows. (The streaming step_mask adds one [B, CH] f32 block
+    ~4 KB — noise against the MB-scale budget, deliberately unmodeled.)"""
     s = _storage(compute_dtype).itemsize
     h4 = 4 * hp
     fwd = (2 * s * (pp * h4 + hp * h4)              # W_in + W_rec
