@@ -4,14 +4,15 @@
 The reference ships only `speech_recognition_chime/val_1_speaker.nc` (its
 train blobs were stripped, `.MISSING_LARGE_BLOBS`), so its examples cannot
 run either. This generator produces shape-compatible synthetic corpora for
-all four recipes: features are class-conditional Gaussians over a slowly
+every recipe: features are class-conditional Gaussians over a slowly
 switching state sequence, so training visibly reduces the error — the
 recipes exercise the real pipeline end to end without distributing corpora.
 
 Usage:
   python examples/make_example_data.py [recipe ...] [--seqs N] [--len-scale F]
 
-Recipes: chime_recognition, chime_autoencoding, timit (default: all).
+Recipes: chime_recognition, chime_autoencoding, timit, lvcsr (default:
+all).
 """
 
 from __future__ import annotations
@@ -28,21 +29,32 @@ sys.path.insert(0, os.path.dirname(HERE))
 from lstm_rnn_tpu.data.netcdf3 import strings_to_chars, write_netcdf  # noqa: E402
 
 
-def _state_sequence(rng, length, n_classes, hold=8):
-    """Slowly switching class sequence (HMM-state-like persistence)."""
+def _state_sequence(rng, length, n_classes, hold=8, pool=None):
+    """Slowly switching class sequence (HMM-state-like persistence).
+
+    pool: optional array of allowed class ids — LVCSR corpora visit only
+    a subset of the physical-state inventory (exactly what htk2nc's
+    numeric-state mode produces: labels index a FIXED inventory larger
+    than any one corpus's visited set)."""
     states = np.empty(length, np.int32)
     t = 0
-    cur = rng.randint(n_classes)
+
+    def draw():
+        if pool is not None:
+            return int(pool[rng.randint(pool.size)])
+        return rng.randint(n_classes)
+
+    cur = draw()
     while t < length:
         dur = max(1, int(rng.poisson(hold)))
         states[t:t + dur] = cur
         t += dur
-        cur = rng.randint(n_classes)
+        cur = draw()
     return states
 
 
 def _make_classification_nc(path, rng, n_seqs, len_range, in_size, n_classes,
-                            means=None):
+                            means=None, pool=None):
     lengths = rng.randint(len_range[0], len_range[1] + 1, n_seqs)
     total = int(lengths.sum())
     # class-conditional means (shared between train/val so validation
@@ -53,7 +65,7 @@ def _make_classification_nc(path, rng, n_seqs, len_range, in_size, n_classes,
     classes = np.empty(total, np.int32)
     pos = 0
     for L in lengths:
-        st = _state_sequence(rng, int(L), n_classes)
+        st = _state_sequence(rng, int(L), n_classes, pool=pool)
         classes[pos:pos + L] = st
         inputs[pos:pos + L] = means[st] + rng.randn(int(L), in_size).astype(np.float32)
         pos += L
@@ -101,7 +113,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("recipes", nargs="*",
                    help="recipes to generate: chime_recognition, "
-                        "chime_autoencoding, timit (default: all)")
+                        "chime_autoencoding, timit, lvcsr (default: all)")
     p.add_argument("--seqs", type=int, default=60,
                    help="training sequences per corpus (val gets ~1/4)")
     p.add_argument("--len-scale", type=float, default=1.0,
@@ -110,7 +122,7 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--out-root", default=HERE)
     args = p.parse_args(argv)
-    known = ["chime_recognition", "chime_autoencoding", "timit"]
+    known = ["chime_recognition", "chime_autoencoding", "timit", "lvcsr"]
     for r in args.recipes:
         if r not in known:
             p.error(f"unknown recipe '{r}' (choose from {', '.join(known)})")
@@ -140,6 +152,21 @@ def main(argv=None):
                                 rng, args.seqs, (lo, hi), 117, 183, means)
         _make_classification_nc(os.path.join(d, "timit_cvD117.nc"),
                                 rng, n_val, (lo, hi), 117, 183, means)
+    if "lvcsr" in recipes:
+        # the fork's physical-HMM-state target (htk2nc --no_label_map
+        # --num_labels 10112): labels index a fixed ~10k-state inventory;
+        # any one corpus visits a subset of it
+        d = os.path.join(args.out_root, "alignments")
+        os.makedirs(d, exist_ok=True)
+        n_states = 10112
+        means = (rng.randn(n_states, 117) * 0.8).astype(np.float32)
+        pool = rng.choice(n_states, size=512, replace=False)
+        _make_classification_nc(os.path.join(d, "lvcsr_train_states.nc"),
+                                rng, args.seqs, (lo, hi), 117, n_states,
+                                means, pool=pool)
+        _make_classification_nc(os.path.join(d, "lvcsr_cv_states.nc"),
+                                rng, n_val, (lo, hi), 117, n_states,
+                                means, pool=pool)
     return 0
 
 

@@ -103,6 +103,7 @@ def _run_example(tmp_path, subdir):
     "speech_recognition_chime/no_subsampling",
     "speech_recognition_chime/subsampling",
     "speech_autoencoding_chime",
+    "lvcsr_physical_states",
 ])
 def test_example_recipes_run(tmp_path, subdir):
     out = _run_example(tmp_path, subdir)
