@@ -258,16 +258,23 @@ def lstm_forward(params, x, pattypes, bias_mult: float, bidirectional: bool,
         if backend == "pallas" and jax.default_backend() == "tpu":
             # explicit-pallas VMEM guard: a cell too wide even at chunk=1
             # would otherwise die at device compile with an opaque Mosaic
-            # scoped-vmem overflow (the "auto" path falls back silently)
+            # scoped-vmem overflow (the "auto" path falls back silently);
+            # a recorded DEVICE verdict that no chunk fits is the same
+            # condition established empirically (matching _resolve_fused)
+            from lstm_rnn_tpu.ops.vmem_probe import known_unfit
             sz0 = _storage(compute_dtype).itemsize
             bp0 = round_up(bsz, 16 if sz0 == 2 else 8)
-            if not fused_fits(hp, pp, bp0, compute_dtype):
+            unfit_model = not fused_fits(hp, pp, bp0, compute_dtype)
+            if unfit_model or known_unfit(hp, pp, bp0, compute_dtype):
+                verdict = ("exceeds the fused kernels' VMEM budget at every "
+                           "chunk size" if unfit_model else
+                           "has a recorded device probe verdict that no "
+                           "chunk fits")
                 raise ValueError(
                     f"lstm_backend=pallas: layer (H={hdim}, P={x.shape[-1]}, "
-                    f"B={bsz}, {jnp.dtype(compute_dtype).name}) exceeds the "
-                    "fused kernels' VMEM budget at every chunk size; use "
-                    "lstm_backend=auto (falls back to lax.scan) or shard the "
-                    "cell with --model_devices")
+                    f"B={bsz}, {jnp.dtype(compute_dtype).name}) {verdict}; "
+                    "use lstm_backend=auto (falls back to lax.scan) or "
+                    "shard the cell with --model_devices")
         bgran = 16 if _storage(compute_dtype).itemsize == 2 else 8
         bp = round_up(bsz, bgran)
         tp = round_up(t, DEFAULT_CHUNK)

@@ -168,11 +168,14 @@ class Network:
         if init_rng == "currennt":
             from lstm_rnn_tpu.utils.rng_compat import (CurrenntInitStream,
                                                        currennt_init_flat)
-            if dist != "uniform":
-                # validate eagerly (not only when a layer actually needs
-                # init) so the raise doesn't depend on which layers came
-                # with weights; see currennt_init_flat for why boost's
-                # normal stream cannot be replayed
+            if dist != "uniform" and any(
+                    s.name not in self.params for s in self.specs[1:-1]):
+                # validate up front, but ONLY when some layer actually
+                # needs a random draw: a fully-weighted network (resume /
+                # --continue / autosave restart) never touches the normal
+                # stream, and the reference accepts that combination —
+                # see currennt_init_flat for why boost's normal stream
+                # cannot be replayed
                 currennt_init_flat(None, 0, dist, 0.0, 0.0)
             stream = CurrenntInitStream(seed)
             prev = self.specs[0].size

@@ -519,19 +519,27 @@ _chunk_override = None
 
 
 def fused_vmem_bytes(hp: int, pp: int, bp: int, compute_dtype=jnp.float32,
-                     ch: int = DEFAULT_CHUNK) -> int:
+                     ch: int = DEFAULT_CHUNK, with_mask: bool = False) -> int:
     """Worst-case VMEM residency of the fused kernels (the backward kernel
     dominates): double-buffered chunk streams + resident weights + the f32
     dW accumulator blocks + scratch. Used by pick_chunk and the callers'
     fall-back-to-scan guards — interpret-mode tests cannot catch device
-    VMEM overflows. (The streaming step_mask adds one [B, CH] f32 block
-    ~4 KB — noise against the MB-scale budget, deliberately unmodeled.)"""
+    VMEM overflows.
+
+    with_mask: the streaming step_mask adds one double-buffered [B, CH]
+    f32 input block whose minor (CH) dim Mosaic lane-pads to 128 —
+    2*bp*128*4 bytes (64 KB at bp=64). It rides the INFERENCE forward
+    only (gradients with step_mask raise), which is far below the
+    backward-dominated residency the device probes validate, so maskless
+    probe verdicts remain safe for masked serving."""
     s = _storage(compute_dtype).itemsize
     h4 = 4 * hp
     fwd = (2 * s * (pp * h4 + hp * h4)              # W_in + W_rec
            + 2 * ch * bp * (s * (pp + hp + h4) + 4 * hp)  # x, h, gates, c
            + 4 * ch * bp * h4                        # a_all f32 temp
            + 4 * bp * 2 * hp)                        # scratch
+    if with_mask:
+        fwd += 2 * bp * max(ch, 128) * 4             # lane-padded step mask
     bwd = (2 * s * (hp + pp) * h4                    # W_rec + W_in resident
            + 4 * (pp * h4 + hp * h4)                 # dW_in + dW_rec accum
            + 2 * ch * bp * (s * (2 * pp + 2 * hp + h4) + 4 * hp)  # streams
@@ -541,7 +549,7 @@ def fused_vmem_bytes(hp: int, pp: int, bp: int, compute_dtype=jnp.float32,
 
 
 def pick_chunk(T: int, hp: int, pp: int, bp: int,
-               compute_dtype=jnp.float32) -> int:
+               compute_dtype=jnp.float32, with_mask: bool = False) -> int:
     """Largest chunk that divides T AND whose kernel residency fits the
     VMEM budget (wide cells shrink the chunk instead of losing the fused
     path; callers fall back to lax.scan only when even the smallest chunk
@@ -554,7 +562,10 @@ def pick_chunk(T: int, hp: int, pp: int, bp: int,
     16M scoped vmem), f32 caps at 4. The model then handles width scaling
     relative to those anchors. Shape points PROBED on this device
     (ops/vmem_probe.py — Trainer init probes new shapes eagerly) override
-    the model entirely."""
+    the model entirely. Probe verdicts stay valid for with_mask serving:
+    they compile the full fwd+bwd kernels, whose backward residency
+    dominates the inference-only masked forward by MBs (see
+    fused_vmem_bytes)."""
     if _chunk_override is not None:
         if T % _chunk_override:
             raise ValueError(
@@ -573,7 +584,7 @@ def pick_chunk(T: int, hp: int, pp: int, bp: int,
         ch //= 2
     ch = max(ch, 1)
     while ch > 1 and fused_vmem_bytes(hp, pp, bp, compute_dtype,
-                                      ch) > budget:
+                                      ch, with_mask) > budget:
         ch //= 2
         while ch > 1 and T % ch:
             ch //= 2
@@ -631,7 +642,8 @@ def _fwd_impl(x, w_in, w_rec, peep, bias, lengths, bias_mult, interpret,
     T, B, P = x.shape
     D, _, H4 = w_in.shape
     H = H4 // 4
-    CH = pick_chunk(T, H, P, B, compute_dtype)
+    CH = pick_chunk(T, H, P, B, compute_dtype,
+                    with_mask=step_mask is not None)
     NC = T // CH
     sdtype = _storage(compute_dtype)
     prec = _precision_of(compute_dtype)

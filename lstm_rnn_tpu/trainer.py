@@ -713,13 +713,26 @@ class Trainer:
                 bp = -(-b // bm) * bm
                 est += (width_of(len(items)) * tp * bp
                         * self._frame_bytes(w))
-            if self._dev_cache_bytes + est > self._dev_cache_budget:
-                free = self._dev_cache_budget - self._dev_cache_bytes
+            # per-fraction entries covered by this pass are reclaimable —
+            # the stack supersedes them (popped at stacked dispatch)
+            covered = [k for k in keys if k in self._dev_cache]
+            reclaim = sum(self._dev_cache[k][1] for k in covered)
+            if self._dev_cache_bytes - reclaim + est > self._dev_cache_budget:
+                free = (self._dev_cache_budget
+                        - (self._dev_cache_bytes - reclaim))
                 return self._note_stacked_decline(
                     f"stacked corpus needs ~{est / 2**30:.2f} GiB but only "
                     f"{max(free, 0) / 2**30:.2f} GiB of device_cache_bytes "
                     f"remain (budget {self._dev_cache_budget / 2**30:.2f} "
                     "GiB)")
+            if self._dev_cache_bytes + est > self._dev_cache_budget:
+                # stack + per-fraction copies don't BOTH fit: supersede now.
+                # Otherwise keep the per-fraction entries so grouped passes
+                # during the background-compile window reuse them instead
+                # of re-assembling the corpus every epoch.
+                for k in covered:
+                    old = self._dev_cache.pop(k)
+                    self._dev_cache_bytes -= old[1]
             entry = {"shapes": {}, "bytes": 0, "pos": {}}
             warm = None
             for s, items in by_shape.items():
@@ -748,11 +761,6 @@ class Trainer:
                               self._stack_parts([p[2] for p in base]))
                 nbytes = sum(int(a.nbytes) for a in stacks
                              if hasattr(a, "nbytes"))
-                # the stack supersedes the per-fraction entries just cached
-                for _, k in items:
-                    old = self._dev_cache.pop(k, None)
-                    if old is not None:
-                        self._dev_cache_bytes -= old[1]
                 self._dev_cache_bytes += nbytes
                 entry["bytes"] += nbytes
                 entry["shapes"][s] = stacks

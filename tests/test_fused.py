@@ -600,7 +600,6 @@ def test_stacked_nonblocking_warm_compile(tmp_path, capsys, monkeypatch):
     path takes over once the compile lands — results identical to the
     always-grouped trainer."""
     import threading
-    import time
 
     from .test_data import _write_classification_nc
 
@@ -628,11 +627,13 @@ def test_stacked_nonblocking_warm_compile(tmp_path, capsys, monkeypatch):
     while not t1.train_epoch():
         pass
 
-    # a warm "compile" that outlives the first pass's 2 s grace but ends
-    # inside the second pass's (3.5 < 2 + 2) — epoch 1 must run grouped,
-    # epoch 2+ stacked
+    # an event-gated fake "compile": alive through epoch 1 (which must
+    # decline and run grouped), released before epoch 2 (which must
+    # dispatch stacked) — no wall-clock coupling, cannot flake under load
+    ev = threading.Event()
+
     def slow_warm(self, stacks, update):
-        th = threading.Thread(target=lambda: time.sleep(3.5), daemon=True)
+        th = threading.Thread(target=ev.wait, daemon=True)
         th.start()
         return th
 
@@ -641,8 +642,10 @@ def test_stacked_nonblocking_warm_compile(tmp_path, capsys, monkeypatch):
     t2 = Trainer(net2, ds2, learning_rate=1e-3, momentum=0.9, max_epochs=3,
                  hybrid_online_batch=True, fuse_fractions=8,
                  device_cache=True)
-    while not t2.train_epoch():
-        pass
+    done = t2.train_epoch()  # epoch 1: the warm thread is alive -> grouped
+    ev.set()
+    while not done:
+        done = t2.train_epoch()
     out = capsys.readouterr().out
     assert out.count("still compiling") == 1
     assert t2.cur_training_error == pytest.approx(t1.cur_training_error,
