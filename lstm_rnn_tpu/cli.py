@@ -449,13 +449,6 @@ def forward_mode(cfg: Config) -> int:
         raise RuntimeError(
             "stream_chunk does not combine with pipeline_devices or "
             "seq_devices")
-    if cfg.stream_chunk > 0 and cfg.lstm_backend == "pallas":
-        # streaming serves via the lax.scan cell (carried state); honor the
-        # repo convention that an explicitly requested backend that cannot
-        # apply fails loudly rather than silently measuring the wrong path
-        raise RuntimeError(
-            "stream_chunk serves via the lax.scan cell and does not "
-            "support --lstm_backend pallas (use auto or scan)")
     if cfg.pipeline_devices > 1:
         # pipeline-parallel serving: stages over a 'pipe' mesh, composed
         # with data parallelism when --num_devices > pipeline_devices
@@ -492,9 +485,10 @@ def forward_mode(cfg: Config) -> int:
         # net in --stream_chunk-frame slices with carried LSTM state —
         # output equal to the whole-sequence scan-backend forward (the
         # online serving mode; unidirectional nets only, validated up
-        # front). On TPU the default whole-sequence path uses the fused
-        # Pallas kernel, so the two CLI outputs agree to float rounding,
-        # not byte-for-byte.
+        # front). Chunks follow --lstm_backend like any forward: on TPU
+        # (auto/pallas) each chunk runs the carry-capable fused kernel
+        # with a per-step validity mask, so the scan and kernel serving
+        # paths agree to float rounding, not byte-for-byte.
         net.init_stream_state(1)  # rejects bidirectional nets early
         chunk = cfg.stream_chunk
         step = jax.jit(net.apply_streaming)

@@ -723,9 +723,18 @@ def test_forward_mode_stream_chunk_matches(tmp_path, rng):
         assert r.returncode != 0
         assert "stream_chunk does not combine" in r.stdout + r.stderr
 
-    # an explicitly requested pallas backend must fail loudly instead of
-    # silently serving via the scan cell (misleading benchmark numbers)
-    r = _cli(*fwd, "--ff_output_file", "x.csv", "--stream_chunk", "3",
-             "--lstm_backend", "pallas", cwd=tmp_path)
-    assert r.returncode != 0
-    assert "does not support --lstm_backend pallas" in r.stdout + r.stderr
+    # --lstm_backend pallas streams through the carry-capable fused
+    # kernel (interpret mode off-TPU) — same posteriors as the scan
+    # serving path to float rounding
+    r = _cli(*fwd, "--ff_output_file", "stream_k.csv", "--stream_chunk",
+             "3", "--lstm_backend", "pallas", cwd=tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    a = (tmp_path / "whole.csv").read_text().strip().split("\n")
+    b = (tmp_path / "stream_k.csv").read_text().strip().split("\n")
+    assert len(a) == len(b)
+    for la, lb in zip(a, b):
+        ca, cb = la.split(";"), lb.split(";")
+        assert ca[0] == cb[0]
+        np.testing.assert_allclose([float(v) for v in ca[1:]],
+                                   [float(v) for v in cb[1:]],
+                                   rtol=1e-4, atol=1e-5)
