@@ -469,8 +469,9 @@ def forward_mode(cfg: Config) -> int:
     elif cfg.seq_devices > 1:
         # sequence-parallel serving: the time axis shards over a 'seq'
         # mesh, composed with data parallelism when --num_devices exceeds
-        # it (mirrors train_mode's mesh construction). Pairs with the
-        # lax.scan cell, so the padded fused-kernel view does not apply.
+        # it (mirrors train_mode's mesh construction). Blocks run the
+        # carry-capable fused kernel on TPU (scan elsewhere); weights pad
+        # per block, so the padded fused-kernel VIEW does not apply.
         sp = cfg.seq_devices
         from lstm_rnn_tpu.parallel.sequence import apply_seq
         n = cfg.num_devices if cfg.num_devices != 0 else len(jax.devices())

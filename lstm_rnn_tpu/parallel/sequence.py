@@ -36,9 +36,13 @@ Design choices (mirroring parallel/pipeline.py):
   `lax.scan` path, proven in tests/test_sequence.py.
 - Composes with data parallelism: a 2-D ("data", "seq") mesh shards B
   over "data" and T over "seq" within each data shard.
-- Pairs with the lax.scan cell (the fused Pallas kernel assumes it owns
-  the whole sequence; carries in/out of a block are scan territory) —
-  the same pairing tensor parallelism uses.
+- On TPU each device's block scan runs the CARRY-capable fused kernel
+  (lstm_scan_fused_carry; _fused_wavefront) — explicit (h, c) in/out per
+  block, the BLSTM backward half as a dir_offset=1 descending kernel —
+  falling back to the shared lax.scan cell off-TPU or when the kernel's
+  VMEM gates reject the shape (_resolve_fused). Tensor parallelism, by
+  contrast, stays on the scan cell: its per-STEP all_gather is
+  incompatible with a whole-block kernel.
 - Layers run their wavefronts SEQUENTIALLY rather than as a diagonal
   (layer, block) pipeline. For unidirectional stacks a diagonal would
   overlap layers (L*S/(S+L-1) speedup), but CURRENNT's stacks are
