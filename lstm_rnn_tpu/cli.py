@@ -515,10 +515,35 @@ def forward_mode(cfg: Config) -> int:
             return jnp.concatenate(outs, axis=0)[:t]
         print(f"Streaming forward: {chunk}-frame chunks, carried LSTM "
               "state")
-    elif use_padded:
-        apply_fn = jax.jit(net.apply_padded)
     else:
-        apply_fn = jax.jit(net.apply)
+        base = jax.jit(net.apply_padded if use_padded else net.apply)
+        nd = cfg.num_devices if cfg.num_devices != 0 else len(jax.devices())
+        if nd > 1:
+            # data-parallel serving: each fraction's batch axis shards
+            # over a 'data' mesh (the same axis train mode uses); batches
+            # pad up to the mesh size with NONE columns and the output
+            # slices back, so any parallel_sequences works
+            import jax.numpy as jnp
+
+            from lstm_rnn_tpu.parallel.mesh import (make_mesh, replicate,
+                                                    shard_batch)
+            mesh = make_mesh(nd)
+            print(f"Data-parallel serving mesh: {dict(mesh.shape)}")
+            fwd_params = replicate(mesh, fwd_params)
+
+            def apply_fn(p, xx, pp_):
+                b = xx.shape[1]
+                pad = -b % nd
+                xx = jnp.asarray(xx)
+                pp_ = jnp.asarray(pp_)
+                if pad:
+                    xx = jnp.pad(xx, ((0, 0), (0, pad), (0, 0)))
+                    pp_ = jnp.pad(pp_, ((0, 0), (0, pad)))
+                xs = shard_batch(mesh, xx, 1)
+                ps = shard_batch(mesh, pp_, 1)
+                return base(p, xs, ps)[:, :b]
+        else:
+            apply_fn = base
 
     means = stdevs = None
     if (cfg.revert_std and not ff_set.is_classification
