@@ -494,25 +494,47 @@ def forward_mode(cfg: Config) -> int:
         chunk = cfg.stream_chunk
         step = jax.jit(net.apply_streaming)
         import jax.numpy as jnp
+        nd = cfg.num_devices if cfg.num_devices != 0 else len(jax.devices())
+        mesh = None
+        if nd > 1:
+            # data-parallel streaming: the batch of concurrent streams
+            # shards over the 'data' mesh; the carried per-layer (h, c)
+            # states shard on the same axis and stay sharded across chunks
+            from lstm_rnn_tpu.parallel.mesh import (make_mesh, replicate,
+                                                    shard_batch)
+            mesh = make_mesh(nd)
+            print(f"Data-parallel streaming mesh: {dict(mesh.shape)}")
+            fwd_params = replicate(mesh, fwd_params)
 
         def apply_fn(p, xx, pp_):
-            state = net.init_stream_state(xx.shape[1])
+            t, b = xx.shape[0], xx.shape[1]
+            xx = jnp.asarray(xx)
+            pp_ = jnp.asarray(pp_)
+            bpad = -b % nd if mesh is not None else 0
+            if bpad:  # NONE columns up to the mesh size, sliced back below
+                xx = jnp.pad(xx, ((0, 0), (0, bpad), (0, 0)))
+                pp_ = jnp.pad(pp_, ((0, 0), (0, bpad)))
             # pad T up to a chunk multiple with PATTYPE_NONE frames so
             # every slice compiles to ONE (chunk, B) program — otherwise
             # each distinct T%chunk remainder costs a fresh XLA compile
             # (dominant on the remote tunnel). The mask zeroes padded
             # steps; the tail is stripped below.
-            t = xx.shape[0]
             pad = -t % chunk
             if pad:
                 xx = jnp.pad(xx, ((0, pad), (0, 0), (0, 0)))
                 pp_ = jnp.pad(pp_, ((0, pad), (0, 0)))
+            state = net.init_stream_state(b + bpad)
+            if mesh is not None:
+                xx = shard_batch(mesh, xx, 1)
+                pp_ = shard_batch(mesh, pp_, 1)
+                state = jax.tree_util.tree_map(
+                    lambda a: shard_batch(mesh, a, 1), state)
             outs = []
             for lo in range(0, t + pad, chunk):
                 y, state = step(p, xx[lo:lo + chunk], pp_[lo:lo + chunk],
                                 state)
                 outs.append(y)
-            return jnp.concatenate(outs, axis=0)[:t]
+            return jnp.concatenate(outs, axis=0)[:t, :b]
         print(f"Streaming forward: {chunk}-frame chunks, carried LSTM "
               "state")
     else:

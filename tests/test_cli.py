@@ -767,3 +767,33 @@ def test_forward_mode_num_devices_matches(tmp_path, rng):
         np.testing.assert_allclose([float(v) for v in ca[1:]],
                                    [float(v) for v in cb[1:]],
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_forward_mode_stream_chunk_num_devices_matches(tmp_path, rng):
+    """--stream_chunk composes with --num_devices: the batch of concurrent
+    streams shards over the 'data' mesh with the carried (h, c) states
+    sharded on the same axis — posteriors equal the single-device
+    streamed forward (parallel_sequences=3 exercises the batch padding)."""
+    nc, net_path = _toy_setup(tmp_path, rng)
+    r = _cli("--network", net_path, "--train", "true", "--train_file", nc,
+             "--max_epochs", "1", cwd=tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    fwd = ["--network", str(tmp_path / "trained_network.jsn"),
+           "--train", "false", "--ff_input_file", nc,
+           "--ff_output_format", "single_csv", "--parallel_sequences", "3",
+           "--stream_chunk", "3"]
+    r = _cli(*fwd, "--ff_output_file", "s1.csv", cwd=tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    r = _cli(*fwd, "--ff_output_file", "s2.csv",
+             "--num_devices", "2", cwd=tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "Data-parallel streaming mesh" in r.stdout
+    a = (tmp_path / "s1.csv").read_text().strip().split("\n")
+    b = (tmp_path / "s2.csv").read_text().strip().split("\n")
+    assert len(a) == len(b)
+    for la, lb in zip(a, b):
+        ca, cb = la.split(";"), lb.split(";")
+        assert ca[0] == cb[0]
+        np.testing.assert_allclose([float(v) for v in ca[1:]],
+                                   [float(v) for v in cb[1:]],
+                                   rtol=1e-5, atol=1e-6)
