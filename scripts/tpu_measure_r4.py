@@ -55,12 +55,17 @@ def stage(name, fn):
 def probes():
     import jax.numpy as jnp
 
+    from lstm_rnn_tpu.models.flagship import build_lvcsr_network
     from lstm_rnn_tpu.ops.vmem_probe import (ensure_tail_validated,
                                              ensure_wide_validated)
-    out = {}
+    # the REAL padded softmax fan-in of the LVCSR flagship (BLSTM(250) ->
+    # 125 cells/direction -> hp 128 -> 2*128 = 256), not a guessed width
+    net = build_lvcsr_network(seed=1)
+    P = net.pad_params(net.params)["output"]["W"].shape[0]
+    out = {"P": P}
     for dt, name in ((jnp.bfloat16, "bf16"), (jnp.float32, "f32")):
-        got = ensure_wide_validated(512, dt)
-        out[f"wide_P512_{name}"] = list(got) if got else None
+        got = ensure_wide_validated(P, dt)
+        out[f"wide_P{P}_{name}"] = list(got) if got else None
         # the wide FORWARD is the plain row-blocked tail at Spw=10240
         out[f"tail_S10240_{name}"] = ensure_tail_validated(
             0, 10240, dt, proj=False)

@@ -120,7 +120,10 @@ def test_lvcsr_flagship_routes_wide_tail():
 
     net = build_lvcsr_network(seed=1)
     assert net.specs[-2].size == 10112
-    # padded softmax fan-in is 512 (2 x hp=256)
-    assert not proj_tail_fits(32000, 512, 10240, jnp.bfloat16)
-    spw, sb, rows = wide_plan(32000, 512, 10112, jnp.bfloat16)
+    # the REAL padded softmax fan-in: BLSTM(250) -> 125 cells/direction
+    # -> hp 128 -> 2*128 = 256 (derive it, don't guess it)
+    P = net.pad_params(net.params)["output"]["W"].shape[0]
+    assert P == 256
+    assert not proj_tail_fits(32000, P, 10240, jnp.bfloat16)
+    spw, sb, rows = wide_plan(32000, P, 10112, jnp.bfloat16)
     assert spw >= 10112 and spw % sb == 0 and 32000 % rows == 0
