@@ -15,8 +15,10 @@ the round-3 driver bench timed out at rc=124 because the unbounded ladder
 slept ~36 min on a downed relay).
 
 Flags: --num_devices N shards the fraction batch over an N-chip DP mesh
-(parallel/mesh.py) — ready for multi-chip hardware; --recipe lvcsr swaps
-the softmax for the fork's LVCSR-scale state count (README.md:12).
+(parallel/mesh.py) — ready for multi-chip hardware (N=1 still builds the
+mesh, proving the sharded program + fused kernels on one real chip);
+--recipe lvcsr swaps the softmax for the fork's LVCSR-scale state count
+(README.md:12).
 """
 
 from __future__ import annotations
@@ -71,7 +73,7 @@ def run_bench(t: int = 500, b: int = 50, iters: int = 300,
     # bf16 streams need 16 batch rows per tile (Trainer._b_multiple); a DP
     # mesh additionally needs B divisible by the data-axis size
     import math
-    bmul = math.lcm(16, num_devices) if num_devices > 1 else 16
+    bmul = math.lcm(16, num_devices) if num_devices >= 1 else 16
     x0, tc0, pt0 = Trainer._pad_fraction(x0, tc0, pt0, b_multiple=bmul)
     # the Trainer casts inputs bf16 on the HOST (halved transfer, and the
     # device-resident fraction cache stores bf16) — mirror that here so the
@@ -81,7 +83,13 @@ def run_bench(t: int = 500, b: int = 50, iters: int = 300,
         x0 = x0.astype(ml_dtypes.bfloat16)
 
     params0 = net.pad_params(net.params)
-    if num_devices > 1:
+    # num_devices >= 1 routes through the DP mesh machinery even on ONE
+    # device: operands arrive NamedSharding'd and the fused Pallas kernels
+    # execute inside the sharded jit program — on the real chip this is the
+    # device-level proof of the DP program shape that the virtual-CPU tests
+    # can only run interpreted (num_devices=0 keeps the plain single-device
+    # path as the default bench configuration).
+    if num_devices >= 1:
         from lstm_rnn_tpu.parallel.mesh import (make_mesh, replicate,
                                                 shard_fraction)
         mesh = make_mesh(num_devices)

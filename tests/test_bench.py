@@ -38,6 +38,18 @@ def test_run_bench_dp_on_virtual_mesh():
     assert fps > 0
 
 
+def test_run_bench_dp_mesh_of_one():
+    """num_devices=1 must still build the mesh and run the sharded program
+    (on the real chip this is the device-level DP proof; here it executes
+    the same code path on one CPU device)."""
+    import bench
+    fps = bench.run_bench(t=8, b=4, iters=2, num_devices=1, net=_tiny_net(),
+                          states=5, input_size=3, compute_dtype="float32",
+                          backend="pallas_interpret", warmup_iters=1,
+                          interpret=True)
+    assert fps > 0
+
+
 def test_bench_failure_prints_parseable_json(monkeypatch, capsys):
     import bench
     from lstm_rnn_tpu.utils import device
