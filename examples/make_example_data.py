@@ -53,8 +53,22 @@ def _state_sequence(rng, length, n_classes, hold=8, pool=None):
     return states
 
 
+def _skip_existing(path, overwrite):
+    """Never clobber a file the user already has: the run.sh hooks call
+    this generator when ANY file of a recipe pair is missing, and the
+    present one may be REAL data (htk2nc output, or the reference's
+    shipped val_1_speaker.nc) — only the missing file is generated."""
+    if os.path.exists(path) and not overwrite:
+        print(f"{path} exists — left untouched (pass --overwrite to "
+              "regenerate)")
+        return True
+    return False
+
+
 def _make_classification_nc(path, rng, n_seqs, len_range, in_size, n_classes,
-                            means=None, pool=None):
+                            means=None, pool=None, overwrite=False):
+    if _skip_existing(path, overwrite):
+        return
     lengths = rng.randint(len_range[0], len_range[1] + 1, n_seqs)
     total = int(lengths.sum())
     # class-conditional means (shared between train/val so validation
@@ -83,8 +97,10 @@ def _make_classification_nc(path, rng, n_seqs, len_range, in_size, n_classes,
           f"{in_size}-dim, {n_classes} classes")
 
 
-def _make_regression_nc(path, rng, n_seqs, len_range, size):
+def _make_regression_nc(path, rng, n_seqs, len_range, size, overwrite=False):
     """Autoencoding: targets = clean signal, inputs = noisy version."""
+    if _skip_existing(path, overwrite):
+        return
     lengths = rng.randint(len_range[0], len_range[1] + 1, n_seqs)
     total = int(lengths.sum())
     targets = np.empty((total, size), np.float32)
@@ -120,6 +136,9 @@ def main(argv=None):
                    help="sequence-length multiplier (1.0 = 80..200 frames; "
                         "the TIMIT flagship bench uses ~4.0 for 300..800)")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--overwrite", action="store_true",
+                   help="regenerate files that already exist (default: "
+                        "existing files — possibly real data — are kept)")
     p.add_argument("--out-root", default=HERE)
     args = p.parse_args(argv)
     known = ["chime_recognition", "chime_autoencoding", "timit", "lvcsr"]
@@ -135,23 +154,29 @@ def main(argv=None):
         d = os.path.join(args.out_root, "speech_recognition_chime")
         means = rng.randn(51, 39).astype(np.float32) * 0.8
         _make_classification_nc(os.path.join(d, "train_1_speaker.nc"),
-                                rng, args.seqs, (lo, hi), 39, 51, means)
+                                rng, args.seqs, (lo, hi), 39, 51, means,
+                                overwrite=args.overwrite)
         _make_classification_nc(os.path.join(d, "val_1_speaker.nc"),
-                                rng, n_val, (lo, hi), 39, 51, means)
+                                rng, n_val, (lo, hi), 39, 51, means,
+                                overwrite=args.overwrite)
     if "chime_autoencoding" in recipes:
         d = os.path.join(args.out_root, "speech_autoencoding_chime")
         _make_regression_nc(os.path.join(d, "train_1_speaker.nc"),
-                            rng, args.seqs, (lo, hi), 39)
+                            rng, args.seqs, (lo, hi), 39,
+                            overwrite=args.overwrite)
         _make_regression_nc(os.path.join(d, "val_1_speaker.nc"),
-                            rng, n_val, (lo, hi), 39)
+                            rng, n_val, (lo, hi), 39,
+                            overwrite=args.overwrite)
     if "timit" in recipes:
         d = os.path.join(args.out_root, "alignments")
         os.makedirs(d, exist_ok=True)
         means = rng.randn(183, 117).astype(np.float32) * 0.8
         _make_classification_nc(os.path.join(d, "timit_trainD117.nc"),
-                                rng, args.seqs, (lo, hi), 117, 183, means)
+                                rng, args.seqs, (lo, hi), 117, 183, means,
+                                overwrite=args.overwrite)
         _make_classification_nc(os.path.join(d, "timit_cvD117.nc"),
-                                rng, n_val, (lo, hi), 117, 183, means)
+                                rng, n_val, (lo, hi), 117, 183, means,
+                                overwrite=args.overwrite)
     if "lvcsr" in recipes:
         # the fork's physical-HMM-state target (htk2nc --no_label_map
         # --num_labels 10112): labels index a fixed ~10k-state inventory;
@@ -163,10 +188,12 @@ def main(argv=None):
         pool = rng.choice(n_states, size=512, replace=False)
         _make_classification_nc(os.path.join(d, "lvcsr_train_states.nc"),
                                 rng, args.seqs, (lo, hi), 117, n_states,
-                                means, pool=pool)
+                                means, pool=pool,
+                                overwrite=args.overwrite)
         _make_classification_nc(os.path.join(d, "lvcsr_cv_states.nc"),
                                 rng, n_val, (lo, hi), 117, n_states,
-                                means, pool=pool)
+                                means, pool=pool,
+                                overwrite=args.overwrite)
     return 0
 
 

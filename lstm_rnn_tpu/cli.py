@@ -406,6 +406,31 @@ def train_mode(cfg: Config) -> int:
     return 0
 
 
+def _serving_devices(cfg: Config) -> int:
+    """Resolve the device count for forward-mode serving meshes (the DP,
+    streaming-DP, pipeline and seq branches all share this).
+
+    Forward mode runs on the coordinator only — secondary hosts return
+    before any compute — so a multi-host job must NEVER build a mesh over
+    global devices: the other processes are gone and the sharded program
+    would wait forever in its first collective. Serving falls back to one
+    device there (train_mode is the multi-host path, which forces n to the
+    global device count because every process participates)."""
+    import jax
+    if jax.process_count() > 1:
+        if cfg.num_devices != 1:
+            print("Multi-host forward pass serves on the coordinator's "
+                  "first device (--num_devices ignored: secondary hosts "
+                  "exit forward mode, so no global mesh can execute)")
+        return 1
+    n_avail = len(jax.devices())
+    n = cfg.num_devices if cfg.num_devices != 0 else n_avail
+    if n > n_avail:
+        raise RuntimeError(
+            f"num_devices={n} but only {n_avail} devices available")
+    return n
+
+
 def forward_mode(cfg: Config) -> int:
     if not _is_coordinator():
         # forward mode is single-device; secondary hosts have nothing to do
@@ -449,6 +474,15 @@ def forward_mode(cfg: Config) -> int:
         raise RuntimeError(
             "stream_chunk does not combine with pipeline_devices or "
             "seq_devices")
+    if jax.process_count() > 1 and (cfg.pipeline_devices > 1
+                                    or cfg.seq_devices > 1):
+        # these meshes span k devices regardless of --num_devices; with
+        # the secondary hosts gone (early return above) a global mesh
+        # would hang in its first collective — fail loudly instead
+        raise RuntimeError(
+            "pipeline/seq-parallel serving is single-host (secondary "
+            "hosts exit forward mode); run forward passes without "
+            "--coordinator_address")
     if cfg.pipeline_devices > 1:
         # pipeline-parallel serving: stages over a 'pipe' mesh, composed
         # with data parallelism when --num_devices > pipeline_devices
@@ -457,7 +491,7 @@ def forward_mode(cfg: Config) -> int:
         from lstm_rnn_tpu.parallel.pipeline import (apply_pipelined,
                                                     stage_ranges)
         stage_ranges(len(net.specs) - 2, pp)  # fail early, not mid-trace
-        n = cfg.num_devices if cfg.num_devices != 0 else len(jax.devices())
+        n = _serving_devices(cfg)
         from lstm_rnn_tpu.parallel.mesh import composed_mesh
         pipe_mesh, composed = composed_mesh(n, pp, "pipe",
                                             "pipeline_devices")
@@ -474,7 +508,7 @@ def forward_mode(cfg: Config) -> int:
         # per block, so the padded fused-kernel VIEW does not apply.
         sp = cfg.seq_devices
         from lstm_rnn_tpu.parallel.sequence import apply_seq
-        n = cfg.num_devices if cfg.num_devices != 0 else len(jax.devices())
+        n = _serving_devices(cfg)
         from lstm_rnn_tpu.parallel.mesh import composed_mesh
         seq_mesh, composed = composed_mesh(n, sp, "seq", "seq_devices")
         print(("DP x SP" if composed else "Sequence-parallel")
@@ -494,7 +528,7 @@ def forward_mode(cfg: Config) -> int:
         chunk = cfg.stream_chunk
         step = jax.jit(net.apply_streaming)
         import jax.numpy as jnp
-        nd = cfg.num_devices if cfg.num_devices != 0 else len(jax.devices())
+        nd = _serving_devices(cfg)
         mesh = None
         if nd > 1:
             # data-parallel streaming: the batch of concurrent streams
@@ -539,7 +573,7 @@ def forward_mode(cfg: Config) -> int:
               "state")
     else:
         base = jax.jit(net.apply_padded if use_padded else net.apply)
-        nd = cfg.num_devices if cfg.num_devices != 0 else len(jax.devices())
+        nd = _serving_devices(cfg)
         if nd > 1:
             # data-parallel serving: each fraction's batch axis shards
             # over a 'data' mesh (the same axis train mode uses); batches

@@ -2,11 +2,14 @@
 
 Stages (each prints one labeled JSON line; failures don't kill later
 stages):
-  1. wide-tail VMEM probes for the LVCSR fan-in (P=512, bf16 + f32)
+  1. wide-tail VMEM probes at the LVCSR flagship's real padded fan-in
+     (derived from the pad plan — P=256 for 5xBLSTM(250); bf16 + f32)
   2. TIMIT flagship training bench (bench.run_bench, 300 iters)
   3. LVCSR training bench at Sp~10k: wide fused tail vs the
      materialized-logits fallback (LSTM_RNN_TPU_DISABLE_WIDE_TAIL)
-  4. streaming inference: chunked carry-kernel serving vs whole-sequence
+  4. the same training chain through a 1-device DP mesh (NamedSharding'd
+     operands + fused kernels inside the sharded program, on device)
+  5. streaming inference: chunked carry-kernel serving vs whole-sequence
 
 Usage: nohup python scripts/tpu_measure_r4.py > /root/repo/tpu_r4.log 2>&1 &
 Never run a second TPU process while this one lives.
@@ -55,13 +58,16 @@ def stage(name, fn):
 def probes():
     import jax.numpy as jnp
 
-    from lstm_rnn_tpu.models.flagship import build_lvcsr_network
+    from lstm_rnn_tpu.models.flagship import timit_dblstm_layers
+    from lstm_rnn_tpu.network import Network
     from lstm_rnn_tpu.ops.vmem_probe import (ensure_tail_validated,
                                              ensure_wide_validated)
     # the REAL padded softmax fan-in of the LVCSR flagship (BLSTM(250) ->
-    # 125 cells/direction -> hp 128 -> 2*128 = 256), not a guessed width
-    net = build_lvcsr_network(seed=1)
-    P = net.pad_params(net.params)["output"]["W"].shape[0]
+    # 125 cells/direction -> hp 128 -> 2*128 = 256), not a guessed width —
+    # read from the pad PLAN (spec-only), not a fully initialized 10k-state
+    # parameter tree built just to look at one shape
+    net = Network(timit_dblstm_layers(num_states=10112))
+    P = net._pad_plan()[-1][2]
     out = {"P": P}
     for dt, name in ((jnp.bfloat16, "bf16"), (jnp.float32, "f32")):
         got = ensure_wide_validated(P, dt)

@@ -22,6 +22,21 @@ def _cli(*args, cwd):
         capture_output=True, text=True, cwd=str(cwd), env=env)
 
 
+def _assert_csv_close(path_a, path_b, rtol=1e-4, atol=1e-6):
+    """Two single_csv posterior dumps must match line-by-line: same tags,
+    values equal to the given tolerance (shared by every serving-mode
+    equality test so the format and comparison cannot drift)."""
+    a = path_a.read_text().strip().split("\n")
+    b = path_b.read_text().strip().split("\n")
+    assert len(a) == len(b)
+    for la, lb in zip(a, b):
+        ca, cb = la.split(";"), lb.split(";")
+        assert ca[0] == cb[0]  # sequence tag
+        np.testing.assert_allclose([float(v) for v in ca[1:]],
+                                   [float(v) for v in cb[1:]],
+                                   rtol=rtol, atol=atol)
+
+
 def _toy_setup(tmp_path, rng):
     nc = str(tmp_path / "train.nc")
     _write_classification_nc(nc, [6, 5, 4, 7], in_size=3, num_labels=4, seed=7)
@@ -549,16 +564,7 @@ def test_forward_mode_pipeline_devices_matches(tmp_path, rng):
              "--pipeline_devices", "2", cwd=tmp_path)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "Pipeline mesh" in r.stdout
-    a = (tmp_path / "single.csv").read_text()
-    b = (tmp_path / "pp.csv").read_text()
-    ra, rb = a.strip().split("\n"), b.strip().split("\n")
-    assert len(ra) == len(rb)
-    for la, lb in zip(ra, rb):
-        ca, cb = la.split(";"), lb.split(";")
-        assert ca[0] == cb[0]  # sequence tag
-        np.testing.assert_allclose([float(v) for v in ca[1:]],
-                                   [float(v) for v in cb[1:]],
-                                   rtol=1e-4, atol=1e-6)
+    _assert_csv_close(tmp_path / "single.csv", tmp_path / "pp.csv")
 
 
 def test_forward_mode_dp_x_pp_and_early_validation(tmp_path, rng):
@@ -579,12 +585,7 @@ def test_forward_mode_dp_x_pp_and_early_validation(tmp_path, rng):
              "--pipeline_devices", "2", cwd=tmp_path)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "DP x PP mesh" in r.stdout
-    a = (tmp_path / "a.csv").read_text().strip().split("\n")
-    b = (tmp_path / "b.csv").read_text().strip().split("\n")
-    for la, lb in zip(a, b):
-        np.testing.assert_allclose(
-            [float(v) for v in la.split(";")[1:]],
-            [float(v) for v in lb.split(";")[1:]], rtol=1e-4, atol=1e-6)
+    _assert_csv_close(tmp_path / "a.csv", tmp_path / "b.csv")
 
     # early validation: more stages than hidden layers (toy net has 2)
     r = _cli(*fwd, "--ff_output_file", "c.csv",
@@ -655,15 +656,7 @@ def test_forward_mode_seq_devices_matches(tmp_path, rng):
              "--seq_devices", "2", cwd=tmp_path)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "Sequence-parallel mesh" in r.stdout
-    a = (tmp_path / "single.csv").read_text().strip().split("\n")
-    b = (tmp_path / "sp.csv").read_text().strip().split("\n")
-    assert len(a) == len(b)
-    for la, lb in zip(a, b):
-        ca, cb = la.split(";"), lb.split(";")
-        assert ca[0] == cb[0]  # sequence tag
-        np.testing.assert_allclose([float(v) for v in ca[1:]],
-                                   [float(v) for v in cb[1:]],
-                                   rtol=1e-4, atol=1e-6)
+    _assert_csv_close(tmp_path / "single.csv", tmp_path / "sp.csv")
 
     r = _cli(*fwd, "--ff_output_file", "x.csv", "--seq_devices", "2",
              "--pipeline_devices", "2", cwd=tmp_path)
@@ -688,15 +681,7 @@ def test_forward_mode_stream_chunk_matches(tmp_path, rng):
              "--stream_chunk", "3", cwd=tmp_path)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "Streaming forward" in r.stdout
-    a = (tmp_path / "whole.csv").read_text().strip().split("\n")
-    b = (tmp_path / "stream.csv").read_text().strip().split("\n")
-    assert len(a) == len(b)
-    for la, lb in zip(a, b):
-        ca, cb = la.split(";"), lb.split(";")
-        assert ca[0] == cb[0]
-        np.testing.assert_allclose([float(v) for v in ca[1:]],
-                                   [float(v) for v in cb[1:]],
-                                   rtol=1e-4, atol=1e-6)
+    _assert_csv_close(tmp_path / "whole.csv", tmp_path / "stream.csv")
 
     # bidirectional nets cannot stream — rejected before any fraction
     bnet = {"layers": [
@@ -729,15 +714,8 @@ def test_forward_mode_stream_chunk_matches(tmp_path, rng):
     r = _cli(*fwd, "--ff_output_file", "stream_k.csv", "--stream_chunk",
              "3", "--lstm_backend", "pallas", cwd=tmp_path)
     assert r.returncode == 0, r.stdout + r.stderr
-    a = (tmp_path / "whole.csv").read_text().strip().split("\n")
-    b = (tmp_path / "stream_k.csv").read_text().strip().split("\n")
-    assert len(a) == len(b)
-    for la, lb in zip(a, b):
-        ca, cb = la.split(";"), lb.split(";")
-        assert ca[0] == cb[0]
-        np.testing.assert_allclose([float(v) for v in ca[1:]],
-                                   [float(v) for v in cb[1:]],
-                                   rtol=1e-4, atol=1e-5)
+    _assert_csv_close(tmp_path / "whole.csv", tmp_path / "stream_k.csv",
+                      atol=1e-5)
 
 
 def test_forward_mode_num_devices_matches(tmp_path, rng):
@@ -758,15 +736,8 @@ def test_forward_mode_num_devices_matches(tmp_path, rng):
              "--num_devices", "2", cwd=tmp_path)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "Data-parallel serving mesh" in r.stdout
-    a = (tmp_path / "single.csv").read_text().strip().split("\n")
-    b = (tmp_path / "dp.csv").read_text().strip().split("\n")
-    assert len(a) == len(b)
-    for la, lb in zip(a, b):
-        ca, cb = la.split(";"), lb.split(";")
-        assert ca[0] == cb[0]
-        np.testing.assert_allclose([float(v) for v in ca[1:]],
-                                   [float(v) for v in cb[1:]],
-                                   rtol=1e-5, atol=1e-6)
+    _assert_csv_close(tmp_path / "single.csv", tmp_path / "dp.csv",
+                      rtol=1e-5)
 
 
 def test_forward_mode_stream_chunk_num_devices_matches(tmp_path, rng):
@@ -788,12 +759,36 @@ def test_forward_mode_stream_chunk_num_devices_matches(tmp_path, rng):
              "--num_devices", "2", cwd=tmp_path)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "Data-parallel streaming mesh" in r.stdout
-    a = (tmp_path / "s1.csv").read_text().strip().split("\n")
-    b = (tmp_path / "s2.csv").read_text().strip().split("\n")
-    assert len(a) == len(b)
-    for la, lb in zip(a, b):
-        ca, cb = la.split(";"), lb.split(";")
-        assert ca[0] == cb[0]
-        np.testing.assert_allclose([float(v) for v in ca[1:]],
-                                   [float(v) for v in cb[1:]],
-                                   rtol=1e-5, atol=1e-6)
+    _assert_csv_close(tmp_path / "s1.csv", tmp_path / "s2.csv",
+                      rtol=1e-5)
+
+
+def test_serving_devices_multihost_forces_single(monkeypatch, capsys):
+    """Forward mode runs on the coordinator only — on a multi-host job the
+    secondary processes have already exited, so a serving mesh over global
+    devices would hang in its first collective. _serving_devices must force
+    single-device serving (with a notice) no matter what --num_devices
+    says, while single-host resolution keeps the normal rules."""
+    import jax
+
+    from lstm_rnn_tpu import cli
+    from lstm_rnn_tpu.config import parse_config
+
+    cfg = parse_config(["--network", "x.jsn", "--train", "false",
+                        "--ff_input_file", "x.nc", "--num_devices", "4"])
+    assert cli._serving_devices(cfg) == 4  # single-host: flag honored
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    assert cli._serving_devices(cfg) == 1
+    assert "coordinator's" in capsys.readouterr().out
+
+    cfg0 = parse_config(["--network", "x.jsn", "--train", "false",
+                         "--ff_input_file", "x.nc", "--num_devices", "0"])
+    assert cli._serving_devices(cfg0) == 1  # 0 = all would be global: no
+
+    monkeypatch.setattr(jax, "process_count", lambda: 1)
+    toomany = parse_config(["--network", "x.jsn", "--train", "false",
+                            "--ff_input_file", "x.nc",
+                            "--num_devices", "999"])
+    with pytest.raises(RuntimeError, match="only .* devices available"):
+        cli._serving_devices(toomany)

@@ -87,7 +87,7 @@ def _run_example(tmp_path, subdir):
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     gen = subprocess.run(
         [sys.executable, str(ex / "make_example_data.py"),
-         "--seqs", "6", "--len-scale", "0.1"],
+         "--seqs", "6", "--len-scale", "0.1", "--overwrite"],
         capture_output=True, text=True, env=env)
     assert gen.returncode == 0, gen.stdout + gen.stderr
     r = subprocess.run(
@@ -108,6 +108,37 @@ def _run_example(tmp_path, subdir):
 def test_example_recipes_run(tmp_path, subdir):
     out = _run_example(tmp_path, subdir)
     assert "Storing the trained network" in out
+
+
+def test_make_example_data_never_clobbers_existing(tmp_path):
+    """run.sh regenerates when EITHER file of a pair is missing; an
+    existing file (possibly REAL data from htk2nc) must survive untouched
+    and only the missing one be generated."""
+    import subprocess
+    import sys
+
+    gen = os.path.join(REPO, "examples", "make_example_data.py")
+    out = tmp_path / "speech_recognition_chime"
+    out.mkdir()
+    real = out / "train_1_speaker.nc"
+    real.write_bytes(b"REAL DATA, DO NOT TOUCH")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, gen, "chime_recognition", "--seqs", "2",
+         "--len-scale", "0.05", "--out-root", str(tmp_path)],
+        capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert real.read_bytes() == b"REAL DATA, DO NOT TOUCH"
+    assert (out / "val_1_speaker.nc").exists()  # the missing half appears
+    assert "left untouched" in r.stdout
+    # --overwrite restores the old regenerate-everything behavior
+    r2 = subprocess.run(
+        [sys.executable, gen, "chime_recognition", "--seqs", "2",
+         "--len-scale", "0.05", "--out-root", str(tmp_path), "--overwrite"],
+        capture_output=True, text=True, env=env)
+    assert r2.returncode == 0, r2.stdout + r2.stderr
+    assert real.read_bytes() != b"REAL DATA, DO NOT TOUCH"
 
 
 def test_lvcsr_flagship_routes_wide_tail():
