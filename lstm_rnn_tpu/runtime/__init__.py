@@ -25,11 +25,20 @@ def load(build: bool = True) -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    src = os.path.join(_DIR, "fraction.cpp")
+    srcs = [os.path.join(_DIR, "fraction.cpp"),
+            os.path.join(_DIR, "jsonfmt.cpp")]
     try:
-        if build and (not os.path.exists(_SO)
-                      or os.path.getmtime(_SO) < os.path.getmtime(src)):
-            subprocess.run(["make", "-C", _DIR, "-s"], check=True,
+        stale = (not os.path.exists(_SO)
+                 or os.path.getmtime(_SO) < max(os.path.getmtime(s)
+                                                for s in srcs)
+                 # an old build predating jsonfmt.cpp lacks the symbol;
+                 # check BEFORE dlopen — dlopen caches by path, so a
+                 # rebuild after loading would not be picked up
+                 or b"lrt_format_f64_array" not in open(_SO, "rb").read())
+        if stale:
+            if not build:
+                return None
+            subprocess.run(["make", "-B", "-C", _DIR, "-s"], check=True,
                            capture_output=True)
         lib = ctypes.CDLL(_SO)
     except (OSError, subprocess.SubprocessError):
@@ -44,8 +53,28 @@ def load(build: bool = True) -> Optional[ctypes.CDLL]:
         f32p, ctypes.c_void_p, i8p,
     ]
     lib.lrt_assemble_fraction.restype = None
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    lib.lrt_format_f64_array.argtypes = [
+        f64p, ctypes.c_longlong, ctypes.c_char_p, ctypes.c_longlong]
+    lib.lrt_format_f64_array.restype = ctypes.c_longlong
     _lib = lib
     return _lib
+
+
+def fmt_f64_json(arr: np.ndarray) -> Optional[bytes]:
+    """Format a 1-D float64 array as a compact JSON array (b"[v1,v2,...]")
+    with shortest round-trip decimals (std::to_chars — value-identical to
+    Python repr). None when the native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(arr, np.float64)
+    cap = 25 * a.size + 2
+    buf = ctypes.create_string_buffer(cap)
+    n = lib.lrt_format_f64_array(a, a.size, buf, cap)
+    if n < 0:  # cannot happen with the cap above; stay safe
+        return None
+    return buf.raw[:n]
 
 
 def assemble_fraction(inputs_cat: np.ndarray, targets_cat: np.ndarray,

@@ -1126,7 +1126,9 @@ class Trainer:
                 inp, bias, internal = ioc.lstm_to_flat(p)
             else:
                 inp, bias, internal = ioc.ff_to_flat(p)
-            out.append(np.concatenate([inp, bias, internal]).astype(np.float64).tolist())
+            # float64 ARRAY, not a list: io_currennt.dump_doc_json formats
+            # large arrays natively; import_state's np.asarray reads both
+            out.append(np.concatenate([inp, bias, internal]).astype(np.float64))
         return out
 
     def _params_from_layer_arrays(self, arrays: List[List[float]]):

@@ -55,3 +55,84 @@ def test_native_regression(tmp_path, rng):
         np.testing.assert_array_equal(fp.inputs, fn.inputs)
         np.testing.assert_array_equal(fp.targets, fn.targets)
         np.testing.assert_array_equal(fp.pattypes, fn.pattypes)
+
+
+def test_fmt_f64_json_value_identical_to_python():
+    """runtime.fmt_f64_json (std::to_chars in runtime/jsonfmt.cpp) must
+    parse back to the EXACT same doubles as Python's json encoder —
+    including zero, integral values (the '.0' rule), subnormals, huge
+    exponents, and the NaN/Infinity literals json.dump emits."""
+    import json
+    import math
+
+    if runtime.load() is None:
+        pytest.skip("native runtime unavailable")
+    rng = np.random.RandomState(3)
+    a = np.concatenate([
+        rng.randn(4096) * np.logspace(-30, 30, 4096),
+        [0.0, -0.0, 1.0, -1.0, 0.1, 1e16, -1e16, 5e-324,
+         2.2250738585072014e-308, 1.7976931348623157e308,
+         np.nan, np.inf, -np.inf],
+    ]).astype(np.float64)
+    blob = runtime.fmt_f64_json(a)
+    got = json.loads(blob.decode())
+    ref = json.loads(json.dumps(a.tolist()))
+    assert len(got) == len(ref)
+    for i, (x, y) in enumerate(zip(got, ref)):
+        if isinstance(y, float) and math.isnan(y):
+            assert math.isnan(x), i
+        else:
+            assert x == y, (i, x, y)
+    assert all(isinstance(v, float) for v in got)  # never a bare int
+
+
+def test_dump_doc_json_matches_pure_python(tmp_path):
+    """dump_doc_json: numpy arrays anywhere in the doc (weights sections,
+    optimizer state) serialize natively yet parse identically to the
+    .tolist() + json.dump fallback; small arrays take the fallback
+    in-process."""
+    import io
+    import json
+
+    from lstm_rnn_tpu import io_currennt as ioc
+
+    rng = np.random.RandomState(5)
+    doc = {
+        "configuration": "opt = value;;;other",
+        "weights": {"l1": {"input": rng.randn(3000),
+                           "bias": rng.randn(12)}},
+        "optimizer_best_weights": [rng.randn(2048), []],
+        "layers": [{"name": "l1", "type": "lstm", "size": 4}],
+    }
+    buf = io.StringIO()
+    ioc.dump_doc_json(doc, buf)
+    got = json.loads(buf.getvalue())
+
+    def pure(x):
+        if isinstance(x, np.ndarray):
+            return np.asarray(x, np.float64).tolist()
+        if isinstance(x, dict):
+            return {k: pure(v) for k, v in x.items()}
+        if isinstance(x, (list, tuple)):
+            return [pure(v) for v in x]
+        return x
+
+    ref = json.loads(json.dumps(pure(doc), indent=1))
+    assert got == ref
+
+
+def test_dump_doc_json_token_collision_falls_back():
+    """A doc string exactly equal to an internal splice token must not
+    corrupt the output — the writer detects it and takes the pure path."""
+    import io
+    import json
+
+    from lstm_rnn_tpu import io_currennt as ioc
+
+    arr = np.arange(600, dtype=np.float64)
+    doc = {"evil": "@@LRT_JSONFMT_ARRAY_0@@", "w": arr}
+    buf = io.StringIO()
+    ioc.dump_doc_json(doc, buf)
+    got = json.loads(buf.getvalue())
+    assert got["evil"] == "@@LRT_JSONFMT_ARRAY_0@@"
+    assert got["w"] == arr.tolist()
