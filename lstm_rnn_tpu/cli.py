@@ -410,20 +410,18 @@ def _serving_devices(cfg: Config) -> int:
     """Resolve the device count for forward-mode serving meshes (the DP,
     streaming-DP, pipeline and seq branches all share this).
 
-    Forward mode runs on the coordinator only — secondary hosts return
-    before any compute — so a multi-host job must NEVER build a mesh over
-    global devices: the other processes are gone and the sharded program
-    would wait forever in its first collective. Serving falls back to one
-    device there (train_mode is the multi-host path, which forces n to the
-    global device count because every process participates)."""
+    Multi-host jobs always span every process's devices (the same rule as
+    train_mode: every process participates in every collective, so
+    --num_devices cannot shrink a global mesh); single-host runs honor the
+    flag, validated against what is actually available."""
     import jax
-    if jax.process_count() > 1:
-        if cfg.num_devices != 1:
-            print("Multi-host forward pass serves on the coordinator's "
-                  "first device (--num_devices ignored: secondary hosts "
-                  "exit forward mode, so no global mesh can execute)")
-        return 1
     n_avail = len(jax.devices())
+    if jax.process_count() > 1:
+        if cfg.num_devices not in (0, 1, n_avail):
+            print(f"Multi-host forward pass spans all {n_avail} global "
+                  "devices (--num_devices ignored: every process must "
+                  "participate)")
+        return n_avail
     n = cfg.num_devices if cfg.num_devices != 0 else n_avail
     if n > n_avail:
         raise RuntimeError(
@@ -432,9 +430,17 @@ def _serving_devices(cfg: Config) -> int:
 
 
 def forward_mode(cfg: Config) -> int:
-    if not _is_coordinator():
-        # forward mode is single-device; secondary hosts have nothing to do
-        return 0
+    import jax
+    if jax.process_count() > 1 and (cfg.pipeline_devices > 1
+                                    or cfg.seq_devices > 1
+                                    or cfg.stream_chunk > 0):
+        # only plain data-parallel serving is multi-host capable: the
+        # pipeline/seq meshes ignore the process layout and streaming
+        # carries per-host state; run those single-host
+        raise RuntimeError(
+            "pipeline/seq/streaming serving is single-host; multi-host "
+            "forward passes run plain data-parallel serving (every host "
+            "computes its batch shard, the coordinator writes)")
     print(f"Reading network from '{cfg.network}'... ", end="")
     net_doc = ioc.load_network_json(cfg.network)
     print("done.\n")
@@ -474,15 +480,6 @@ def forward_mode(cfg: Config) -> int:
         raise RuntimeError(
             "stream_chunk does not combine with pipeline_devices or "
             "seq_devices")
-    if jax.process_count() > 1 and (cfg.pipeline_devices > 1
-                                    or cfg.seq_devices > 1):
-        # these meshes span k devices regardless of --num_devices; with
-        # the secondary hosts gone (early return above) a global mesh
-        # would hang in its first collective — fail loudly instead
-        raise RuntimeError(
-            "pipeline/seq-parallel serving is single-host (secondary "
-            "hosts exit forward mode); run forward passes without "
-            "--coordinator_address")
     if cfg.pipeline_devices > 1:
         # pipeline-parallel serving: stages over a 'pipe' mesh, composed
         # with data parallelism when --num_devices > pipeline_devices
@@ -584,8 +581,20 @@ def forward_mode(cfg: Config) -> int:
             from lstm_rnn_tpu.parallel.mesh import (make_mesh, replicate,
                                                     shard_batch)
             mesh = make_mesh(nd)
-            print(f"Data-parallel serving mesh: {dict(mesh.shape)}")
+            hosts = (f" over {jax.process_count()} hosts"
+                     if jax.process_count() > 1 else "")
+            print(f"Data-parallel serving mesh: {dict(mesh.shape)}{hosts}")
             fwd_params = replicate(mesh, fwd_params)
+            if jax.process_count() > 1:
+                # every host computes its batch shard; the posterior
+                # tensor comes back REPLICATED so the coordinator can read
+                # all sequences for writing (host reads of a B-sharded
+                # global array would need the other hosts' shards)
+                from jax.sharding import NamedSharding, PartitionSpec
+                base = jax.jit(net.apply_padded if use_padded
+                               else net.apply,
+                               out_shardings=NamedSharding(
+                                   mesh, PartitionSpec()))
 
             def apply_fn(p, xx, pp_):
                 b = xx.shape[1]
@@ -623,16 +632,19 @@ def forward_mode(cfg: Config) -> int:
         frac_idx += 1
         print(f"Computing outputs for data fraction {frac_idx}...", end="", flush=True)
         y = apply_fn(fwd_params, frac.inputs, frac.pattypes)
-        tags, outs = net.get_outputs(y, frac.seq_info)
-        if fmt == "single_csv":
-            writers.write_single_csv(cfg.ff_output_file, tags, outs, lag,
-                                     means, stdevs, append=not first)
-        elif fmt == "csv":
-            writers.write_csv(cfg.ff_output_file, tags, outs, lag, means, stdevs)
-        else:
-            writers.write_htk(cfg.ff_output_file, tags, outs, lag, means, stdevs,
-                              feature_period=cfg.feature_period,
-                              kind=cfg.ff_output_kind)
+        if _is_coordinator():
+            tags, outs = net.get_outputs(y, frac.seq_info)
+            if fmt == "single_csv":
+                writers.write_single_csv(cfg.ff_output_file, tags, outs, lag,
+                                         means, stdevs, append=not first)
+            elif fmt == "csv":
+                writers.write_csv(cfg.ff_output_file, tags, outs, lag,
+                                  means, stdevs)
+            else:
+                writers.write_htk(cfg.ff_output_file, tags, outs, lag,
+                                  means, stdevs,
+                                  feature_period=cfg.feature_period,
+                                  kind=cfg.ff_output_kind)
         first = False
         print(" done.")
     return 0

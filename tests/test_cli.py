@@ -763,28 +763,29 @@ def test_forward_mode_stream_chunk_num_devices_matches(tmp_path, rng):
                       rtol=1e-5)
 
 
-def test_serving_devices_multihost_forces_single(monkeypatch, capsys):
-    """Forward mode runs on the coordinator only — on a multi-host job the
-    secondary processes have already exited, so a serving mesh over global
-    devices would hang in its first collective. _serving_devices must force
-    single-device serving (with a notice) no matter what --num_devices
-    says, while single-host resolution keeps the normal rules."""
+def test_serving_devices_multihost_spans_global(monkeypatch, capsys):
+    """Multi-host forward passes follow train_mode's rule: every process
+    participates, so the serving mesh spans ALL global devices and a
+    shrinking --num_devices is ignored (with a notice). Single-host
+    resolution honors the flag, validated against availability."""
     import jax
 
     from lstm_rnn_tpu import cli
     from lstm_rnn_tpu.config import parse_config
 
+    n_avail = len(jax.devices())
     cfg = parse_config(["--network", "x.jsn", "--train", "false",
                         "--ff_input_file", "x.nc", "--num_devices", "4"])
     assert cli._serving_devices(cfg) == 4  # single-host: flag honored
 
     monkeypatch.setattr(jax, "process_count", lambda: 2)
-    assert cli._serving_devices(cfg) == 1
-    assert "coordinator's" in capsys.readouterr().out
+    assert cli._serving_devices(cfg) == n_avail
+    assert "--num_devices ignored" in capsys.readouterr().out
 
     cfg0 = parse_config(["--network", "x.jsn", "--train", "false",
                          "--ff_input_file", "x.nc", "--num_devices", "0"])
-    assert cli._serving_devices(cfg0) == 1  # 0 = all would be global: no
+    assert cli._serving_devices(cfg0) == n_avail
+    assert "--num_devices ignored" not in capsys.readouterr().out
 
     monkeypatch.setattr(jax, "process_count", lambda: 1)
     toomany = parse_config(["--network", "x.jsn", "--train", "false",
@@ -792,3 +793,21 @@ def test_serving_devices_multihost_forces_single(monkeypatch, capsys):
                             "--num_devices", "999"])
     with pytest.raises(RuntimeError, match="only .* devices available"):
         cli._serving_devices(toomany)
+
+
+def test_forward_mode_multihost_rejects_nonplain_serving(monkeypatch,
+                                                         tmp_path, rng):
+    """Only plain DP serving is multi-host capable: pipeline/seq/streaming
+    forward passes must fail loudly up front on a multi-process job."""
+    import jax
+
+    from lstm_rnn_tpu import cli
+    from lstm_rnn_tpu.config import parse_config
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    for combo in (["--pipeline_devices", "2"], ["--seq_devices", "2"],
+                  ["--stream_chunk", "3"]):
+        cfg = parse_config(["--network", "x.jsn", "--train", "false",
+                            "--ff_input_file", "x.nc", *combo])
+        with pytest.raises(RuntimeError, match="single-host"):
+            cli.forward_mode(cfg)

@@ -162,3 +162,66 @@ def test_two_process_dp_x_sp_matches_single_device(tmp_path):
             np.testing.assert_allclose(
                 w1[layer][sec], w2[layer][sec], rtol=1e-5, atol=1e-7,
                 err_msg=f"{layer}.{sec}")
+
+
+def test_two_process_cli_forward_matches_single_process(tmp_path):
+    """Multi-host DP serving: --train false on 2 processes (2 devices
+    each) writes the same single_csv posteriors as one process — every
+    host computes its batch shard, the replicated output is written by
+    the coordinator only."""
+    nc, net_path = _setup(tmp_path)
+
+    # one trained net shared by both serving runs
+    d0 = tmp_path / "trainer"
+    d0.mkdir()
+    r = subprocess.run(
+        [sys.executable, "-m", "lstm_rnn_tpu.cli", *_train_args(nc, net_path),
+         "--max_epochs", "1"],
+        capture_output=True, text=True, cwd=str(d0), env=_cli_env(4),
+        timeout=420)
+    assert r.returncode == 0, r.stdout + r.stderr
+    trained = str(d0 / "trained_network.jsn")
+
+    fwd = ["--network", trained, "--train", "false", "--ff_input_file", nc,
+           "--ff_output_format", "single_csv", "--parallel_sequences", "3",
+           "--device", "cpu"]
+
+    d1 = tmp_path / "single"
+    d1.mkdir()
+    r = subprocess.run(
+        [sys.executable, "-m", "lstm_rnn_tpu.cli", *fwd,
+         "--ff_output_file", "one.csv"],
+        capture_output=True, text=True, cwd=str(d1), env=_cli_env(4),
+        timeout=420)
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    d2 = tmp_path / "multi"
+    d2.mkdir()
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "lstm_rnn_tpu.cli", *fwd,
+             "--ff_output_file", "two.csv",
+             "--coordinator_address", f"127.0.0.1:{port}",
+             "--num_processes", "2", "--process_id", str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=str(d2), env=_cli_env(2)))
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+    assert "over 2 hosts" in outs[0]   # the serving-mesh banner
+    # secondary computes but stays silent (stdout devnull'd after the
+    # device banner; Gloo chatter goes to stderr)
+    assert "Data-parallel serving mesh" not in outs[1]
+    assert "Computing outputs" not in outs[1]
+
+    a = (d1 / "one.csv").read_text().strip().split("\n")
+    b = (d2 / "two.csv").read_text().strip().split("\n")
+    assert len(a) == len(b)
+    for la, lb in zip(a, b):
+        ca, cb = la.split(";"), lb.split(";")
+        assert ca[0] == cb[0]
+        np.testing.assert_allclose([float(v) for v in ca[1:]],
+                                   [float(v) for v in cb[1:]],
+                                   rtol=1e-5, atol=1e-7)
