@@ -184,6 +184,14 @@ def main(argv=None):
         # INSIDE jax.devices() with the relay port still accepting.
         import signal
         budget = int(os.environ.get("BENCH_MAX_WAIT", "420"))
+        # the budget is an ABSOLUTE deadline carried across ensure_backend's
+        # re-exec retries (execv preserves the environment): each retry arms
+        # only the remaining time, so the total wall stays ~BENCH_MAX_WAIT
+        # instead of multiplying by the retry count
+        if "BENCH_DEADLINE" not in os.environ:
+            os.environ["BENCH_DEADLINE"] = str(time.time() + budget)
+        remaining = max(1, int(float(os.environ["BENCH_DEADLINE"])
+                               - time.time()))
 
         def _alarm(_sig, _frm):
             raise TimeoutError(
@@ -191,7 +199,7 @@ def main(argv=None):
                 "(tunnel claim wedge?)")
 
         signal.signal(signal.SIGALRM, _alarm)
-        signal.alarm(budget)
+        signal.alarm(remaining)
         try:
             ensure_backend(
                 max_retries=int(os.environ.get("BENCH_MAX_RETRIES", "1")))

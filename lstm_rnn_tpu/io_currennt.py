@@ -173,8 +173,12 @@ def dump_doc_json(doc: Dict[str, Any], f) -> None:
 
     def walk(x, native=True):
         if isinstance(x, np.ndarray):
+            # the native formatter flattens to 1-D float64 — only arrays
+            # whose .tolist() would serialize identically may take it
+            # (a 2-D or integer array must keep its nesting/int-ness)
             blob = (runtime.fmt_f64_json(x)
-                    if native and x.size >= 512 else None)
+                    if native and x.size >= 512 and x.ndim == 1
+                    and np.issubdtype(x.dtype, np.floating) else None)
             if blob is None:
                 return np.asarray(x, np.float64).tolist()
             arrays.append(blob)

@@ -275,24 +275,13 @@ def lstm_forward(params, x, pattypes, bias_mult: float, bidirectional: bool,
                     f"B={bsz}, {jnp.dtype(compute_dtype).name}) {verdict}; "
                     "use lstm_backend=auto (falls back to lax.scan) or "
                     "shard the cell with --model_devices")
-        bgran = 16 if _storage(compute_dtype).itemsize == 2 else 8
-        bp = round_up(bsz, bgran)
-        tp = round_up(t, DEFAULT_CHUNK)
-        # zero-padding cells/batch rows/input features is numerically exact:
-        # padded cells output exactly 0 and receive exactly 0 gradient
-        w_in_p = _pad_axis(_pad_axis(w_in, 3, hp), 1, pp)
-        b_p = _pad_axis(b, 2, hp)
-        peep_p = _pad_axis(peep, 2, hp)
-        w_rec_p = _pad_axis(_pad_axis(w_rec, 3, hp), 1, hp)
-
         # the kernel consumes NATURAL time order for both directions
         # (backward-direction ordering is pure block indexing), computes the
         # input projection per chunk and adds the bias itself; trailing
         # time/batch padding is masked via lengths
-        xx = x.astype(compute_dtype)
-        xx = _pad_axis(_pad_axis(_pad_axis(xx, 2, pp), 1, bp), 0, tp)
-        lengths = jnp.sum((pattypes != 0).astype(jnp.int32), axis=0)
-        lengths = _pad_axis(lengths, 0, bp)
+        (hp, pp, _bp, _tp, w_in_p, w_rec_p, b_p, peep_p, xx,
+         lengths) = _pad_fused_operands(w_in, w_rec, b, peep, x, pattypes,
+                                        compute_dtype)
 
         ys = lstm_scan_fused(xx, w_in_p.reshape(d, pp, 4 * hp),
                              w_rec_p.reshape(d, hp, 4 * hp), peep_p,
@@ -375,15 +364,57 @@ def lstm_forward_streaming(params, x, pattypes, bias_mult: float, carry,
     return ys[:, 0], new_carry
 
 
+def _pad_fused_operands(w_in, w_rec, b, peep, x, pattypes, compute_dtype,
+                        time_pad: bool = True):
+    """The fused kernels' zero-pad prologue, shared by lstm_forward's
+    pallas path, _streaming_fused, and sequence parallelism's
+    _fused_wavefront so the padding contract genuinely lives in ONE place
+    (the three sites drifted as copies once already).
+
+    Pads cells to a 128 lane multiple, input features to 128, batch rows
+    to the storage dtype's sublane granule, and (time_pad) the time axis
+    to a DEFAULT_CHUNK multiple. Zero padding is numerically exact: padded
+    cells output exactly 0 and receive exactly 0 gradient. Weights keep
+    their [D, ...] axes (callers reshape/slice per direction); x is cast
+    to the compute dtype; lengths are the prefix-validity reduction of
+    pattypes, batch-padded with zeros.
+
+    Returns (hp, pp, bp, tp, w_in_p, w_rec_p, b_p, peep_p, xx, lengths).
+    """
+    from lstm_rnn_tpu.ops.lstm_cell import (DEFAULT_CHUNK, _storage,
+                                            round_up)
+    t, bsz, pdim = x.shape
+    hdim = w_in.shape[-1]
+    hp = round_up(hdim, 128)
+    pp = round_up(pdim, 128)
+    bgran = 16 if _storage(compute_dtype).itemsize == 2 else 8
+    bp = round_up(bsz, bgran)
+    tp = round_up(t, DEFAULT_CHUNK) if time_pad else t
+    w_in_p = _pad_axis(_pad_axis(w_in, 3, hp), 1, pp)
+    w_rec_p = _pad_axis(_pad_axis(w_rec, 3, hp), 1, hp)
+    b_p = _pad_axis(b, 2, hp)
+    peep_p = _pad_axis(peep, 2, hp)
+    xx = x.astype(compute_dtype)
+    xx = _pad_axis(_pad_axis(_pad_axis(xx, 2, pp), 1, bp), 0, tp)
+    lengths = jnp.sum((pattypes != 0).astype(jnp.int32), axis=0)
+    lengths = _pad_axis(lengths, 0, bp)
+    return hp, pp, bp, tp, w_in_p, w_rec_p, b_p, peep_p, xx, lengths
+
+
 def _resolve_fused(backend: str, hdim: int, pdim: int, bsz: int,
-                   compute_dtype):
+                   compute_dtype, carry_grad: bool = False):
     """(use_fused, interpret) for a carry-kernel candidate — the same
     auto/VMEM/device-verdict gates as lstm_forward's pallas dispatch:
     'auto' falls back to lax.scan on an analytic OR device-recorded unfit,
     explicit 'pallas' on a real TPU raises instead (matching
     lstm_forward's explicit-pallas guard — silently downgrading an
     explicit kernel request to a ~3x slower scan, or letting the device
-    compile die with an opaque Mosaic overflow, both hide the problem)."""
+    compile die with an opaque Mosaic overflow, both hide the problem).
+
+    carry_grad: the caller DIFFERENTIATES the carry kernel (sequence
+    parallelism) — gate on the larger carry-gradient footprint and its
+    own probe family; streaming serving (primal only) keeps the plain
+    bound."""
     from lstm_rnn_tpu.ops.lstm_cell import _storage, fused_fits, round_up
     from lstm_rnn_tpu.ops.vmem_probe import known_unfit
     hp = round_up(hdim, 128)
@@ -395,8 +426,9 @@ def _resolve_fused(backend: str, hdim: int, pdim: int, bsz: int,
         return False, False  # mirror lstm_forward: auto -> scan off-TPU
     interp = backend == "pallas_interpret" or (
         backend == "pallas" and not on_tpu)
-    analytic_fit = fused_fits(hp, pp, bp, compute_dtype)
-    device_unfit = on_tpu and known_unfit(hp, pp, bp, compute_dtype)
+    analytic_fit = fused_fits(hp, pp, bp, compute_dtype, carry=carry_grad)
+    device_unfit = on_tpu and known_unfit(hp, pp, bp, compute_dtype,
+                                          carry=carry_grad)
     if backend == "pallas" and on_tpu and (not analytic_fit or device_unfit):
         verdict = ("a recorded device probe verdict says no chunk fits"
                    if device_unfit else "the VMEM model fits no chunk")
@@ -417,25 +449,14 @@ def _streaming_fused(params, x, pattypes, bias_mult, carry, clip_gradients,
     numerically inert — padded cells emit 0 and stay 0 through the carry),
     run lstm_scan_fused_carry, slice the exact state back out so chunks
     can interleave with the scan path freely."""
-    from lstm_rnn_tpu.ops.lstm_cell import (DEFAULT_CHUNK, _storage,
-                                            lstm_scan_fused_carry, round_up)
+    from lstm_rnn_tpu.ops.lstm_cell import lstm_scan_fused_carry
     w_in, w_rec, b, peep = (params["W_in"], params["W_rec"], params["b"],
                             params["peep"])
     t, bsz, pdim = x.shape
     hdim = w_in.shape[-1]
-    hp = round_up(hdim, 128)
-    pp = round_up(pdim, 128)
-    bgran = 16 if _storage(compute_dtype).itemsize == 2 else 8
-    bp = round_up(bsz, bgran)
-    tp = round_up(t, DEFAULT_CHUNK)
-    w_in_p = _pad_axis(_pad_axis(w_in, 3, hp), 1, pp)
-    w_rec_p = _pad_axis(_pad_axis(w_rec, 3, hp), 1, hp)
-    b_p = _pad_axis(b, 2, hp)
-    peep_p = _pad_axis(peep, 2, hp)
-    xx = x.astype(compute_dtype)
-    xx = _pad_axis(_pad_axis(_pad_axis(xx, 2, pp), 1, bp), 0, tp)
-    lengths = jnp.sum((pattypes != 0).astype(jnp.int32), axis=0)
-    lengths = _pad_axis(lengths, 0, bp)
+    (hp, pp, bp, tp, w_in_p, w_rec_p, b_p, peep_p, xx,
+     lengths) = _pad_fused_operands(w_in, w_rec, b, peep, x, pattypes,
+                                    compute_dtype)
     # streaming chunks carry PER-STEP validity, not a prefix: a sequence
     # may end and another begin inside one chunk ([LAST, NONE, FIRST, ...]
     # rows), and the scan backend zeroes state exactly at each NONE step —

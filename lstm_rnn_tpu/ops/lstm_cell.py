@@ -519,7 +519,8 @@ _chunk_override = None
 
 
 def fused_vmem_bytes(hp: int, pp: int, bp: int, compute_dtype=jnp.float32,
-                     ch: int = DEFAULT_CHUNK, with_mask: bool = False) -> int:
+                     ch: int = DEFAULT_CHUNK, with_mask: bool = False,
+                     carry: bool = False) -> int:
     """Worst-case VMEM residency of the fused kernels (the backward kernel
     dominates): double-buffered chunk streams + resident weights + the f32
     dW accumulator blocks + scratch. Used by pick_chunk and the callers'
@@ -545,11 +546,20 @@ def fused_vmem_bytes(hp: int, pp: int, bp: int, compute_dtype=jnp.float32,
            + 2 * ch * bp * (s * (2 * pp + 2 * hp + h4) + 4 * hp)  # streams
            + ch * bp * h4 * s                        # delta scratch
            + 4 * bp * (h4 + 2 * hp))                 # carry scratch
+    if carry:
+        # the GRADIENT of the carry-capable kernel (lstm_scan_fused_carry:
+        # sequence parallelism's block scans) adds explicit-state blocks to
+        # the backward: h0/c0 inputs, incoming (dhf, dcf) cotangents,
+        # (dh0, dc0) outputs — f32 [bp, hp] each, plus forward-side
+        # (h0, c0, hf, cf). Probe verdicts for this footprint live in
+        # their own key family (vmem_probe "|cr").
+        bwd += 10 * 4 * bp * hp
     return max(fwd, bwd)
 
 
 def pick_chunk(T: int, hp: int, pp: int, bp: int,
-               compute_dtype=jnp.float32, with_mask: bool = False) -> int:
+               compute_dtype=jnp.float32, with_mask: bool = False,
+               carry: bool = False) -> int:
     """Largest chunk that divides T AND whose kernel residency fits the
     VMEM budget (wide cells shrink the chunk instead of losing the fused
     path; callers fall back to lax.scan only when even the smallest chunk
@@ -565,7 +575,15 @@ def pick_chunk(T: int, hp: int, pp: int, bp: int,
     the model entirely. Probe verdicts stay valid for with_mask serving:
     they compile the full fwd+bwd kernels, whose backward residency
     dominates the inference-only masked forward by MBs (see
-    fused_vmem_bytes)."""
+    fused_vmem_bytes).
+
+    carry: the GRADIENT of the carry-capable kernel has a larger backward
+    footprint (explicit-state blocks) — its verdicts live in a separate
+    probe family ("|cr" keys) and the analytic model adds the extra
+    blocks, so a carry-less verdict at the VMEM edge cannot be silently
+    reused for sequence-parallel training. Inference streaming (primal
+    only) keeps carry=False: the lean masked forward stays far below the
+    backward-dominated bound the plain verdicts validate."""
     if _chunk_override is not None:
         if T % _chunk_override:
             raise ValueError(
@@ -573,7 +591,7 @@ def pick_chunk(T: int, hp: int, pp: int, bp: int,
         return _log_chunk(_chunk_override, "override", T, hp, pp, bp,
                           compute_dtype)
     from lstm_rnn_tpu.ops.vmem_probe import lookup_chunk
-    probed = lookup_chunk(T, hp, pp, bp, compute_dtype)
+    probed = lookup_chunk(T, hp, pp, bp, compute_dtype, carry=carry)
     if probed is not None:
         return _log_chunk(probed, "device-probe", T, hp, pp, bp,
                           compute_dtype)
@@ -584,7 +602,7 @@ def pick_chunk(T: int, hp: int, pp: int, bp: int,
         ch //= 2
     ch = max(ch, 1)
     while ch > 1 and fused_vmem_bytes(hp, pp, bp, compute_dtype,
-                                      ch, with_mask) > budget:
+                                      ch, with_mask, carry) > budget:
         ch //= 2
         while ch > 1 and T % ch:
             ch //= 2
@@ -605,10 +623,12 @@ def _log_chunk(ch: int, source: str, T: int, hp: int, pp: int, bp: int,
     return ch
 
 
-def fused_fits(hp: int, pp: int, bp: int, compute_dtype=jnp.float32) -> bool:
+def fused_fits(hp: int, pp: int, bp: int, compute_dtype=jnp.float32,
+               carry: bool = False) -> bool:
     """True when the fused kernels can run at SOME chunk size."""
     budget = VMEM_BUDGET[_storage(compute_dtype).itemsize]
-    return fused_vmem_bytes(hp, pp, bp, compute_dtype, 1) <= budget
+    return fused_vmem_bytes(hp, pp, bp, compute_dtype, 1,
+                            carry=carry) <= budget
 
 
 def _precision_of(compute_dtype):
@@ -642,8 +662,12 @@ def _fwd_impl(x, w_in, w_rec, peep, bias, lengths, bias_mult, interpret,
     T, B, P = x.shape
     D, _, H4 = w_in.shape
     H = H4 // 4
+    # the chunk must agree with _bwd_impl's selection for the SAME call
+    # (residual layout): gradient-bearing carry calls (want_residuals)
+    # use the carry footprint; the inference primal keeps the plain one
     CH = pick_chunk(T, H, P, B, compute_dtype,
-                    with_mask=step_mask is not None)
+                    with_mask=step_mask is not None,
+                    carry=carry is not None and want_residuals)
     NC = T // CH
     sdtype = _storage(compute_dtype)
     prec = _precision_of(compute_dtype)
@@ -761,7 +785,7 @@ def _bwd_impl(bias_mult, clip, interpret, compute_dtype, need_dx,
     T, B, _ = h.shape
     D, P, H4 = w_in_c.shape
     H = H4 // 4
-    CH = pick_chunk(T, H, P, B, compute_dtype)
+    CH = pick_chunk(T, H, P, B, compute_dtype, carry=carry is not None)
     NC = T // CH
     sdtype = _storage(compute_dtype)
     prec = _precision_of(compute_dtype)

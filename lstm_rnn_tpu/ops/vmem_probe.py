@@ -77,15 +77,20 @@ def _device_kind() -> str:
 KERNEL_VERSION = "k2"
 
 
-def _key(hp: int, pp: int, bp: int, ch: int, compute_dtype) -> str:
+def _key(hp: int, pp: int, bp: int, ch: int, compute_dtype,
+         carry: bool = False) -> str:
     from lstm_rnn_tpu.ops.lstm_cell import _storage, _use3
     mode = "x3" if _use3(compute_dtype) else ""
+    # the carry-capable kernel's GRADIENT has a larger backward footprint
+    # (explicit-state blocks) — its verdicts must not be confused with the
+    # plain kernels' (fused_vmem_bytes carry note)
+    fam = "|cr" if carry else ""
     return (f"{_device_kind()}|{KERNEL_VERSION}|h{hp}|p{pp}|b{bp}|c{ch}|"
-            f"{_storage(compute_dtype).name}{mode}")
+            f"{_storage(compute_dtype).name}{mode}{fam}")
 
 
 def lookup_chunk(T: int, hp: int, pp: int, bp: int,
-                 compute_dtype) -> Optional[int]:
+                 compute_dtype, carry: bool = False) -> Optional[int]:
     """Largest device-VALIDATED chunk dividing T, or None if this shape
     point has no positive verdict on record (pick_chunk then falls back to
     the analytic model). Reads the table only — never compiles."""
@@ -93,38 +98,56 @@ def lookup_chunk(T: int, hp: int, pp: int, bp: int,
     for ch in _CANDIDATES:
         if T % ch:
             continue
-        if table.get(_key(hp, pp, bp, ch, compute_dtype)):
+        if table.get(_key(hp, pp, bp, ch, compute_dtype, carry)):
             return ch
     return None
 
 
-def known_unfit(hp: int, pp: int, bp: int, compute_dtype) -> bool:
+def known_unfit(hp: int, pp: int, bp: int, compute_dtype,
+                carry: bool = False) -> bool:
     """True when the on-device probe has RECORDED that no chunk fits this
     shape point: an explicit False verdict at chunk=1 (ensure_validated
     walks candidates largest-first and only reaches 1 after every larger
     chunk failed). Table read only — never compiles; False when unprobed,
     so callers keep their analytic fallback for unseen points."""
-    return _load().get(_key(hp, pp, bp, 1, compute_dtype)) is False
+    return _load().get(_key(hp, pp, bp, 1, compute_dtype, carry)) is False
 
 
-def _probe_compile(hp: int, pp: int, bp: int, ch: int, compute_dtype) -> bool:
+def _probe_compile(hp: int, pp: int, bp: int, ch: int, compute_dtype,
+                   carry: bool = False) -> bool:
     """AOT-compile fwd+bwd fused kernels at chunk=ch; True iff Mosaic
-    accepts the scoped-VMEM footprint. Nothing is executed."""
+    accepts the scoped-VMEM footprint. Nothing is executed.
+
+    carry=True compiles the carry-capable kernel's gradient instead (D=1,
+    grads flowing to h0/c0 and through the final state — sequence
+    parallelism's block-scan footprint, which adds explicit-state blocks
+    to the backward)."""
     import jax
     import jax.numpy as jnp
 
     from lstm_rnn_tpu.ops import lstm_cell as lc
 
     T = 2 * ch  # two chunks per direction: exercises the revisit paths
-    D = 2
+    D = 1 if carry else 2
     sdt = lc._storage(compute_dtype)
 
-    def loss(x, w_in, w_rec, peep, bias, lengths, dh):
-        h = lc.lstm_scan_fused(x, w_in, w_rec, peep, bias, lengths,
-                               1.0, True, False, jnp.dtype(compute_dtype))
-        return jnp.sum(h.astype(jnp.float32) * dh)
+    if carry:
+        def loss(x, w_in, w_rec, peep, bias, lengths, h0, c0, dh):
+            h, (hf, cf) = lc.lstm_scan_fused_carry(
+                x, w_in, w_rec, peep, bias, lengths, h0, c0, 1.0, True,
+                False, jnp.dtype(compute_dtype))
+            return (jnp.sum(h.astype(jnp.float32) * dh)
+                    + jnp.sum(hf) + jnp.sum(cf))
 
-    g = jax.grad(loss, argnums=(0, 1, 2, 3, 4))
+        g = jax.grad(loss, argnums=(0, 1, 2, 3, 4, 6, 7))
+    else:
+        def loss(x, w_in, w_rec, peep, bias, lengths, dh):
+            h = lc.lstm_scan_fused(x, w_in, w_rec, peep, bias, lengths,
+                                   1.0, True, False,
+                                   jnp.dtype(compute_dtype))
+            return jnp.sum(h.astype(jnp.float32) * dh)
+
+        g = jax.grad(loss, argnums=(0, 1, 2, 3, 4))
     shapes = (
         jax.ShapeDtypeStruct((T, bp, pp), jnp.float32),
         jax.ShapeDtypeStruct((D, pp, 4 * hp), jnp.float32),
@@ -132,6 +155,10 @@ def _probe_compile(hp: int, pp: int, bp: int, ch: int, compute_dtype) -> bool:
         jax.ShapeDtypeStruct((D, 3, hp), jnp.float32),
         jax.ShapeDtypeStruct((D, 4 * hp), jnp.float32),
         jax.ShapeDtypeStruct((bp,), jnp.int32),
+    ) + ((
+        jax.ShapeDtypeStruct((D, bp, hp), jnp.float32),
+        jax.ShapeDtypeStruct((D, bp, hp), jnp.float32),
+    ) if carry else ()) + (
         jax.ShapeDtypeStruct((T, bp, D * hp), jnp.float32),
     )
     old = lc._chunk_override
@@ -418,26 +445,31 @@ def ensure_tail_validated(P: int, Sp: int, compute_dtype, proj: bool,
 
 
 def ensure_validated(T: int, hp: int, pp: int, bp: int, compute_dtype,
-                     verbose: bool = True) -> int:
+                     verbose: bool = True, carry: bool = False) -> int:
     """Probe candidate chunks (largest first) until one compiles on this
     device; record every verdict on disk. Returns the validated chunk, or
     0 when even chunk=1 overflows (caller falls back to lax.scan / TP).
-    Call EAGERLY on the target backend — never inside a trace."""
+    Call EAGERLY on the target backend — never inside a trace.
+    carry=True probes the carry-kernel gradient family ("|cr" keys —
+    sequence-parallel training)."""
     with _LOCK:
         table = _load()
         for ch in _CANDIDATES:
             if T % ch:
                 continue
-            key = _key(hp, pp, bp, ch, compute_dtype)
+            key = _key(hp, pp, bp, ch, compute_dtype, carry)
             verdict = table.get(key)
             if verdict is None:
                 if verbose:
                     from lstm_rnn_tpu.ops.lstm_cell import fused_vmem_bytes
-                    est = fused_vmem_bytes(hp, pp, bp, compute_dtype, ch)
-                    print(f"vmem_probe: compiling (h={hp}, p={pp}, b={bp}, "
-                          f"chunk={ch}) [model estimate {est / 2**20:.1f} "
-                          "MiB] ...", flush=True)
-                verdict = _probe_compile(hp, pp, bp, ch, compute_dtype)
+                    est = fused_vmem_bytes(hp, pp, bp, compute_dtype, ch,
+                                           carry=carry)
+                    fam = "carry " if carry else ""
+                    print(f"vmem_probe: compiling {fam}(h={hp}, p={pp}, "
+                          f"b={bp}, chunk={ch}) [model estimate "
+                          f"{est / 2**20:.1f} MiB] ...", flush=True)
+                verdict = _probe_compile(hp, pp, bp, ch, compute_dtype,
+                                         carry)
                 table[key] = verdict
                 _save()
             if verdict:

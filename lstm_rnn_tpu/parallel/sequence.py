@@ -183,33 +183,25 @@ def _fused_wavefront(params, x, pattypes, bias_mult, bidirectional, axis,
     projection moves IN-KERNEL (each device is active exactly once per
     direction, so total projection FLOPs are unchanged); weights are padded
     once per layer call, outside the round scan."""
-    from lstm_rnn_tpu.ops.lstm_cell import (_storage, lstm_scan_fused_carry,
-                                            round_up)
+    from lstm_rnn_tpu.models.lstm import _pad_fused_operands
+    from lstm_rnn_tpu.ops.lstm_cell import lstm_scan_fused_carry
     w_in, w_rec, b, peep = (params["W_in"], params["W_rec"], params["b"],
                             params["peep"])
     tl, bsz, pdim = x.shape
     hdim = w_in.shape[-1]
     D = 2 if bidirectional else 1
-    hp = round_up(hdim, 128)
-    pp = round_up(pdim, 128)
-    bgran = 16 if _storage(compute_dtype).itemsize == 2 else 8
-    bp = round_up(bsz, bgran)
     if tl % 16:
         raise ValueError(
             f"fused sequence parallelism needs the local time block ({tl}) "
             "to be a multiple of 16 (chunk-alignment padding would zero "
             "mid-stream carries) — _pad_time(granule=16) guarantees this")
 
-    # the same zero-pad prologue as lstm_forward's pallas path (models/
-    # lstm.py) — shared helper so the kernels' padding contract lives in
-    # one place
-    w_in_p = _pad_axis(_pad_axis(w_in, 3, hp), 1, pp)
-    w_rec_p = _pad_axis(_pad_axis(w_rec, 3, hp), 1, hp)
-    b_p = _pad_axis(b, 2, hp)
-    peep_p = _pad_axis(peep, 2, hp)
-    xx = _pad_axis(_pad_axis(x.astype(compute_dtype), 2, pp), 1, bp)
-    lengths = _pad_axis(jnp.sum((pattypes != 0).astype(jnp.int32), axis=0),
-                        0, bp)
+    # the shared zero-pad prologue (models/lstm.py); time_pad=False — the
+    # block length is already chunk-aligned (validated above), and trailing
+    # time padding would zero mid-stream carries
+    (hp, pp, bp, _tp, w_in_p, w_rec_p, b_p, peep_p, xx,
+     lengths) = _pad_fused_operands(w_in, w_rec, b, peep, x, pattypes,
+                                    compute_dtype, time_pad=False)
 
     idx = jax.lax.axis_index(axis)
     chans = []
@@ -280,9 +272,12 @@ def lstm_forward_seq(params, x, pattypes, bias_mult: float,
                             params["peep"])
     if backend != "scan":
         from lstm_rnn_tpu.models.lstm import _resolve_fused
+        # carry_grad: SP training differentiates the carry kernel, whose
+        # backward footprint exceeds the plain kernels' — gate (and probe)
+        # on the carry family, not the carry-less verdicts
         use_fused, interp = _resolve_fused(backend, w_in.shape[-1],
                                            x.shape[-1], x.shape[1],
-                                           compute_dtype)
+                                           compute_dtype, carry_grad=True)
         if use_fused and x.shape[0] % 16 == 0:
             return _fused_wavefront(params, x, pattypes, bias_mult,
                                     bidirectional, axis, n, clip_gradients,

@@ -151,6 +151,30 @@ class Trainer:
         # view does not apply
         if seq_mesh is not None:
             padded_pipeline = False
+            if (jax.default_backend() == "tpu"
+                    and net.backend in ("auto", "pallas")):
+                # eagerly device-validate the CARRY-kernel gradient family
+                # for each LSTM layer's wavefront point (the SP block scan
+                # differentiates lstm_scan_fused_carry, whose backward adds
+                # explicit-state blocks — a carry-less verdict at the VMEM
+                # edge is not evidence it fits). Keys mirror
+                # _fused_wavefront's rounding; probed once per machine.
+                from lstm_rnn_tpu import io_currennt as ioc_sp
+                from lstm_rnn_tpu.ops.lstm_cell import _storage, round_up
+                from lstm_rnn_tpu.ops.vmem_probe import ensure_validated
+                bgran = (16 if _storage(net.compute_dtype).itemsize == 2
+                         else 8)
+                bp = round_up(
+                    max(1, getattr(train_set, "parallel_sequences", 8)),
+                    bgran)
+                prev = net.specs[0].size
+                for s2 in net.specs[1:-1]:
+                    if s2.type in ioc_sp.LSTM_TYPES:
+                        d2 = 2 if ioc_sp.LSTM_TYPES[s2.type] else 1
+                        ensure_validated(16, round_up(s2.size // d2, 128),
+                                         round_up(prev, 128), bp,
+                                         net.compute_dtype, carry=True)
+                    prev = s2.size
 
         # remat_blocks shrinks the SCAN path's residuals (models/lstm.py):
         # force the exact layout so lstm_forward's auto branch picks the
@@ -316,7 +340,14 @@ class Trainer:
                         spw = wide_plan(1 << 20, p_dim,
                                         net.specs[-2].size,
                                         net.compute_dtype)[0]
-                        _etv(0, spw, net.compute_dtype, proj=False)
+                        if _etv(0, spw, net.compute_dtype,
+                                proj=False) == 0:
+                            # even the smallest row block overflows at the
+                            # wide padded width: the wide tail's FORWARD
+                            # cannot run — fall through to the plain-tail
+                            # check below (which will demote to the
+                            # unfused XLA tail for the same reason)
+                            wide_ok = False
             if not proj_ok and not wide_ok:
                 # loss_and_count_fused will route through the plain tail;
                 # if even its smallest row block overflows (recorded

@@ -89,6 +89,13 @@ def ensure_backend(max_retries: int = len(_BACKOFF)):
         # connect while re-exec'd retries fail forever). Close everything
         # above stdio before exec'ing.
         os.closerange(3, 4096)
+        # a pending SIGALRM (bench.py's BENCH_MAX_WAIT watchdog) would
+        # survive execve with the handler reset to SIG_DFL=terminate — the
+        # re-exec'd process could die during interpreter startup before it
+        # reinstalls the handler, emitting nothing. Disarm it here; the
+        # child re-arms its own budget.
+        import signal
+        signal.alarm(0)
         # sys.orig_argv preserves `-m package.module` launches; naive
         # [sys.executable] + sys.argv re-runs cli.py in script mode where
         # the package is not importable

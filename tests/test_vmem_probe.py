@@ -19,7 +19,7 @@ def _fresh(tmp_path, monkeypatch, accept, tail_accept=lambda rows: False,
     monkeypatch.setattr(vp, "_device_kind", lambda: "fake_tpu")
     calls = []
 
-    def fake_probe(hp, pp, bp, ch, dt):
+    def fake_probe(hp, pp, bp, ch, dt, carry=False):
         calls.append(ch)
         return accept(ch)
 
@@ -376,3 +376,40 @@ def test_trainer_probes_wide_point_when_proj_unfit(tmp_path, monkeypatch):
     from lstm_rnn_tpu.ops import softmax_ce as sc
     spw = sc.wide_plan(1 << 20, 256, 4, jnp.float32)[0]
     assert any(s == spw for (_p, s, _r, pr) in tail_calls if not pr)
+
+
+def test_carry_family_keys_are_separate(tmp_path, monkeypatch):
+    """The carry-kernel gradient (sequence-parallel training) has a larger
+    backward footprint than the plain kernels — its verdicts live in their
+    own key family. A carry-less verdict at the VMEM edge must NOT be
+    reused for carry picks, and vice versa (VERDICT r3 follow-up: the SP
+    wavefront differentiates lstm_scan_fused_carry)."""
+    import jax.numpy as jnp
+
+    from lstm_rnn_tpu.ops.lstm_cell import fused_vmem_bytes, pick_chunk
+
+    monkeypatch.setenv("LSTM_RNN_TPU_PROBE_CACHE", str(tmp_path / "p.json"))
+    monkeypatch.setattr(vp, "_MEM", None)
+    monkeypatch.setattr(vp, "_device_kind", lambda: "fake_tpu")
+    seen = []
+
+    def fake_probe(hp, pp, bp, ch, dt, carry=False):
+        seen.append((ch, carry))
+        return not carry and ch <= 8  # plain fits at 8; carry never fits
+
+    monkeypatch.setattr(vp, "_probe_compile", fake_probe)
+
+    assert vp.ensure_validated(16, 256, 128, 16, jnp.float32) == 8
+    assert (16, False) in seen and (8, False) in seen
+    # the plain verdict must not leak into the carry family
+    assert vp.lookup_chunk(16, 256, 128, 16, jnp.float32, carry=True) is None
+    assert vp.ensure_validated(16, 256, 128, 16, jnp.float32,
+                               carry=True) == 0
+    assert (1, True) in seen
+    assert vp.known_unfit(256, 128, 16, jnp.float32, carry=True)
+    assert not vp.known_unfit(256, 128, 16, jnp.float32)  # plain unaffected
+    # pick_chunk(carry=True) sees no carry verdict -> analytic model with
+    # the extra carry blocks (strictly larger estimate)
+    assert fused_vmem_bytes(256, 128, 16, jnp.float32, 4, carry=True) > \
+        fused_vmem_bytes(256, 128, 16, jnp.float32, 4)
+    assert pick_chunk(16, 256, 128, 16, jnp.float32) == 8  # plain verdict
