@@ -413,7 +413,12 @@ def _serving_devices(cfg: Config) -> int:
     Multi-host jobs always span every process's devices (the same rule as
     train_mode: every process participates in every collective, so
     --num_devices cannot shrink a global mesh); single-host runs honor the
-    flag, validated against what is actually available."""
+    flag, validated against what is actually available.
+
+    NOTE: --num_devices defaults to 1, so an explicit `--num_devices 1` is
+    indistinguishable from "unset" — multi-host runs treat 1 as unset and
+    expand to all devices WITHOUT the override notice below (a notice on
+    the default value would print on every default multi-host run)."""
     import jax
     n_avail = len(jax.devices())
     if jax.process_count() > 1:

@@ -180,7 +180,11 @@ def dump_doc_json(doc: Dict[str, Any], f) -> None:
                     if native and x.size >= 512 and x.ndim == 1
                     and np.issubdtype(x.dtype, np.floating) else None)
             if blob is None:
-                return np.asarray(x, np.float64).tolist()
+                # keep integer/bool arrays' parsed types intact — only
+                # float arrays may widen to float64 (value-identical)
+                if np.issubdtype(x.dtype, np.floating):
+                    return np.asarray(x, np.float64).tolist()
+                return x.tolist()
             arrays.append(blob)
             return token.format(len(arrays) - 1)
         if isinstance(x, dict):

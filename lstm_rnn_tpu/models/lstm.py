@@ -426,6 +426,13 @@ def _resolve_fused(backend: str, hdim: int, pdim: int, bsz: int,
         return False, False  # mirror lstm_forward: auto -> scan off-TPU
     interp = backend == "pallas_interpret" or (
         backend == "pallas" and not on_tpu)
+    if interp:
+        # interpret mode has no VMEM constraint: run the kernel exactly as
+        # requested (mirroring lstm_forward, which runs interpret kernels
+        # off-TPU regardless of the analytic model). Falling back to scan
+        # here would make a CPU parity test of a wide layer silently
+        # compare scan against scan — proving nothing.
+        return True, True
     analytic_fit = fused_fits(hp, pp, bp, compute_dtype, carry=carry_grad)
     device_unfit = on_tpu and known_unfit(hp, pp, bp, compute_dtype,
                                           carry=carry_grad)

@@ -506,6 +506,7 @@ def wide_plan(N: int, P: int, S: int, compute_dtype=jnp.float32,
     if _wide_override is not None:
         sb, rows = _wide_override
         return -(-S // sb) * sb, sb, _pick_rows(N, rows)
+    pick = None
     if not analytic_only:
         from lstm_rnn_tpu.ops.vmem_probe import (lookup_wide_blocks,
                                                  wide_known_unfit)
@@ -513,16 +514,26 @@ def wide_plan(N: int, P: int, S: int, compute_dtype=jnp.float32,
             raise ValueError(
                 f"wide softmax tail: device probe recorded no (SB, rows) "
                 f"block fits for P={P}")
-        probed = lookup_wide_blocks(P, compute_dtype)
-        if probed is not None:
-            sb, rows = probed
-            return -(-S // sb) * sb, sb, _pick_rows(N, rows)
-    pick = _wide_analytic(P, compute_dtype)
+        pick = lookup_wide_blocks(P, compute_dtype)
+    if pick is None:
+        pick = _wide_analytic(P, compute_dtype)
     if pick is None:
         raise ValueError(
             f"wide softmax tail cannot fit any (SB, rows) block for P={P}")
     sb, rows = pick
-    return -(-S // sb) * sb, sb, _pick_rows(N, rows)
+    spw = -(-S // sb) * sb
+    if not analytic_only:
+        # the wide FORWARD is the plain row-blocked tail at Spw: if the
+        # device probe recorded that NO row block fits there (the trainer
+        # probes exactly this point, trainer.py wide_ok demotion), routing
+        # wide would die at the first step's Mosaic compile — raise so
+        # callers fall back to materialized logits + the plain tail at Sp
+        from lstm_rnn_tpu.ops.vmem_probe import tail_known_unfit
+        if tail_known_unfit(0, spw, compute_dtype, proj=False):
+            raise ValueError(
+                f"wide softmax tail: device probe recorded no forward row "
+                f"block fits at padded width Spw={spw}")
+    return spw, sb, _pick_rows(N, rows)
 
 
 def _fwd_wide_kernel(a_ref, tc_ref, loss_ref, cnt_ref, off_ref, sum_ref,

@@ -337,16 +337,22 @@ class Trainer:
                         # cap on device too (the analytic cap is tiny at
                         # LVCSR widths: more grid steps than needed)
                         from lstm_rnn_tpu.ops.softmax_ce import wide_plan
-                        spw = wide_plan(1 << 20, p_dim,
-                                        net.specs[-2].size,
-                                        net.compute_dtype)[0]
-                        if _etv(0, spw, net.compute_dtype,
-                                proj=False) == 0:
+                        try:
+                            spw = wide_plan(1 << 20, p_dim,
+                                            net.specs[-2].size,
+                                            net.compute_dtype)[0]
+                        except ValueError:
+                            # a PRIOR run already recorded the forward
+                            # total-unfit at spw — wide_plan gates on it
+                            spw = None
+                        if spw is None or _etv(0, spw, net.compute_dtype,
+                                               proj=False) == 0:
                             # even the smallest row block overflows at the
                             # wide padded width: the wide tail's FORWARD
-                            # cannot run — fall through to the plain-tail
-                            # check below (which will demote to the
-                            # unfused XLA tail for the same reason)
+                            # cannot run (wide_plan refuses to route wide,
+                            # ops/softmax_ce.py) — fall through to the
+                            # plain-tail check below (which will demote to
+                            # the unfused XLA tail for the same reason)
                             wide_ok = False
             if not proj_ok and not wide_ok:
                 # loss_and_count_fused will route through the plain tail;

@@ -121,6 +121,28 @@ def test_dump_doc_json_matches_pure_python(tmp_path):
     assert got == ref
 
 
+def test_dump_doc_json_preserves_integer_arrays():
+    """Integer/bool ndarrays in the doc must keep their parsed JSON types
+    (ints, not floats) — only float arrays widen to float64. A label-map
+    or counter array that round-trips as [0.0, 1.0, ...] would silently
+    change types for every downstream reader."""
+    import io
+    import json
+
+    from lstm_rnn_tpu import io_currennt as ioc
+
+    doc = {"ints": np.arange(600, dtype=np.int32),
+           "flags": np.array([True, False]),
+           "floats": np.arange(600, dtype=np.float32)}
+    buf = io.StringIO()
+    ioc.dump_doc_json(doc, buf)
+    got = json.loads(buf.getvalue())
+    assert got["ints"] == list(range(600))
+    assert all(isinstance(v, int) for v in got["ints"])
+    assert got["flags"] == [True, False]
+    assert all(isinstance(v, float) for v in got["floats"])
+
+
 def test_dump_doc_json_token_collision_falls_back():
     """A doc string exactly equal to an internal splice token must not
     corrupt the output — the writer detects it and takes the pure path."""

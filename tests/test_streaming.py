@@ -228,3 +228,22 @@ def test_streaming_explicit_pallas_unfit_raises(monkeypatch):
     with pytest.raises(ValueError, match="device probe verdict"):
         ml._resolve_fused("pallas", 128, 128, 16, jnp.float32)
     assert ml._resolve_fused("auto", 128, 128, 16, jnp.float32)[0] is False
+
+
+def test_streaming_interpret_ignores_vmem_model(monkeypatch):
+    """Interpret mode has no VMEM constraint: an explicit pallas_interpret
+    request (or explicit pallas off-TPU, which runs interpreted) must run
+    the kernel even when the analytic model says no chunk fits — silently
+    downgrading to scan would make a CPU parity test of a wide layer
+    compare scan against scan, proving nothing."""
+    import lstm_rnn_tpu.models.lstm as ml
+
+    monkeypatch.setattr("lstm_rnn_tpu.ops.lstm_cell.fused_fits",
+                        lambda *a, **k: False)
+    # pallas_interpret anywhere
+    assert ml._resolve_fused(
+        "pallas_interpret", 128, 128, 16, jnp.float32) == (True, True)
+    # explicit pallas off-TPU runs interpreted
+    monkeypatch.setattr(ml.jax, "default_backend", lambda: "cpu")
+    assert ml._resolve_fused(
+        "pallas", 128, 128, 16, jnp.float32) == (True, True)

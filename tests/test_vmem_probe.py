@@ -327,8 +327,19 @@ def test_wide_probe_descends_and_gates_wide_plan(tmp_path, monkeypatch):
     monkeypatch.setattr(vp, "_MEM", None)
     assert vp.lookup_wide_blocks(512, jnp.float32) == got
 
-    # a total-failure point records unfit and wide_plan raises
+    # a recorded FORWARD total-unfit at the wide padded width Spw gates
+    # routing too: the wide forward is the plain row-blocked tail at Spw,
+    # so a probe that proved no row block fits there must stop wide_plan
+    # from routing wide even though the backward (SB, rows) verdict is
+    # positive (trainer.py's wide_ok demotion relies on this)
     import pytest
+    assert vp.ensure_tail_validated(0, spw, jnp.float32, proj=False,
+                                    verbose=False) == 0
+    assert vp.tail_known_unfit(0, spw, jnp.float32, proj=False)
+    with pytest.raises(ValueError, match="forward row block"):
+        sc.wide_plan(32768, 512, 10112, jnp.float32)
+
+    # a total-failure point records unfit and wide_plan raises
     _, _, wide_calls = _fresh(tmp_path, monkeypatch, lambda ch: True,
                               wide_accept=lambda sb, rows: False)
     assert vp.ensure_wide_validated(768, jnp.float32, verbose=False) is None
@@ -369,12 +380,19 @@ def test_trainer_probes_wide_point_when_proj_unfit(tmp_path, monkeypatch):
     ds = DataSet([nc], parallel_sequences=2, prefetch=False)
     with um.patch.object(jax, "default_backend", lambda: "tpu"):
         Trainer(net, ds, device_cache=False)
+        # RERUN with the forward total-unfit already recorded: wide_plan
+        # now raises at the spw computation — Trainer must demote to the
+        # unfused tail, not die in __init__
+        Trainer(net, ds, device_cache=False)
     # padded plan: softmax fan-in 256; proj unfit -> wide point probed
     assert any(p == 256 for (p, _s, _r) in wide_calls)
     # wide validated -> the PLAIN tail (the wide forward) is probed at the
-    # wide plan's padded width so its row cap gets the device clawback
-    from lstm_rnn_tpu.ops import softmax_ce as sc
-    spw = sc.wide_plan(1 << 20, 256, 4, jnp.float32)[0]
+    # wide plan's padded width so its row cap gets the device clawback.
+    # (wide_plan itself now RAISES here — the all-rejecting tail probe
+    # recorded a forward total-unfit at spw, which correctly gates wide
+    # routing — so derive spw from the recorded wide verdict instead.)
+    sb = vp.lookup_wide_blocks(256, jnp.float32)[0]
+    spw = -(-4 // sb) * sb
     assert any(s == spw for (_p, s, _r, pr) in tail_calls if not pr)
 
 
