@@ -28,7 +28,9 @@ H = L/D cells per direction, gate order [ni, ig, fg, og]:
 
 from __future__ import annotations
 
+import contextlib
 import json
+import os
 from typing import Any, Dict, List
 
 import numpy as np
@@ -221,5 +223,19 @@ def save_network_json(path: str, layers: List[Dict[str, Any]], params,
         doc.update(extra)
     doc["layers"] = layers
     doc["weights"] = weights_section_from_params(layers, params)
-    with open(path, "w") as f:
-        dump_doc_json(doc, f)
+    # atomic publish: a crash mid-write must never leave a truncated
+    # checkpoint — --continue reads autosaves after crash-restarts, and
+    # --autosave_best REWRITES its file each improvement (a direct write
+    # would destroy the previous best on failure). Same-dir temp +
+    # os.replace keeps the rename atomic on every POSIX filesystem.
+    tmp = f"{path}.tmp.{os.getpid()}"
+    try:
+        with open(tmp, "w") as f:
+            dump_doc_json(doc, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    except BaseException:
+        with contextlib.suppress(OSError):
+            os.remove(tmp)
+        raise

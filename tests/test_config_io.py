@@ -169,3 +169,37 @@ def test_reference_flag_surface_complete():
     ours.add("help")  # argparse built-in
     missing = sorted(ref - ours)
     assert not missing, f"reference README flags not implemented: {missing}"
+
+
+def test_save_network_json_is_atomic(tmp_path, monkeypatch):
+    """A crash mid-serialization must never leave a truncated checkpoint:
+    --continue reads autosaves after crash-restarts and --autosave_best
+    rewrites its file on every improvement, so save_network_json publishes
+    via same-dir temp + os.replace. The prior file survives a failed save
+    byte-for-byte and no temp file is left behind."""
+    layers = [
+        {"name": "input", "type": "input", "size": 2},
+        {"name": "ff", "type": "feedforward_identity", "size": 2,
+         "bias": 1.0},
+        {"name": "output", "type": "softmax", "size": 2, "bias": 1.0},
+        {"name": "postoutput", "type": "multiclass_classification",
+         "size": 2},
+    ]
+    params = {
+        "ff": {"W": np.ones((2, 2)), "b": np.zeros(2)},
+        "output": {"W": np.ones((2, 2)), "b": np.zeros(2)},
+    }
+    path = str(tmp_path / "net.jsn")
+    ioc.save_network_json(path, layers, params)
+    before = open(path).read()
+    assert json.loads(before)["weights"]["ff"]["input"] == [1.0] * 4
+
+    def boom(doc, f):
+        f.write('{"layers": [')  # partial bytes hit only the temp file
+        raise RuntimeError("simulated crash mid-write")
+
+    monkeypatch.setattr(ioc, "dump_doc_json", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        ioc.save_network_json(path, layers, params)
+    assert open(path).read() == before
+    assert [p.name for p in tmp_path.iterdir()] == ["net.jsn"]
