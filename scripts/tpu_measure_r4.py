@@ -27,6 +27,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def wait_for_relay():
+    if os.environ.get("AXON_LOOPBACK_RELAY"):
+        # loopback-relay plugin scheme: the classic pool-svc port is not in
+        # play — the port probe below reports "down" on a healthy tunnel
+        print("[measure] loopback relay scheme; skipping port wait",
+              flush=True)
+        return
     host = os.environ.get("PALLAS_AXON_POOL_IPS", "127.0.0.1").split(",")[0]
     port = int(os.environ.get("LSTM_RNN_TPU_AXON_PORT", "10000"))
     n = 0

@@ -15,7 +15,11 @@ cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 
 DEADLINE=$(( $(date +%s) + 21600 ))  # stop LAUNCHING new stages after 6h
-relay_up() { timeout 5 bash -c 'echo > /dev/tcp/127.0.0.1/10000' 2>/dev/null; }
+# loopback-relay plugin scheme: the classic pool-svc port 10000 is not in
+# play (a healthy tunnel refuses it) — treat the relay as up and let the
+# python-side bounded init checks do the real probing
+relay_up() { [ -n "${AXON_LOOPBACK_RELAY:-}" ] || \
+  timeout 5 bash -c 'echo > /dev/tcp/127.0.0.1/10000' 2>/dev/null; }
 may_launch() { [ "$(date +%s)" -lt "$DEADLINE" ] && relay_up; }
 
 echo "[orch] start $(date -u +%H:%M:%S)"
