@@ -179,9 +179,13 @@ def _fwd_kernel(lengths_ref, *rest, T, CH, NC, bias_mult, precision, use3,
     d = pl.program_id(0)
     k = pl.program_id(1)
     if with_mask:
-        # [B, CH] per-step validity (streaming chunks with mid-chunk
-        # sequence boundaries — lengths can only express a valid PREFIX);
-        # column j is natural time chunk*CH + j, like x's block
+        # [1, B, CHP] per-step validity (streaming chunks with mid-chunk
+        # sequence boundaries — lengths can only express a valid PREFIX).
+        # Each chunk's mask lives in its own lane-padded (CHP >= 128) row of
+        # a (NC, B, CHP) array: a (B, CH) block of a (B, T) array would have
+        # lane dim CH, which Mosaic rejects unless CH % 128 == 0 or CH == T
+        # (device-compile error the interpret tests cannot catch). Column j
+        # is natural time chunk*CH + j, like x's block.
         mask_ref, *rest = rest
     else:
         mask_ref = None
@@ -244,7 +248,7 @@ def _fwd_kernel(lengths_ref, *rest, T, CH, NC, bias_mult, precision, use3,
             og = logistic(a[:, 3 * H:4 * H] + c_new * p_og)
             h_new = tanh2(c_new) * og
 
-            m = (mask_ref[:, j:j + 1] if with_mask
+            m = (mask_ref[0, :, j:j + 1] if with_mask
                  else _valid(lengths_ref, t))
             h = h_new * m
             c = c_new * m
@@ -693,11 +697,17 @@ def _fwd_impl(x, w_in, w_rec, peep, bias, lengths, bias_mult, interpret,
     carry_ins = ((carry[0].astype(jnp.float32),
                   carry[1].astype(jnp.float32))
                  if carry is not None else ())
-    mask_specs = ([_block((B, CH),
-                          lambda d, k: (0, _chunk_of(d + dir_offset, k, NC,
-                                                     False)))]
+    # per-chunk lane-padded mask rows: (B, T) -> (NC, B, CHP) so the block's
+    # minor dim is 128-aligned for any chunk size (fused_vmem_bytes already
+    # charges the padded width)
+    chp = max(128, -(-CH // 128) * 128)
+    mask_specs = ([_block((1, B, chp),
+                          lambda d, k: (_chunk_of(d + dir_offset, k, NC,
+                                                  False), 0, 0))]
                   if step_mask is not None else [])
-    mask_ins = ((step_mask.astype(jnp.float32),)
+    mask_ins = ((jnp.pad(step_mask.astype(jnp.float32)
+                         .reshape(B, NC, CH).transpose(1, 0, 2),
+                         ((0, 0), (0, 0), (0, chp - CH))),)
                 if step_mask is not None else ())
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0, grid=(D, NC),
