@@ -544,7 +544,7 @@ def fused_vmem_bytes(hp: int, pp: int, bp: int, compute_dtype=jnp.float32,
            + 4 * ch * bp * h4                        # a_all f32 temp
            + 4 * bp * 2 * hp)                        # scratch
     if with_mask:
-        fwd += 2 * bp * max(ch, 128) * 4             # lane-padded step mask
+        fwd += 2 * bp * (-(-ch // 128) * 128) * 4    # lane-padded step mask
     bwd = (2 * s * (hp + pp) * h4                    # W_rec + W_in resident
            + 4 * (pp * h4 + hp * h4)                 # dW_in + dW_rec accum
            + 2 * ch * bp * (s * (2 * pp + 2 * hp + h4) + 4 * hp)  # streams
@@ -700,7 +700,7 @@ def _fwd_impl(x, w_in, w_rec, peep, bias, lengths, bias_mult, interpret,
     # per-chunk lane-padded mask rows: (B, T) -> (NC, B, CHP) so the block's
     # minor dim is 128-aligned for any chunk size (fused_vmem_bytes already
     # charges the padded width)
-    chp = max(128, -(-CH // 128) * 128)
+    chp = -(-CH // 128) * 128
     mask_specs = ([_block((1, B, chp),
                           lambda d, k: (_chunk_of(d + dir_offset, k, NC,
                                                   False), 0, 0))]

@@ -17,8 +17,22 @@ def test_relay_check_noop_off_axon(monkeypatch):
 def test_relay_check_reports_closed_port(monkeypatch):
     monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "127.0.0.1")
     monkeypatch.setenv("LSTM_RNN_TPU_AXON_PORT", "1")  # nothing listens
+    # the loopback-relay scheme (set on some machines) makes the port probe
+    # inconclusive; clear it so this test exercises the classic pool-svc path
+    monkeypatch.delenv("AXON_LOOPBACK_RELAY", raising=False)
     r = dev._relay_down_reason()
     assert r is not None and "unreachable" in r
+
+
+def test_relay_check_inconclusive_under_loopback_relay(monkeypatch):
+    # loopback-relay plugin scheme: the pool svc does NOT ride the classic
+    # TCP port, so a refused port proves nothing — the pre-check must pass
+    # (device.py:35-42) and let the real init (bounded by the SIGALRM
+    # watchdog / retry ladder) decide.
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "127.0.0.1")
+    monkeypatch.setenv("LSTM_RNN_TPU_AXON_PORT", "1")  # nothing listens
+    monkeypatch.setenv("AXON_LOOPBACK_RELAY", "1")
+    assert dev._relay_down_reason() is None
 
 
 def test_relay_check_passes_open_port(monkeypatch):
@@ -37,6 +51,7 @@ def test_relay_check_passes_open_port(monkeypatch):
 def test_ensure_backend_raises_after_ladder(monkeypatch):
     monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "127.0.0.1")
     monkeypatch.setenv("LSTM_RNN_TPU_AXON_PORT", "1")
+    monkeypatch.delenv("AXON_LOOPBACK_RELAY", raising=False)
     sleeps = []
     monkeypatch.setattr(dev.time, "sleep", sleeps.append)
     with pytest.raises(RuntimeError, match="hang forever"):
