@@ -528,6 +528,32 @@ def forward_mode(cfg: Config) -> int:
         # paths agree to float rounding, not byte-for-byte.
         net.init_stream_state(1)  # rejects bidirectional nets early
         chunk = cfg.stream_chunk
+        if (jax.default_backend() == "tpu"
+                and net.backend in ("auto", "pallas")):
+            # eagerly device-validate the MASKED carry-kernel forward at
+            # each LSTM layer's serving shape before the first chunk
+            # dispatches: round 4 proved interpret tests cannot catch
+            # Mosaic tile/lane layout errors, and a rejection recorded
+            # here routes lstm_forward_streaming to the scan backend
+            # (mask_known_unfit) instead of dying mid-stream
+            from lstm_rnn_tpu import io_currennt as _ioc
+            from lstm_rnn_tpu.ops.lstm_cell import (DEFAULT_CHUNK, _storage,
+                                                    round_up)
+            from lstm_rnn_tpu.ops.vmem_probe import ensure_mask_validated
+            bgran = 16 if _storage(net.compute_dtype).itemsize == 2 else 8
+            bp = round_up(max(1, cfg.parallel_sequences), bgran)
+            tp = round_up(chunk, DEFAULT_CHUNK)
+            prev = net.specs[0].size
+            for s in net.specs[1:-1]:
+                if s.type in _ioc.LSTM_TYPES:
+                    ok = ensure_mask_validated(
+                        tp, round_up(s.size, 128), round_up(prev, 128), bp,
+                        net.compute_dtype)
+                    if not ok:
+                        print(f"Streaming: layer '{s.name}' rejected by "
+                              "the masked-kernel device probe; chunks run "
+                              "the scan backend")
+                prev = s.size
         step = jax.jit(net.apply_streaming)
         import jax.numpy as jnp
         nd = _serving_devices(cfg)

@@ -353,6 +353,29 @@ def lstm_forward_streaming(params, x, pattypes, bias_mult: float, carry,
         hdim = w_in.shape[-1]
         use_fused, interp = _resolve_fused(backend, hdim, x.shape[-1],
                                            x.shape[1], compute_dtype)
+        if use_fused and not interp:
+            # a recorded mask-probe rejection (the masked forward's block
+            # LAYOUT or footprint failed on this device at the serving
+            # chunk — ops/vmem_probe.py mask family) routes auto to scan;
+            # explicit pallas raises like _resolve_fused's own guards
+            from lstm_rnn_tpu.ops.lstm_cell import (DEFAULT_CHUNK, _storage,
+                                                    pick_chunk, round_up)
+            from lstm_rnn_tpu.ops.vmem_probe import mask_known_unfit
+            hp = round_up(hdim, 128)
+            pp = round_up(x.shape[-1], 128)
+            bgran = 16 if _storage(compute_dtype).itemsize == 2 else 8
+            bp = round_up(x.shape[1], bgran)
+            tp = round_up(x.shape[0], DEFAULT_CHUNK)
+            ch = pick_chunk(tp, hp, pp, bp, compute_dtype, with_mask=True)
+            if mask_known_unfit(hp, pp, bp, ch, compute_dtype):
+                if backend == "pallas":
+                    raise ValueError(
+                        f"lstm_backend=pallas: the masked streaming "
+                        f"forward (H={hdim}, P={x.shape[-1]}, "
+                        f"B={x.shape[1]}, chunk={ch}) was REJECTED by the "
+                        "device probe (ops/vmem_probe.py mask family); "
+                        "use lstm_backend=auto (falls back to lax.scan)")
+                use_fused = False
         if use_fused:
             return _streaming_fused(params, x, pattypes, bias_mult, carry,
                                     clip_gradients, compute_dtype, interp)

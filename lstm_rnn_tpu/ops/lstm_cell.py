@@ -522,6 +522,17 @@ VMEM_BUDGET = {2: 12 * 1024 * 1024, 4: 6 * 1024 * 1024}
 _chunk_override = None
 
 
+def _mask_lane_pad(ch: int) -> int:
+    """Lane-padded minor width of the per-chunk step-mask block. Mosaic's
+    tile rule requires a block's last dim be a multiple of 128 (or the full
+    array dim) — round 4's device run died in the Pallas TPU lowering pass
+    on an unpadded (B, CH=16) mask block exactly here. Module-level (not
+    inlined) so the mask probe's regression test can recreate that bug by
+    monkeypatching it to the identity and assert the probe REJECTS the
+    layout (tests/test_vmem_probe.py)."""
+    return -(-ch // 128) * 128
+
+
 def fused_vmem_bytes(hp: int, pp: int, bp: int, compute_dtype=jnp.float32,
                      ch: int = DEFAULT_CHUNK, with_mask: bool = False,
                      carry: bool = False) -> int:
@@ -544,7 +555,7 @@ def fused_vmem_bytes(hp: int, pp: int, bp: int, compute_dtype=jnp.float32,
            + 4 * ch * bp * h4                        # a_all f32 temp
            + 4 * bp * 2 * hp)                        # scratch
     if with_mask:
-        fwd += 2 * bp * (-(-ch // 128) * 128) * 4    # lane-padded step mask
+        fwd += 2 * bp * _mask_lane_pad(ch) * 4       # lane-padded step mask
     bwd = (2 * s * (hp + pp) * h4                    # W_rec + W_in resident
            + 4 * (pp * h4 + hp * h4)                 # dW_in + dW_rec accum
            + 2 * ch * bp * (s * (2 * pp + 2 * hp + h4) + 4 * hp)  # streams
@@ -700,7 +711,7 @@ def _fwd_impl(x, w_in, w_rec, peep, bias, lengths, bias_mult, interpret,
     # per-chunk lane-padded mask rows: (B, T) -> (NC, B, CHP) so the block's
     # minor dim is 128-aligned for any chunk size (fused_vmem_bytes already
     # charges the padded width)
-    chp = -(-CH // 128) * 128
+    chp = _mask_lane_pad(CH)
     mask_specs = ([_block((1, B, chp),
                           lambda d, k: (_chunk_of(d + dir_offset, k, NC,
                                                   False), 0, 0))]

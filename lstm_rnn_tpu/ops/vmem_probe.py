@@ -397,6 +397,130 @@ def _wide_probe_compile(P: int, sb: int, rows: int, compute_dtype) -> bool:
         sc._wide_override = old_wide
 
 
+# ---------------------------------------------------------------- mask probe
+# The streaming step_mask rides the INFERENCE-ONLY forward, so maskless
+# VMEM verdicts remain valid fit evidence (fused_vmem_bytes' with_mask
+# note) — but round 4 proved fit is not the only device failure mode: the
+# mask block's LAYOUT must satisfy Mosaic's (8,128) tile rule, checked in
+# the Pallas TPU lowering pass, and neither interpret-mode tests nor the
+# maskless probe families ever build the mask operand. This family
+# AOT-compiles the masked carry-kernel forward (the exact serving program,
+# primal only — gradients with step_mask raise by design) at the chunk
+# serving will pick; a tile/lane lowering rejection is recorded like an
+# overflow, so streaming routes to the scan backend instead of dying at
+# first dispatch. Off-TPU the probe still runs the full Pallas->Mosaic
+# LOWERING pass via cross-platform lowering (lowering_platforms=("tpu",))
+# — the layout checks are host-independent — which is how the CPU suite
+# regression-tests the round-4 failure class for real.
+
+# Bump when the masked forward's operand layout changes shape.
+MASK_VERSION = "m1"
+
+
+def _mask_key(hp: int, pp: int, bp: int, ch: int, compute_dtype) -> str:
+    from lstm_rnn_tpu.ops.lstm_cell import _storage, _use3
+    mode = "x3" if _use3(compute_dtype) else ""
+    return (f"{_device_kind()}|{KERNEL_VERSION}{MASK_VERSION}|mask|h{hp}|"
+            f"p{pp}|b{bp}|c{ch}|{_storage(compute_dtype).name}{mode}")
+
+
+def _mask_compiles(fn, shapes) -> bool:
+    """Like _compiles, but (a) off-TPU it cross-platform-lowers for the
+    TPU target — the Pallas TPU lowering pass (where Mosaic's tile/lane
+    layout rules are enforced) runs on any host; only the scoped-VMEM
+    check needs the real device — and (b) a positively-identified layout
+    rejection persists a False verdict like an overflow does. Anything
+    else re-raises (transient errors must not poison the table)."""
+    import jax
+    try:
+        traced = jax.jit(fn).trace(*shapes)
+        if jax.default_backend() == "tpu":
+            traced.lower().compile()
+        else:
+            traced.lower(lowering_platforms=("tpu",))
+        return True
+    except Exception as e:
+        msg = str(e).lower()
+        if "exceed" in msg and ("scoped" in msg or "vmem" in msg):
+            return False  # device scoped-VMEM overflow
+        if "pallas tpu lowering" in msg and "block shape" in msg:
+            return False  # Mosaic tile/lane layout rejection (round-4 class)
+        raise
+
+
+def _mask_probe_compile(hp: int, pp: int, bp: int, ch: int,
+                        compute_dtype) -> bool:
+    """AOT-build the masked carry-kernel inference forward at chunk=ch —
+    the exact program Network.apply_streaming dispatches (D=1, explicit
+    (h0, c0), [B, T] step mask). Nothing is executed."""
+    import jax
+    import jax.numpy as jnp
+
+    from lstm_rnn_tpu.ops import lstm_cell as lc
+
+    T = 2 * ch  # two chunks: exercises the mask block's index map
+    h4 = 4 * hp
+
+    def fwd(x, w_in, w_rec, peep, bias, lengths, h0, c0, m):
+        return lc.lstm_scan_fused_carry(
+            x, w_in, w_rec, peep, bias, lengths, h0, c0, 1.0, True, False,
+            jnp.dtype(compute_dtype), True, T, 0, m)
+
+    shapes = (
+        jax.ShapeDtypeStruct((T, bp, pp), jnp.float32),
+        jax.ShapeDtypeStruct((1, pp, h4), jnp.float32),
+        jax.ShapeDtypeStruct((1, hp, h4), jnp.float32),
+        jax.ShapeDtypeStruct((1, 3, hp), jnp.float32),
+        jax.ShapeDtypeStruct((1, h4), jnp.float32),
+        jax.ShapeDtypeStruct((bp,), jnp.int32),
+        jax.ShapeDtypeStruct((1, bp, hp), jnp.float32),
+        jax.ShapeDtypeStruct((1, bp, hp), jnp.float32),
+        jax.ShapeDtypeStruct((bp, T), jnp.float32),
+    )
+    old = lc._chunk_override
+    lc._chunk_override = ch
+    try:
+        return _mask_compiles(fwd, shapes)
+    finally:
+        lc._chunk_override = old
+
+
+def mask_known_unfit(hp: int, pp: int, bp: int, ch: int,
+                     compute_dtype) -> bool:
+    """True when the mask probe RECORDED a rejection (layout or overflow)
+    for the masked streaming forward at exactly this (shape, chunk) point.
+    False when unprobed — lstm_forward_streaming's fused route then
+    proceeds, and ensure_mask_validated is the eager gate that probes
+    before first dispatch. Table read only — never compiles."""
+    return _load().get(_mask_key(hp, pp, bp, ch, compute_dtype)) is False
+
+
+def ensure_mask_validated(T: int, hp: int, pp: int, bp: int, compute_dtype,
+                          verbose: bool = True) -> int:
+    """Validate the masked carry-kernel forward at THE chunk streaming
+    serving will pick for this shape (pick_chunk with_mask). No downward
+    walk: serving must run the chunk the probe blessed, so a rejection
+    routes it to the scan backend (mask_known_unfit) rather than silently
+    serving an unprobed smaller chunk. Records the verdict; returns the
+    validated chunk, or 0 on rejection. Call EAGERLY (CLI streaming
+    setup) — never inside a trace."""
+    from lstm_rnn_tpu.ops.lstm_cell import pick_chunk
+    with _LOCK:
+        ch = pick_chunk(T, hp, pp, bp, compute_dtype, with_mask=True)
+        table = _load()
+        key = _mask_key(hp, pp, bp, ch, compute_dtype)
+        verdict = table.get(key)
+        if verdict is None:
+            if verbose:
+                print(f"vmem_probe: compiling masked streaming forward "
+                      f"(h={hp}, p={pp}, b={bp}, chunk={ch}) ...",
+                      flush=True)
+            verdict = _mask_probe_compile(hp, pp, bp, ch, compute_dtype)
+            table[key] = verdict
+            _save()
+        return ch if verdict else 0
+
+
 def ensure_wide_validated(P: int, compute_dtype, verbose: bool = True):
     """Probe (SB, rows) candidates (best-first) for the wide tail at this
     (P, dtype) point; record every verdict on disk. Returns the validated

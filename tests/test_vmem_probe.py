@@ -396,6 +396,100 @@ def test_trainer_probes_wide_point_when_proj_unfit(tmp_path, monkeypatch):
     assert any(s == spw for (_p, s, _r, pr) in tail_calls if not pr)
 
 
+def test_mask_probe_accepts_streaming_layout_via_tpu_lowering(tmp_path,
+                                                              monkeypatch):
+    """The REAL mask probe (no fakes): cross-platform lowering runs the
+    full Pallas->Mosaic TPU lowering pass on a CPU host, so the (8,128)
+    tile/lane layout rules — the check round 4's device run died on with
+    an unpadded (B, CH) mask block — are enforced for real. The shipped
+    lane-padded (NC, B, CHP) layout must pass them at both chunk sizes the
+    serving path picks."""
+    monkeypatch.setenv("LSTM_RNN_TPU_PROBE_CACHE", str(tmp_path / "p.json"))
+    monkeypatch.setattr(vp, "_MEM", None)
+    assert vp._mask_probe_compile(128, 128, 8, 16, jnp.float32)
+    assert vp._mask_probe_compile(128, 128, 16, 16, jnp.bfloat16)
+
+
+def test_mask_compiles_rejects_lane_misaligned_block():
+    """The probe's classifier must turn the round-4 failure class — a
+    block whose minor dim is neither a 128-multiple nor the full array
+    dim, rejected by the Pallas TPU lowering pass — into a False verdict
+    (routing streaming to the scan backend) instead of re-raising it as a
+    transient error."""
+    import jax
+    from jax.experimental import pallas as pl
+
+    def kern(x_ref, o_ref):
+        o_ref[...] = x_ref[...] * 2.0
+
+    def f(x):
+        # round 4's shape: block (B=64, CH=16) over a (B, T=64) array
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((64, 64), jnp.float32),
+            grid=(4,),
+            in_specs=[pl.BlockSpec((64, 16), lambda i: (0, i))],
+            out_specs=pl.BlockSpec((64, 16), lambda i: (0, i)),
+        )(x)
+
+    shapes = (jax.ShapeDtypeStruct((64, 64), jnp.float32),)
+    assert vp._mask_compiles(f, shapes) is False
+
+
+def test_mask_unfit_verdict_routes_streaming_to_scan(tmp_path, monkeypatch):
+    """A recorded mask-probe rejection must route apply_streaming's auto
+    path to the scan backend (numerics identical) and make an explicit
+    pallas request raise — mirroring _resolve_fused's own guards."""
+    import numpy as np
+
+    import jax
+
+    from lstm_rnn_tpu.models.lstm import lstm_forward_streaming
+    from lstm_rnn_tpu.ops.masking import pattypes_from_lengths
+
+    monkeypatch.setenv("LSTM_RNN_TPU_PROBE_CACHE", str(tmp_path / "p.json"))
+    monkeypatch.setattr(vp, "_MEM", None)
+    monkeypatch.setattr(vp, "_device_kind", lambda: "fake_tpu")
+    monkeypatch.setattr(vp, "_mask_probe_compile",
+                        lambda hp, pp, bp, ch, dt: False)
+
+    T, B, P, h = 9, 3, 5, 10
+    g = np.random.default_rng(0)
+    params = {
+        "W_in": jnp.asarray(g.uniform(-1, 1, (1, P, 4, h)), jnp.float32),
+        "W_rec": jnp.asarray(g.uniform(-1, 1, (1, h, 4, h)), jnp.float32),
+        "b": jnp.asarray(g.uniform(-1, 1, (1, 4, h)), jnp.float32),
+        "peep": jnp.asarray(g.uniform(-1, 1, (1, 3, h)), jnp.float32),
+    }
+    x = jnp.asarray(g.uniform(-1, 1, (T, B, P)), jnp.float32)
+    pt = jnp.asarray(pattypes_from_lengths([9, 4, 7], T, B))
+    carry = (jnp.zeros((1, B, h)), jnp.zeros((1, B, h)))
+    y_scan, c_scan = lstm_forward_streaming(params, x, pt, 1.0, carry,
+                                            backend="scan")
+
+    # the serving point: hp=128, pp=128, bp=8 (f32), tp=16
+    from lstm_rnn_tpu.ops.lstm_cell import DEFAULT_CHUNK, pick_chunk
+    tp = -(-T // DEFAULT_CHUNK) * DEFAULT_CHUNK
+    ch = pick_chunk(tp, 128, 128, 8, jnp.float32, with_mask=True)
+    assert vp.ensure_mask_validated(tp, 128, 128, 8, jnp.float32,
+                                    verbose=False) == 0
+    assert vp.mask_known_unfit(128, 128, 8, ch, jnp.float32)
+
+    # pretend we're on a TPU: without the verdict check, auto would pick
+    # the real (non-interpret) masked kernel, which cannot lower on CPU
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    y_auto, c_auto = lstm_forward_streaming(params, x, pt, 1.0, carry,
+                                            backend="auto")
+    np.testing.assert_allclose(np.asarray(y_auto), np.asarray(y_scan),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(c_auto[0]), np.asarray(c_scan[0]),
+                               rtol=0, atol=0)
+
+    import pytest
+    with pytest.raises(ValueError, match="REJECTED by the device probe"):
+        lstm_forward_streaming(params, x, pt, 1.0, carry, backend="pallas")
+
+
 def test_carry_family_keys_are_separate(tmp_path, monkeypatch):
     """The carry-kernel gradient (sequence-parallel training) has a larger
     backward footprint than the plain kernels — its verdicts live in their
