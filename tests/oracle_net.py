@@ -68,8 +68,16 @@ def sse_loss_and_err(y, targets, pt):
 
 
 def train_epoch(specs, params, fractions, lr, momentum, layer_lr=None,
-                velocity=None, stochastic=True, loss="multiclass"):
-    """One oracle epoch; returns (params, velocity, total_error, correct)."""
+                velocity=None, stochastic=True, loss="multiclass",
+                noise=None):
+    """One oracle epoch; returns (params, velocity, total_error, correct).
+
+    noise: optional list, one per-layer tree per fraction, added to the
+    weights BEFORE the forward/backward and discarded before the update —
+    the reference's inject->compute->restore weight-noise semantics
+    (Optimizer.cu:58-84 injects into the weight buffer, TrainableLayer.cu:
+    188-209 restores it): gradients are taken at the noisy point, the
+    update applies to the CLEAN weights."""
     global _current_pt
     params = {k: {kk: np.array(vv, np.float64) for kk, vv in v.items()}
               for k, v in params.items()}
@@ -87,9 +95,15 @@ def train_epoch(specs, params, fractions, lr, momentum, layer_lr=None,
                 velocity[name][kk] = momentum * velocity[name][kk] - l * g[kk]
                 params[name][kk] = params[name][kk] + velocity[name][kk]
 
-    for (x, targets, pt) in fractions:
+    for i, (x, targets, pt) in enumerate(fractions):
         _current_pt = pt
-        y, cache = net_forward(specs, params, np.asarray(x, np.float64), pt)
+        if noise is not None:
+            at = {k: {kk: params[k][kk] + np.asarray(noise[i][k][kk],
+                                                     np.float64)
+                      for kk in params[k]} for k in params}
+        else:
+            at = params
+        y, cache = net_forward(specs, at, np.asarray(x, np.float64), pt)
         if loss == "multiclass":
             err_val, dy = oracle.multiclass_loss_and_err(y, targets, pt)
             valid = targets >= 0
@@ -98,7 +112,7 @@ def train_epoch(specs, params, fractions, lr, momentum, layer_lr=None,
         else:
             err_val, dy = sse_loss_and_err(y, np.asarray(targets, np.float64), pt)
         total_err += err_val
-        grads = net_backward(specs, params, cache, dy)
+        grads = net_backward(specs, at, cache, dy)
         if stochastic:
             update(grads)
         else:

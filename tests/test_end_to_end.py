@@ -67,6 +67,127 @@ def test_one_epoch_matches_oracle(stochastic):
 
 
 @requires_reference
+@pytest.mark.parametrize("stochastic", [True, False])
+def test_weight_noise_epoch_matches_oracle(stochastic, monkeypatch):
+    """Weight-noise training against the f64 oracle: gradients must be
+    taken at the NOISY point and the update applied to the CLEAN weights
+    (Optimizer.cu:58-84 injects into the weight buffer before the pass,
+    TrainableLayer.cu:188-209 restores it before the update). The trainer's
+    per-fraction noise draws are captured and injected into the oracle, so
+    the comparison pins the composition itself, not just the noise=0
+    path."""
+    import jax
+
+    ds = DataSet([NC], parallel_sequences=10, fraction=0.2,
+                 sort_by_length=True, prefetch=False)
+    net = Network.from_json_file(NET)
+    trainer = Trainer(net, ds, learning_rate=1e-5, momentum=0.9,
+                      max_epochs=1, hybrid_online_batch=stochastic,
+                      weight_noise_sigma=0.05)
+    drawn = []
+    orig = trainer._draw_noise
+
+    def capture():
+        n = orig()
+        drawn.append(jax.tree_util.tree_map(np.asarray, n))
+        return n
+
+    monkeypatch.setattr(trainer, "_draw_noise", capture)
+    trainer.train_epoch()
+
+    fracs = [(f.inputs, f.targets, f.pattypes) for f in ds.fractions()]
+    assert len(drawn) == len(fracs)  # one independent draw per fraction
+    params0 = {k: {kk: np.asarray(vv, np.float64) for kk, vv in v.items()}
+               for k, v in net.params.items()}
+    p_ref, _, err_ref, _ = oracle_net.train_epoch(
+        net.specs, params0, fracs, lr=1e-5, momentum=0.9,
+        stochastic=stochastic, noise=drawn)
+
+    err_jax = trainer.cur_training_error
+    assert abs(err_jax - err_ref / ds.total_sequences) < 5e-3 * abs(err_jax)
+    for name in p_ref:
+        for kk in p_ref[name]:
+            upd_ref = p_ref[name][kk] - params0[name][kk]
+            upd_jax = np.asarray(trainer.params[name][kk],
+                                 np.float64) - params0[name][kk]
+            scale = np.abs(upd_ref).max() + 1e-12
+            err = np.abs(upd_jax - upd_ref).max()
+            assert err < 2e-3 * scale + 5e-8, (
+                f"{name}.{kk}: max update err {err:.3e} vs scale {scale:.3e}")
+
+
+def test_weight_noise_padded_view_matches_oracle(monkeypatch, tmp_path):
+    """Weight noise under the PADDED training view: the noise draw is
+    masked by Network.pad_mask() (trainer.py _draw_noise), so padded
+    entries stay EXACTLY zero through a noisy epoch, and the exact-layout
+    updates (Trainer.exact_params) still match the f64 oracle fed the
+    unpadded noise."""
+    import jax
+
+    from .test_data import _write_classification_nc
+
+    nc = str(tmp_path / "t.nc")
+    _write_classification_nc(nc, [5, 4, 6, 3], in_size=3, num_labels=4,
+                             seed=3)
+    layers = [
+        {"name": "input", "type": "input", "size": 3},
+        {"name": "l1", "type": "blstm", "size": 8, "bias": 1.0},
+        {"name": "output", "type": "softmax", "size": 4, "bias": 1.0},
+        {"name": "postoutput", "type": "multiclass_classification",
+         "size": 4},
+    ]
+    net = Network(layers, backend="pallas_interpret")
+    net.init_params(5)
+    ds = DataSet([nc], parallel_sequences=2, prefetch=False)
+    trainer = Trainer(net, ds, learning_rate=1e-3, momentum=0.9,
+                      max_epochs=1, hybrid_online_batch=True,
+                      weight_noise_sigma=0.05, device_cache=False)
+    assert trainer.padded  # the padded view must actually be under test
+    drawn = []
+    orig = trainer._draw_noise
+
+    def capture():
+        n = orig()
+        drawn.append(jax.tree_util.tree_map(np.asarray, n))
+        return n
+
+    monkeypatch.setattr(trainer, "_draw_noise", capture)
+    trainer.train_epoch()
+
+    # padded entries stayed exactly zero through the noisy epoch (the
+    # pad_mask kills the noise there; zero weights + zero grads invariant)
+    mask = net.pad_mask()
+    n_padded = 0
+    for name in mask:
+        for kk in mask[name]:
+            pad_vals = np.asarray(trainer.params[name][kk])[
+                np.asarray(mask[name][kk]) == 0]
+            n_padded += pad_vals.size
+            assert np.all(pad_vals == 0.0), (
+                f"{name}.{kk}: padded entries perturbed")
+    assert n_padded > 0  # the padded view must have real padding under test
+
+    # exact-layout updates match the oracle fed the UNPADDED noise
+    fracs = [(f.inputs, f.targets, f.pattypes) for f in ds.fractions()]
+    assert len(drawn) == len(fracs)
+    exact_noise = [trainer.exact_params(n) for n in drawn]
+    params0 = {k: {kk: np.asarray(vv, np.float64) for kk, vv in v.items()}
+               for k, v in net.params.items()}
+    p_ref, _, _, _ = oracle_net.train_epoch(
+        net.specs, params0, fracs, lr=1e-3, momentum=0.9, stochastic=True,
+        noise=exact_noise)
+    got = trainer.exact_params()
+    for name in p_ref:
+        for kk in p_ref[name]:
+            upd_ref = p_ref[name][kk] - params0[name][kk]
+            upd_jax = np.asarray(got[name][kk], np.float64) - params0[name][kk]
+            scale = np.abs(upd_ref).max() + 1e-12
+            err = np.abs(upd_jax - upd_ref).max()
+            assert err < 2e-3 * scale + 5e-8, (
+                f"{name}.{kk}: max update err {err:.3e} vs scale {scale:.3e}")
+
+
+@requires_reference
 def test_regression_epoch_matches_oracle():
     """sse regression training (autoencoding the CHiME features) agrees with
     the float64 oracle — covers the regression-target fraction path, the
