@@ -121,19 +121,45 @@ def _is_coordinator() -> bool:
     return jax.process_index() == 0
 
 
-def _save_autosave(cfg: Config, net: Network, trainer: Trainer, info_rows: str):
-    # the state export launches jitted computations on global arrays, so
-    # EVERY process must run it (multi-host); only process 0 writes the file
+def _save_autosave(cfg: Config, net: Network, trainer: Trainer,
+                   info_rows: str, h=None):
+    """Export + dump one epoch's autosave. Returns the worker thread doing
+    the JSON dump + file write (None off-coordinator); the caller joins it
+    before the next save and before exiting (one write in flight — the
+    host serialization, ~0.8 s at LVCSR scale with the native formatter,
+    then overlaps the next epoch's device work instead of serializing the
+    epoch table).
+
+    h: the finished epoch's dispatch handle (pipelined callers): once the
+    next epoch is dispatched, trainer.params/velocity/cur_epoch already
+    belong to IT, so the epoch-end weights/deltas/number are read from the
+    handle's donation-safe snapshots instead. The state export and the
+    device fetches stay on the CALLING thread — under multi-host they run
+    jitted computations on global arrays on every process, and collectives
+    from a worker thread could interleave with the main dispatch stream —
+    only the pure-host dump moves to the thread."""
+    import threading
+
     extra = {
         "configuration": cfg.serialized_options,
         "info_rows": info_rows.replace("\n", ";;;"),
     }
-    extra.update(trainer.export_state())
+    extra.update(trainer.export_state(
+        cur_epoch=None if h is None else h["epoch"],
+        velocity=None if h is None else h["snap_v"]))
+    epoch = trainer.cur_epoch if h is None else h["epoch"]
     prefix = cfg.autosave_prefix
-    name = (prefix + "_" if prefix else "") + f"epoch{trainer.cur_epoch:03d}.autosave"
-    net.params = trainer.exact_params()
-    if _is_coordinator():
-        net.save(name, extra=extra)
+    name = (prefix + "_" if prefix else "") + f"epoch{epoch:03d}.autosave"
+    net.params = trainer.exact_params(None if h is None else h["snap"])
+    if not _is_coordinator():
+        return None
+    params_np = net.params  # captured now: the loop reassigns net.params
+    layers = net.layers_json()
+    t = threading.Thread(
+        target=ioc.save_network_json, args=(name, layers, params_np),
+        kwargs={"extra": extra}, name="autosave-dump")
+    t.start()
+    return t
 
 
 def _auto_model_devices(net: Network, parallel_sequences: int,
@@ -323,11 +349,16 @@ def train_mode(cfg: Config) -> int:
 
     # pipelined epochs: epoch N+1's device work is dispatched BEFORE epoch
     # N's scalar metrics are fetched, so the fetch sync and the host-side
-    # dispatch of consecutive epochs overlap device compute. Off under
-    # --autosave (it must serialize post-epoch state). An early stop may
-    # have over-dispatched one epoch — finish_epoch restores the best
-    # weights, so the saved network is identical either way.
-    pipeline = not cfg.autosave
+    # dispatch of consecutive epochs overlap device compute. An early stop
+    # may have over-dispatched one epoch — finish_epoch restores the best
+    # weights, so the saved network is identical either way. --autosave
+    # stays pipelined (round 5): each epoch's weight/velocity snapshots
+    # ride its dispatch handle (donation-safe copies) and the JSON dump
+    # runs on a worker thread, so serialization overlaps the next epoch's
+    # device work instead of serializing the table.
+    pipeline = True
+    trainer.snapshot_velocity = bool(cfg.autosave)
+    saver = None  # in-flight autosave dump (at most one write in flight)
     finished = trainer.finished  # a restored autosave may already be done
     pending = None
     t0 = time.time()
@@ -358,6 +389,7 @@ def train_mode(cfg: Config) -> int:
         did_test = pending["do_test"]
         row += (fmt_err(trainer.cur_test_error, trainer.cur_test_class_error)
                 if did_test else err_space)
+        done = pending  # the finished epoch's handle (autosave snapshots)
         pending = nxt
 
         fps = train_set.total_timesteps / max(duration, 1e-9)
@@ -386,8 +418,12 @@ def train_mode(cfg: Config) -> int:
         info_rows += row
 
         if cfg.autosave:
-            _save_autosave(cfg, net, trainer, info_rows)
+            if saver is not None:
+                saver.join()  # serialize writes: one dump in flight
+            saver = _save_autosave(cfg, net, trainer, info_rows, h=done)
 
+    if saver is not None:
+        saver.join()  # the last autosave must land before the final save
     print()
     if trainer.epochs_since_lowest >= cfg.max_epochs_no_best:
         print(f"No new lowest error since {cfg.max_epochs_no_best} epochs. Training stopped.")

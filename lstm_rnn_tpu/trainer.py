@@ -271,6 +271,10 @@ class Trainer:
         # jitted step, which deletes aliased references
         self.best_params = self._snapshot(self.params)
 
+        # pipelined-autosave support: dispatch_epoch also snapshots the
+        # epoch-end velocity (the CLI sets this under --autosave)
+        self.snapshot_velocity = False
+
         # optimizer state (Optimizer.cu ctor)
         self.finished = False
         self.cur_epoch = 0
@@ -1090,6 +1094,12 @@ class Trainer:
 
         train_res = self._process_dataset(self.train_set, update=True)
         snap = self._snapshot(self.params)
+        # epoch-end velocity copy for pipelined autosave (export_state):
+        # the next epoch's dispatch DONATES self.velocity, so the autosave
+        # writer needs its own buffers. Off by default — a full extra
+        # parameter-tree copy per epoch buys nothing without --autosave.
+        snap_v = (self._snapshot(self.velocity)
+                  if self.snapshot_velocity else None)
 
         has_val = (self.validation_set is not None
                    and not self.validation_set.empty)
@@ -1101,6 +1111,7 @@ class Trainer:
         test_res = (self._process_dataset(self.test_set, update=False)
                     if do_test else None)
         return {"epoch": self.cur_epoch, "train": train_res, "snap": snap,
+                "snap_v": snap_v,
                 "has_val": has_val, "do_val": do_val, "val": val_res,
                 "do_test": do_test, "test": test_res,
                 "cache": (self.cache_hits, self.cache_misses)}
@@ -1209,13 +1220,22 @@ class Trainer:
                 tree = self.net.unpad_params(tree)
         return jax.tree_util.tree_map(np.asarray, tree)
 
-    def export_state(self) -> Dict[str, Any]:
+    def export_state(self, cur_epoch: int = None,
+                     velocity=None) -> Dict[str, Any]:
         """Optimizer state for the autosave JSON (Optimizer.cu:326-341,
         SteepestDescentOptimizer.cu:118-123), format-compatible with
-        reference autosave files."""
+        reference autosave files.
+
+        cur_epoch / velocity: epoch-end overrides for PIPELINED autosave —
+        once the next epoch is dispatched, self.cur_epoch is one ahead and
+        self.velocity already belongs to it (donated buffers); the caller
+        passes the finished epoch's number and its dispatch handle's
+        velocity snapshot (dispatch_epoch "snap_v") instead."""
+        vel = self.velocity if velocity is None else velocity
         return {
             "optimizer_finished": self.finished,
-            "optimizer_cur_epoch": self.cur_epoch,
+            "optimizer_cur_epoch": (self.cur_epoch if cur_epoch is None
+                                    else cur_epoch),
             "optimizer_epochs_since_lowest_error": self.epochs_since_lowest,
             "optimizer_lowest_validation_error": self.lowest_validation_error,
             "optimizer_cur_training_error": self.cur_training_error,
@@ -1227,7 +1247,7 @@ class Trainer:
             "optimizer_best_weights":
                 self._params_to_layer_arrays(self.exact_params(self.best_params)),
             "steepest_descent_optimizer_weight_deltas":
-                self._params_to_layer_arrays(self.exact_params(self.velocity)),
+                self._params_to_layer_arrays(self.exact_params(vel)),
         }
 
     def import_state(self, doc: Dict[str, Any]) -> None:

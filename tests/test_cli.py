@@ -92,6 +92,59 @@ def test_train_autosave_continue_equals_straight_run(tmp_path, rng):
                 err_msg=f"{layer}.{sec}")
 
 
+def test_autosave_snapshots_survive_pipelined_dispatch(tmp_path, rng):
+    """Pipelined autosave (round 5): once epoch N+1 is dispatched, the
+    trainer's live params/velocity buffers belong to it (donated), so the
+    autosave writer must read epoch N's weights/deltas/number from the
+    dispatch handle's snapshots — and they must equal a sequential
+    (unpipelined) run's export exactly."""
+    from lstm_rnn_tpu.data.dataset import DataSet
+    from lstm_rnn_tpu.network import Network
+    from lstm_rnn_tpu.trainer import Trainer
+
+    nc, net_path = _toy_setup(tmp_path, rng)
+    layers = json.loads(open(net_path).read())["layers"]
+
+    def make():
+        net = Network(layers)
+        net.init_params(9)
+        ds = DataSet([nc], parallel_sequences=2, prefetch=False)
+        tr = Trainer(net, ds, learning_rate=1e-3, momentum=0.9,
+                     max_epochs=3, hybrid_online_batch=True,
+                     device_cache=False)
+        return tr
+
+    # sequential twin: epoch 1 dispatched, finished, exported
+    seq = make()
+    seq.finish_epoch(seq.dispatch_epoch())
+    want = seq.export_state()
+
+    # pipelined run: epoch 2 dispatched (donating epoch 1's buffers)
+    # BEFORE epoch 1's export
+    pip = make()
+    pip.snapshot_velocity = True
+    h1 = pip.dispatch_epoch()
+    h2 = pip.dispatch_epoch()
+    pip.finish_epoch(h1)
+    got = pip.export_state(cur_epoch=h1["epoch"], velocity=h1["snap_v"])
+    assert got["optimizer_cur_epoch"] == want["optimizer_cur_epoch"] == 1
+    for key in ("optimizer_best_weights",
+                "steepest_descent_optimizer_weight_deltas"):
+        for a, b in zip(got[key], want[key]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=key)
+    # the epoch-end WEIGHTS ride h["snap"], donation-safe
+    w_got = pip.exact_params(h1["snap"])
+    seq2 = make()
+    seq2.finish_epoch(seq2.dispatch_epoch())
+    w_want = seq2.exact_params()
+    for name in w_want:
+        for kk in w_want[name]:
+            np.testing.assert_array_equal(w_got[name][kk], w_want[name][kk],
+                                          err_msg=f"{name}.{kk}")
+    pip.finish_epoch(h2)  # drain the over-dispatched epoch cleanly
+
+
 def test_num_devices_mesh_matches_single_device(tmp_path, rng):
     """CLI --num_devices 8 (data-parallel mesh over the 8 virtual CPU
     devices) must produce the same trained_network.jsn as --num_devices 1;
