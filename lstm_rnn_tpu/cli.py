@@ -137,7 +137,14 @@ def _save_autosave(cfg: Config, net: Network, trainer: Trainer,
     device fetches stay on the CALLING thread — under multi-host they run
     jitted computations on global arrays on every process, and collectives
     from a worker thread could interleave with the main dispatch stream —
-    only the pure-host dump moves to the thread."""
+    only the pure-host dump moves to the thread.
+
+    The TERMINAL epoch's autosave stores the RESTORED best weights, not
+    the stop epoch's end-of-epoch snapshot: the reference restores inside
+    Optimizer::train (Optimizer.cu:318) before main.cpp:276-277 saves
+    state, so a --continue from a finished autosave resumes on the best
+    weights — finish_epoch has already set trainer.params = best_params
+    when trainer.finished is True."""
     import threading
 
     extra = {
@@ -150,16 +157,34 @@ def _save_autosave(cfg: Config, net: Network, trainer: Trainer,
     epoch = trainer.cur_epoch if h is None else h["epoch"]
     prefix = cfg.autosave_prefix
     name = (prefix + "_" if prefix else "") + f"epoch{epoch:03d}.autosave"
-    net.params = trainer.exact_params(None if h is None else h["snap"])
+    snap = None if (h is None or trainer.finished) else h["snap"]
+    net.params = trainer.exact_params(snap)
     if not _is_coordinator():
         return None
     params_np = net.params  # captured now: the loop reassigns net.params
     layers = net.layers_json()
-    t = threading.Thread(
-        target=ioc.save_network_json, args=(name, layers, params_np),
-        kwargs={"extra": extra}, name="autosave-dump")
+    holder = []  # worker exception, re-raised by _join_saver
+
+    def dump():
+        try:
+            ioc.save_network_json(name, layers, params_np, extra=extra)
+        except BaseException as e:  # noqa: BLE001 — re-raised at join
+            holder.append(e)
+
+    t = threading.Thread(target=dump, name="autosave-dump")
+    t.holder = holder
     t.start()
     return t
+
+
+def _join_saver(t):
+    """Join an autosave dump thread, re-raising any exception it hit: a
+    failed checkpoint write (disk full, permissions) must abort the run
+    loudly, exactly as the old on-main-thread save did — not silently
+    train on for days with no autosaves landing."""
+    t.join()
+    if t.holder:
+        raise t.holder[0]
 
 
 def _auto_model_devices(net: Network, parallel_sequences: int,
@@ -419,11 +444,11 @@ def train_mode(cfg: Config) -> int:
 
         if cfg.autosave:
             if saver is not None:
-                saver.join()  # serialize writes: one dump in flight
+                _join_saver(saver)  # serialize writes: one dump in flight
             saver = _save_autosave(cfg, net, trainer, info_rows, h=done)
 
     if saver is not None:
-        saver.join()  # the last autosave must land before the final save
+        _join_saver(saver)  # the last autosave lands before the final save
     print()
     if trainer.epochs_since_lowest >= cfg.max_epochs_no_best:
         print(f"No new lowest error since {cfg.max_epochs_no_best} epochs. Training stopped.")
@@ -564,6 +589,15 @@ def forward_mode(cfg: Config) -> int:
         # paths agree to float rounding, not byte-for-byte.
         net.init_stream_state(1)  # rejects bidirectional nets early
         chunk = cfg.stream_chunk
+        nd = _serving_devices(cfg)
+        # every fraction serves at ONE batch width (the full
+        # parallel_sequences, mesh-divisible): a smaller trailing fraction
+        # would otherwise dispatch the masked kernel at an UNPROBED bp —
+        # sidestepping the eager device validation below — and cost a
+        # fresh XLA compile of the chunk program per distinct batch size
+        btgt = max(1, cfg.parallel_sequences)
+        if nd > 1:
+            btgt += -btgt % nd
         if (jax.default_backend() == "tpu"
                 and net.backend in ("auto", "pallas")):
             # eagerly device-validate the MASKED carry-kernel forward at
@@ -573,18 +607,17 @@ def forward_mode(cfg: Config) -> int:
             # here routes lstm_forward_streaming to the scan backend
             # (mask_known_unfit) instead of dying mid-stream
             from lstm_rnn_tpu import io_currennt as _ioc
-            from lstm_rnn_tpu.ops.lstm_cell import (DEFAULT_CHUNK, _storage,
-                                                    round_up)
+            from lstm_rnn_tpu.ops.lstm_cell import fused_padded_dims
             from lstm_rnn_tpu.ops.vmem_probe import ensure_mask_validated
-            bgran = 16 if _storage(net.compute_dtype).itemsize == 2 else 8
-            bp = round_up(max(1, cfg.parallel_sequences), bgran)
-            tp = round_up(chunk, DEFAULT_CHUNK)
             prev = net.specs[0].size
             for s in net.specs[1:-1]:
                 if s.type in _ioc.LSTM_TYPES:
-                    ok = ensure_mask_validated(
-                        tp, round_up(s.size, 128), round_up(prev, 128), bp,
-                        net.compute_dtype)
+                    # btgt/chunk are the exact width/length apply_fn
+                    # serves at — same padding rules as the kernel's
+                    hp, pp, bp, tp = fused_padded_dims(
+                        s.size, prev, btgt, chunk, net.compute_dtype)
+                    ok = ensure_mask_validated(tp, hp, pp, bp,
+                                               net.compute_dtype)
                     if not ok:
                         print(f"Streaming: layer '{s.name}' rejected by "
                               "the masked-kernel device probe; chunks run "
@@ -592,7 +625,6 @@ def forward_mode(cfg: Config) -> int:
                 prev = s.size
         step = jax.jit(net.apply_streaming)
         import jax.numpy as jnp
-        nd = _serving_devices(cfg)
         mesh = None
         if nd > 1:
             # data-parallel streaming: the batch of concurrent streams
@@ -608,8 +640,8 @@ def forward_mode(cfg: Config) -> int:
             t, b = xx.shape[0], xx.shape[1]
             xx = jnp.asarray(xx)
             pp_ = jnp.asarray(pp_)
-            bpad = -b % nd if mesh is not None else 0
-            if bpad:  # NONE columns up to the mesh size, sliced back below
+            bpad = max(btgt, b) - b  # fixed batch width, see btgt above
+            if bpad:  # NONE columns up to the width, sliced back below
                 xx = jnp.pad(xx, ((0, 0), (0, bpad), (0, 0)))
                 pp_ = jnp.pad(pp_, ((0, 0), (0, bpad)))
             # pad T up to a chunk multiple with PATTYPE_NONE frames so

@@ -376,6 +376,18 @@ class DataSet:
                 return b
         return max_len
 
+    def padded_time_inventory(self, granule: int = 16) -> List[int]:
+        """Sorted distinct time lengths fractions of this set can pad to
+        (every fraction's T is _padded_length of its longest sequence,
+        then rounded to the fused kernel's chunk granule). The Trainer's
+        eager VMEM probes compile at REAL fraction Ts — the kernels'
+        scoped-VMEM footprint depends on the chunk-grid size, so a
+        verdict probed at one T is no evidence for another
+        (ops/vmem_probe.py KERNEL_VERSION k3)."""
+        lengths = {s.length for s in self.sequences}
+        return sorted({-(-self._padded_length(l) // granule) * granule
+                       for l in lengths})
+
     def _seq_arrays(self, seq: SequenceRef):
         """Resolve (inputs, targets) arrays, reading from the disk cache if
         the corpus is spilled."""

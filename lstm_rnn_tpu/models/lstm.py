@@ -239,8 +239,10 @@ def lstm_forward(params, x, pattypes, bias_mult: float, bidirectional: bool,
                 # point — the analytic model underestimates Mosaic's
                 # scoped-vmem stack, and re-entering the kernel here would
                 # die at device compile with an opaque overflow
+                from lstm_rnn_tpu.ops.lstm_cell import DEFAULT_CHUNK
                 from lstm_rnn_tpu.ops.vmem_probe import known_unfit
-                if known_unfit(hp, pp, bp, compute_dtype):
+                tp = round_up(x.shape[0], DEFAULT_CHUNK)
+                if known_unfit(tp, hp, pp, bp, compute_dtype):
                     backend = "scan"
 
     if backend in ("pallas", "pallas_interpret"):
@@ -264,8 +266,9 @@ def lstm_forward(params, x, pattypes, bias_mult: float, bidirectional: bool,
             from lstm_rnn_tpu.ops.vmem_probe import known_unfit
             sz0 = _storage(compute_dtype).itemsize
             bp0 = round_up(bsz, 16 if sz0 == 2 else 8)
+            tp0 = round_up(x.shape[0], DEFAULT_CHUNK)
             unfit_model = not fused_fits(hp, pp, bp0, compute_dtype)
-            if unfit_model or known_unfit(hp, pp, bp0, compute_dtype):
+            if unfit_model or known_unfit(tp0, hp, pp, bp0, compute_dtype):
                 verdict = ("exceeds the fused kernels' VMEM budget at every "
                            "chunk size" if unfit_model else
                            "has a recorded device probe verdict that no "
@@ -352,22 +355,20 @@ def lstm_forward_streaming(params, x, pattypes, bias_mult: float, carry,
     if backend != "scan":
         hdim = w_in.shape[-1]
         use_fused, interp = _resolve_fused(backend, hdim, x.shape[-1],
-                                           x.shape[1], compute_dtype)
+                                           x.shape[1], compute_dtype,
+                                           t=x.shape[0])
         if use_fused and not interp:
             # a recorded mask-probe rejection (the masked forward's block
             # LAYOUT or footprint failed on this device at the serving
             # chunk — ops/vmem_probe.py mask family) routes auto to scan;
             # explicit pallas raises like _resolve_fused's own guards
-            from lstm_rnn_tpu.ops.lstm_cell import (DEFAULT_CHUNK, _storage,
-                                                    pick_chunk, round_up)
+            from lstm_rnn_tpu.ops.lstm_cell import (fused_padded_dims,
+                                                    pick_chunk)
             from lstm_rnn_tpu.ops.vmem_probe import mask_known_unfit
-            hp = round_up(hdim, 128)
-            pp = round_up(x.shape[-1], 128)
-            bgran = 16 if _storage(compute_dtype).itemsize == 2 else 8
-            bp = round_up(x.shape[1], bgran)
-            tp = round_up(x.shape[0], DEFAULT_CHUNK)
+            hp, pp, bp, tp = fused_padded_dims(
+                hdim, x.shape[-1], x.shape[1], x.shape[0], compute_dtype)
             ch = pick_chunk(tp, hp, pp, bp, compute_dtype, with_mask=True)
-            if mask_known_unfit(hp, pp, bp, ch, compute_dtype):
+            if mask_known_unfit(tp, hp, pp, bp, ch, compute_dtype):
                 if backend == "pallas":
                     raise ValueError(
                         f"lstm_backend=pallas: the masked streaming "
@@ -404,15 +405,11 @@ def _pad_fused_operands(w_in, w_rec, b, peep, x, pattypes, compute_dtype,
 
     Returns (hp, pp, bp, tp, w_in_p, w_rec_p, b_p, peep_p, xx, lengths).
     """
-    from lstm_rnn_tpu.ops.lstm_cell import (DEFAULT_CHUNK, _storage,
-                                            round_up)
+    from lstm_rnn_tpu.ops.lstm_cell import fused_padded_dims
     t, bsz, pdim = x.shape
     hdim = w_in.shape[-1]
-    hp = round_up(hdim, 128)
-    pp = round_up(pdim, 128)
-    bgran = 16 if _storage(compute_dtype).itemsize == 2 else 8
-    bp = round_up(bsz, bgran)
-    tp = round_up(t, DEFAULT_CHUNK) if time_pad else t
+    hp, pp, bp, tp = fused_padded_dims(hdim, pdim, bsz, t, compute_dtype,
+                                       time_pad=time_pad)
     w_in_p = _pad_axis(_pad_axis(w_in, 3, hp), 1, pp)
     w_rec_p = _pad_axis(_pad_axis(w_rec, 3, hp), 1, hp)
     b_p = _pad_axis(b, 2, hp)
@@ -425,7 +422,7 @@ def _pad_fused_operands(w_in, w_rec, b, peep, x, pattypes, compute_dtype,
 
 
 def _resolve_fused(backend: str, hdim: int, pdim: int, bsz: int,
-                   compute_dtype, carry_grad: bool = False):
+                   compute_dtype, carry_grad: bool = False, t: int = 0):
     """(use_fused, interpret) for a carry-kernel candidate — the same
     auto/VMEM/device-verdict gates as lstm_forward's pallas dispatch:
     'auto' falls back to lax.scan on an analytic OR device-recorded unfit,
@@ -437,13 +434,18 @@ def _resolve_fused(backend: str, hdim: int, pdim: int, bsz: int,
     carry_grad: the caller DIFFERENTIATES the carry kernel (sequence
     parallelism) — gate on the larger carry-gradient footprint and its
     own probe family; streaming serving (primal only) keeps the plain
-    bound."""
-    from lstm_rnn_tpu.ops.lstm_cell import _storage, fused_fits, round_up
+    bound.
+
+    t: the caller's (unpadded) time length — device verdicts are keyed by
+    chunk-grid size, so the unfit lookup needs the real T."""
+    from lstm_rnn_tpu.ops.lstm_cell import (DEFAULT_CHUNK, _storage,
+                                            fused_fits, round_up)
     from lstm_rnn_tpu.ops.vmem_probe import known_unfit
     hp = round_up(hdim, 128)
     pp = round_up(pdim, 128)
     sz = _storage(compute_dtype).itemsize
     bp = round_up(bsz, 16 if sz == 2 else 8)
+    tp = round_up(max(1, t), DEFAULT_CHUNK)
     on_tpu = jax.default_backend() == "tpu"
     if backend == "auto" and not on_tpu:
         return False, False  # mirror lstm_forward: auto -> scan off-TPU
@@ -457,7 +459,7 @@ def _resolve_fused(backend: str, hdim: int, pdim: int, bsz: int,
         # compare scan against scan — proving nothing.
         return True, True
     analytic_fit = fused_fits(hp, pp, bp, compute_dtype, carry=carry_grad)
-    device_unfit = on_tpu and known_unfit(hp, pp, bp, compute_dtype,
+    device_unfit = on_tpu and known_unfit(tp, hp, pp, bp, compute_dtype,
                                           carry=carry_grad)
     if backend == "pallas" and on_tpu and (not analytic_fit or device_unfit):
         verdict = ("a recorded device probe verdict says no chunk fits"

@@ -510,6 +510,25 @@ def _storage(compute_dtype):
             else jnp.dtype(jnp.float32))
 
 
+def fused_padded_dims(hdim: int, pdim: int, bsz: int, t: int,
+                      compute_dtype, time_pad: bool = True):
+    """The fused kernels' padded operand dims (hp, pp, bp, tp) — THE
+    padding contract, in one place: cells and input features to 128
+    lanes, batch rows to the storage dtype's sublane granule (16 for
+    bf16, 8 for f32), time to a DEFAULT_CHUNK multiple. Shared by the
+    operand-padding prologue (models/lstm._pad_fused_operands), the
+    streaming mask-probe guard (lstm_forward_streaming), and the CLI's
+    eager serving-shape probe — probe keys and serving shapes must be
+    computed by the SAME rules or recorded device verdicts silently stop
+    matching the points serving actually dispatches."""
+    hp = round_up(hdim, 128)
+    pp = round_up(pdim, 128)
+    bgran = 16 if _storage(compute_dtype).itemsize == 2 else 8
+    bp = round_up(bsz, bgran)
+    tp = round_up(t, DEFAULT_CHUNK) if time_pad else t
+    return hp, pp, bp, tp
+
+
 # Budgets for the analytic model, anchored at DEVICE-VALIDATED points (the
 # model underestimates Mosaic's scoped-vmem stack, f32 worse than bf16):
 # bf16 — flagship CH=16 (model 8.6M) and hp=256 CH=8 (model 10.7M) both

@@ -74,11 +74,19 @@ def _device_kind() -> str:
 
 # Bump whenever the fused kernels' VMEM footprint changes shape — stale
 # verdicts for an older kernel must not leak into the new one.
-KERNEL_VERSION = "k2"
+# k3: verdicts gained a chunk-count (nc) component. The backward kernel's
+# scoped-VMEM stack GROWS with the time-chunk grid size before saturating
+# (measured round 5: f32 c16 at (h128,p128,b56) compiles at NC<=16 but
+# overflows at NC=32 with 17.68M and NC=47 with 16.98M — non-monotonic
+# past the knee), so a verdict is only evidence at the grid size it
+# compiled at. k2's shape-only keys let a True probed at the old 2-chunk
+# probe T bless a 47-chunk production program that died at device compile
+# (tpu_r5_epoch_cold.log).
+KERNEL_VERSION = "k3"
 
 
 def _key(hp: int, pp: int, bp: int, ch: int, compute_dtype,
-         carry: bool = False) -> str:
+         carry: bool = False, nc: int = 0) -> str:
     from lstm_rnn_tpu.ops.lstm_cell import _storage, _use3
     mode = "x3" if _use3(compute_dtype) else ""
     # the carry-capable kernel's GRADIENT has a larger backward footprint
@@ -86,37 +94,46 @@ def _key(hp: int, pp: int, bp: int, ch: int, compute_dtype,
     # plain kernels' (fused_vmem_bytes carry note)
     fam = "|cr" if carry else ""
     return (f"{_device_kind()}|{KERNEL_VERSION}|h{hp}|p{pp}|b{bp}|c{ch}|"
-            f"{_storage(compute_dtype).name}{mode}{fam}")
+            f"n{nc}|{_storage(compute_dtype).name}{mode}{fam}")
 
 
 def lookup_chunk(T: int, hp: int, pp: int, bp: int,
                  compute_dtype, carry: bool = False) -> Optional[int]:
-    """Largest device-VALIDATED chunk dividing T, or None if this shape
-    point has no positive verdict on record (pick_chunk then falls back to
-    the analytic model). Reads the table only — never compiles."""
+    """Largest device-VALIDATED chunk dividing T — validated AT T's grid
+    size (nc = T/ch): NC-dependence means a verdict recorded for another
+    T is not evidence for this one. None if this exact point has no
+    positive verdict (pick_chunk then falls back to the analytic model,
+    whose budgets are anchored at saturated-NC device observations and
+    stay conservative at small NC). Reads the table only — never
+    compiles."""
     table = _load()
     for ch in _CANDIDATES:
         if T % ch:
             continue
-        if table.get(_key(hp, pp, bp, ch, compute_dtype, carry)):
+        if table.get(_key(hp, pp, bp, ch, compute_dtype, carry,
+                          nc=T // ch)):
             return ch
     return None
 
 
-def known_unfit(hp: int, pp: int, bp: int, compute_dtype,
+def known_unfit(T: int, hp: int, pp: int, bp: int, compute_dtype,
                 carry: bool = False) -> bool:
     """True when the on-device probe has RECORDED that no chunk fits this
-    shape point: an explicit False verdict at chunk=1 (ensure_validated
-    walks candidates largest-first and only reaches 1 after every larger
-    chunk failed). Table read only — never compiles; False when unprobed,
-    so callers keep their analytic fallback for unseen points."""
-    return _load().get(_key(hp, pp, bp, 1, compute_dtype, carry)) is False
+    (shape, T) point: an explicit False verdict at chunk=1
+    (ensure_validated walks candidates largest-first and only reaches 1
+    after every larger chunk failed). Table read only — never compiles;
+    False when unprobed, so callers keep their analytic fallback for
+    unseen points."""
+    return _load().get(_key(hp, pp, bp, 1, compute_dtype, carry,
+                            nc=T)) is False
 
 
 def _probe_compile(hp: int, pp: int, bp: int, ch: int, compute_dtype,
-                   carry: bool = False) -> bool:
-    """AOT-compile fwd+bwd fused kernels at chunk=ch; True iff Mosaic
-    accepts the scoped-VMEM footprint. Nothing is executed.
+                   carry: bool = False, T: int = 0) -> bool:
+    """AOT-compile fwd+bwd fused kernels at chunk=ch and time length T
+    (the CALLER'S real padded T — the scoped-VMEM stack depends on the
+    chunk-grid size, see KERNEL_VERSION k3 note); True iff Mosaic accepts
+    the footprint. Nothing is executed.
 
     carry=True compiles the carry-capable kernel's gradient instead (D=1,
     grads flowing to h0/c0 and through the final state — sequence
@@ -127,7 +144,8 @@ def _probe_compile(hp: int, pp: int, bp: int, ch: int, compute_dtype,
 
     from lstm_rnn_tpu.ops import lstm_cell as lc
 
-    T = 2 * ch  # two chunks per direction: exercises the revisit paths
+    if not T:
+        T = 2 * ch
     D = 1 if carry else 2
     sdt = lc._storage(compute_dtype)
 
@@ -417,11 +435,12 @@ def _wide_probe_compile(P: int, sb: int, rows: int, compute_dtype) -> bool:
 MASK_VERSION = "m1"
 
 
-def _mask_key(hp: int, pp: int, bp: int, ch: int, compute_dtype) -> str:
+def _mask_key(hp: int, pp: int, bp: int, ch: int, compute_dtype,
+              nc: int = 0) -> str:
     from lstm_rnn_tpu.ops.lstm_cell import _storage, _use3
     mode = "x3" if _use3(compute_dtype) else ""
     return (f"{_device_kind()}|{KERNEL_VERSION}{MASK_VERSION}|mask|h{hp}|"
-            f"p{pp}|b{bp}|c{ch}|{_storage(compute_dtype).name}{mode}")
+            f"p{pp}|b{bp}|c{ch}|n{nc}|{_storage(compute_dtype).name}{mode}")
 
 
 def _mask_compiles(fn, shapes) -> bool:
@@ -449,16 +468,18 @@ def _mask_compiles(fn, shapes) -> bool:
 
 
 def _mask_probe_compile(hp: int, pp: int, bp: int, ch: int,
-                        compute_dtype) -> bool:
-    """AOT-build the masked carry-kernel inference forward at chunk=ch —
-    the exact program Network.apply_streaming dispatches (D=1, explicit
-    (h0, c0), [B, T] step mask). Nothing is executed."""
+                        compute_dtype, T: int = 0) -> bool:
+    """AOT-build the masked carry-kernel inference forward at chunk=ch
+    and the caller's real padded T — the exact program
+    Network.apply_streaming dispatches (D=1, explicit (h0, c0), [B, T]
+    step mask). Nothing is executed."""
     import jax
     import jax.numpy as jnp
 
     from lstm_rnn_tpu.ops import lstm_cell as lc
 
-    T = 2 * ch  # two chunks: exercises the mask block's index map
+    if not T:
+        T = 2 * ch  # two chunks: exercises the mask block's index map
     h4 = 4 * hp
 
     def fwd(x, w_in, w_rec, peep, bias, lengths, h0, c0, m):
@@ -485,37 +506,39 @@ def _mask_probe_compile(hp: int, pp: int, bp: int, ch: int,
         lc._chunk_override = old
 
 
-def mask_known_unfit(hp: int, pp: int, bp: int, ch: int,
+def mask_known_unfit(T: int, hp: int, pp: int, bp: int, ch: int,
                      compute_dtype) -> bool:
     """True when the mask probe RECORDED a rejection (layout or overflow)
-    for the masked streaming forward at exactly this (shape, chunk) point.
-    False when unprobed — lstm_forward_streaming's fused route then
-    proceeds, and ensure_mask_validated is the eager gate that probes
-    before first dispatch. Table read only — never compiles."""
-    return _load().get(_mask_key(hp, pp, bp, ch, compute_dtype)) is False
+    for the masked streaming forward at exactly this (shape, chunk, T)
+    point. False when unprobed — lstm_forward_streaming's fused route
+    then proceeds, and ensure_mask_validated is the eager gate that
+    probes before first dispatch. Table read only — never compiles."""
+    return _load().get(_mask_key(hp, pp, bp, ch, compute_dtype,
+                                 nc=T // ch)) is False
 
 
 def ensure_mask_validated(T: int, hp: int, pp: int, bp: int, compute_dtype,
                           verbose: bool = True) -> int:
     """Validate the masked carry-kernel forward at THE chunk streaming
-    serving will pick for this shape (pick_chunk with_mask). No downward
-    walk: serving must run the chunk the probe blessed, so a rejection
-    routes it to the scan backend (mask_known_unfit) rather than silently
-    serving an unprobed smaller chunk. Records the verdict; returns the
-    validated chunk, or 0 on rejection. Call EAGERLY (CLI streaming
-    setup) — never inside a trace."""
+    serving will pick for this shape — compiled at the serving T itself.
+    No downward walk: serving must run the chunk the probe blessed, so a
+    rejection routes it to the scan backend (mask_known_unfit) rather
+    than silently serving an unprobed smaller chunk. Records the verdict;
+    returns the validated chunk, or 0 on rejection. Call EAGERLY (CLI
+    streaming setup) — never inside a trace."""
     from lstm_rnn_tpu.ops.lstm_cell import pick_chunk
     with _LOCK:
         ch = pick_chunk(T, hp, pp, bp, compute_dtype, with_mask=True)
         table = _load()
-        key = _mask_key(hp, pp, bp, ch, compute_dtype)
+        key = _mask_key(hp, pp, bp, ch, compute_dtype, nc=T // ch)
         verdict = table.get(key)
         if verdict is None:
             if verbose:
                 print(f"vmem_probe: compiling masked streaming forward "
-                      f"(h={hp}, p={pp}, b={bp}, chunk={ch}) ...",
+                      f"(h={hp}, p={pp}, b={bp}, chunk={ch}, T={T}) ...",
                       flush=True)
-            verdict = _mask_probe_compile(hp, pp, bp, ch, compute_dtype)
+            verdict = _mask_probe_compile(hp, pp, bp, ch, compute_dtype,
+                                          T=T)
             table[key] = verdict
             _save()
         return ch if verdict else 0
@@ -571,17 +594,20 @@ def ensure_tail_validated(P: int, Sp: int, compute_dtype, proj: bool,
 def ensure_validated(T: int, hp: int, pp: int, bp: int, compute_dtype,
                      verbose: bool = True, carry: bool = False) -> int:
     """Probe candidate chunks (largest first) until one compiles on this
-    device; record every verdict on disk. Returns the validated chunk, or
-    0 when even chunk=1 overflows (caller falls back to lax.scan / TP).
-    Call EAGERLY on the target backend — never inside a trace.
-    carry=True probes the carry-kernel gradient family ("|cr" keys —
-    sequence-parallel training)."""
+    device AT TIME LENGTH T — the real padded T the caller will dispatch,
+    since the backward kernel's scoped-VMEM stack depends on the
+    chunk-grid size (k3 note); record every verdict on disk keyed by
+    (shape, chunk, nc). Returns the validated chunk, or 0 when even
+    chunk=1 overflows (caller falls back to lax.scan / TP). Call EAGERLY
+    on the target backend — never inside a trace. carry=True probes the
+    carry-kernel gradient family ("|cr" keys — sequence-parallel
+    training)."""
     with _LOCK:
         table = _load()
         for ch in _CANDIDATES:
             if T % ch:
                 continue
-            key = _key(hp, pp, bp, ch, compute_dtype, carry)
+            key = _key(hp, pp, bp, ch, compute_dtype, carry, nc=T // ch)
             verdict = table.get(key)
             if verdict is None:
                 if verbose:
@@ -590,10 +616,10 @@ def ensure_validated(T: int, hp: int, pp: int, bp: int, compute_dtype,
                                            carry=carry)
                     fam = "carry " if carry else ""
                     print(f"vmem_probe: compiling {fam}(h={hp}, p={pp}, "
-                          f"b={bp}, chunk={ch}) [model estimate "
+                          f"b={bp}, chunk={ch}, T={T}) [model estimate "
                           f"{est / 2**20:.1f} MiB] ...", flush=True)
                 verdict = _probe_compile(hp, pp, bp, ch, compute_dtype,
-                                         carry)
+                                         carry, T=T)
                 table[key] = verdict
                 _save()
             if verdict:

@@ -277,7 +277,8 @@ def lstm_forward_seq(params, x, pattypes, bias_mult: float,
         # on the carry family, not the carry-less verdicts
         use_fused, interp = _resolve_fused(backend, w_in.shape[-1],
                                            x.shape[-1], x.shape[1],
-                                           compute_dtype, carry_grad=True)
+                                           compute_dtype, carry_grad=True,
+                                           t=x.shape[0])
         if use_fused and x.shape[0] % 16 == 0:
             return _fused_wavefront(params, x, pattypes, bias_mult,
                                     bidirectional, axis, n, clip_gradients,

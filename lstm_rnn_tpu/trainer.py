@@ -162,16 +162,26 @@ class Trainer:
                 from lstm_rnn_tpu import io_currennt as ioc_sp
                 from lstm_rnn_tpu.ops.lstm_cell import _storage, round_up
                 from lstm_rnn_tpu.ops.vmem_probe import ensure_validated
+                from lstm_rnn_tpu.parallel.mesh import data_axis_size
                 bgran = (16 if _storage(net.compute_dtype).itemsize == 2
                          else 8)
                 bp = round_up(
                     max(1, getattr(train_set, "parallel_sequences", 8)),
                     bgran)
+                # per-device wavefront block length for the corpus max T
+                # (_pad_time(granule=16) over seq devices) — verdicts are
+                # keyed by chunk-grid size (vmem_probe k3), so the probe
+                # compiles at the real block T; other block lengths fall
+                # back to the analytic chunk at dispatch
+                n_seq = data_axis_size(seq_mesh, "seq")
+                max_t = max(getattr(train_set, "max_seq_length", 16), 16)
+                t_dev = max(16, -(-max_t // (n_seq * 16)) * 16)
                 prev = net.specs[0].size
                 for s2 in net.specs[1:-1]:
                     if s2.type in ioc_sp.LSTM_TYPES:
                         d2 = 2 if ioc_sp.LSTM_TYPES[s2.type] else 1
-                        ensure_validated(16, round_up(s2.size // d2, 128),
+                        ensure_validated(t_dev,
+                                         round_up(s2.size // d2, 128),
                                          round_up(prev, 128), bp,
                                          net.compute_dtype, carry=True)
                     prev = s2.size
@@ -212,6 +222,17 @@ class Trainer:
                     bgran = bgran * nd // math.gcd(bgran, nd)
                 bp = round_up(
                     max(1, getattr(train_set, "parallel_sequences", 8)), bgran)
+                # probe at REAL fraction time lengths: verdicts are keyed
+                # by chunk-grid size (the backward kernel's scoped-VMEM
+                # stack grows with NC — vmem_probe k3). Probe the largest
+                # few Ts (the heaviest fractions; the largest decides
+                # padded_pipeline); fractions at unprobed Ts fall back to
+                # the conservative analytic chunk at dispatch.
+                probe_ts = [16]
+                if hasattr(train_set, "padded_time_inventory"):
+                    inv = train_set.padded_time_inventory()
+                    if inv:
+                        probe_ts = inv[-4:]
                 for spec, (kind, _idx, prev_w, hp) in zip(
                         net.specs[1:-1], net._pad_plan()):
                     if kind != "lstm":
@@ -219,8 +240,9 @@ class Trainer:
                     pp = round_up(prev_w, 128)
                     if on_tpu:
                         from lstm_rnn_tpu.ops.vmem_probe import ensure_validated
-                        ok = ensure_validated(16, hp, pp, bp,
-                                              net.compute_dtype) > 0
+                        ok = all(ensure_validated(t, hp, pp, bp,
+                                                  net.compute_dtype) > 0
+                                 for t in probe_ts)
                     else:
                         ok = fused_fits(hp, pp, bp, net.compute_dtype)
                     if not ok:
@@ -238,10 +260,11 @@ class Trainer:
                                 if s2.type in ioc2.LSTM_TYPES:
                                     d2 = 2 if ioc2.LSTM_TYPES[s2.type] else 1
                                     h2 = s2.size // d2
-                                    ensure_validated(
-                                        16, round_up(h2, 128),
-                                        round_up(prev, 128), bp,
-                                        net.compute_dtype)
+                                    for t in probe_ts:
+                                        ensure_validated(
+                                            t, round_up(h2, 128),
+                                            round_up(prev, 128), bp,
+                                            net.compute_dtype)
                                 prev = s2.size
                         break
         self.padded = padded_pipeline

@@ -70,6 +70,11 @@ def bench_streaming():
     out = {"chunk": chunk, "t": t, "b": b}
 
     # -- whole-sequence inference, reps chained through the input --------
+    # n is a DEVICE scalar (bench.py's discipline): a static trip count
+    # would compile a DIFFERENT program for the warmup and the timed call,
+    # putting a full XLA compile inside the timed region — exactly the
+    # artifact that sank this stage's first two attempts (925M fps with
+    # independent reps; 128k fps with static-n recompiles).
     reps = 20
 
     def whole_chain(params, x, pt, n):
@@ -80,10 +85,10 @@ def bench_streaming():
             return (x + s * 1e-24, acc + s.astype(jnp.float32))
         return jax.lax.fori_loop(0, n, body, (x, jnp.float32(0)))[1]
 
-    whole_j = jax.jit(whole_chain, static_argnums=(3,))
-    whole_j(params, x, pt, 2).block_until_ready()  # compile
+    whole_j = jax.jit(whole_chain)
+    whole_j(params, x, pt, jnp.int32(2)).block_until_ready()  # compile
     t0 = time.perf_counter()
-    whole_j(params, x, pt, reps).block_until_ready()
+    whole_j(params, x, pt, jnp.int32(reps)).block_until_ready()
     out["whole_seq_fps"] = round(t * b * reps / (time.perf_counter() - t0), 1)
 
     # -- chunked fused streaming: state carries across chunks AND reps ---
@@ -105,10 +110,10 @@ def bench_streaming():
         state0 = net.init_stream_state(b)
         return jax.lax.fori_loop(0, n, rep, (state0, jnp.float32(0)))[1]
 
-    stream_j = jax.jit(stream_chain, static_argnums=(3,))
-    stream_j(params, xs, pts, 2).block_until_ready()
+    stream_j = jax.jit(stream_chain)
+    stream_j(params, xs, pts, jnp.int32(2)).block_until_ready()
     t0 = time.perf_counter()
-    stream_j(params, xs, pts, reps).block_until_ready()
+    stream_j(params, xs, pts, jnp.int32(reps)).block_until_ready()
     out["stream_fused_fps"] = round(
         t * b * reps / (time.perf_counter() - t0), 1)
 
@@ -132,10 +137,10 @@ def bench_streaming():
 
     # -- scan-cell streaming for contrast (chained identically) ----------
     net.backend = "scan"
-    scan_j = jax.jit(stream_chain, static_argnums=(3,))
-    scan_j(params, xs, pts, 1).block_until_ready()
+    scan_j = jax.jit(stream_chain)
+    scan_j(params, xs, pts, jnp.int32(1)).block_until_ready()
     t0 = time.perf_counter()
-    scan_j(params, xs, pts, 5).block_until_ready()
+    scan_j(params, xs, pts, jnp.int32(5)).block_until_ready()
     out["stream_scan_fps"] = round(t * b * 5 / (time.perf_counter() - t0), 1)
     return out
 

@@ -145,6 +145,50 @@ def test_autosave_snapshots_survive_pipelined_dispatch(tmp_path, rng):
     pip.finish_epoch(h2)  # drain the over-dispatched epoch cleanly
 
 
+def test_terminal_autosave_stores_restored_best_weights(tmp_path, rng):
+    """At training stop the reference restores the best weights BEFORE
+    the final state save (Optimizer.cu:318 inside train(), then
+    main.cpp:276-277), so --continue from a FINISHED autosave resumes on
+    the best weights — not the stop epoch's end-of-epoch snapshot
+    (round-5 review finding on the pipelined autosave path)."""
+    nc, net_path = _toy_setup(tmp_path, rng)
+    val = str(tmp_path / "val.nc")
+    _write_classification_nc(val, [5, 6], in_size=3, num_labels=4, seed=11)
+    d = tmp_path / "run"
+    d.mkdir()
+    r = _cli("--network", net_path, "--train", "true", "--train_file", nc,
+             "--val_file", val, "--learning_rate", "10.0",
+             "--momentum", "0.0", "--parallel_sequences", "2",
+             "--max_epochs", "6", "--max_epochs_no_best", "2",
+             "--autosave", "true", cwd=d)
+    assert r.returncode == 0, r.stderr
+    # lr=10 diverges, so the run early-stops with the best epoch >= 2
+    # behind the stop epoch (max_epochs_no_best=2) — the scenario where
+    # restored-best and epoch-end weights genuinely differ
+    assert "No new lowest error since 2 epochs" in r.stdout, r.stdout
+    saves = sorted(d.glob("epoch*.autosave"))
+    assert len(saves) >= 2
+    last = json.loads(saves[-1].read_text())
+    assert last["optimizer_finished"] is True
+    trained = json.loads((d / "trained_network.jsn").read_text())
+
+    def layer_arrays(doc):
+        return {name: {k: np.asarray(v) for k, v in sec.items()}
+                for name, sec in doc["weights"].items()}
+
+    got, want = layer_arrays(last), layer_arrays(trained)
+    prev = layer_arrays(json.loads(saves[-2].read_text()))
+    diffs = 0
+    for name in want:
+        for k in want[name]:
+            np.testing.assert_array_equal(got[name][k], want[name][k],
+                                          err_msg=f"{name}.{k}")
+            diffs += int(not np.array_equal(got[name][k], prev[name][k]))
+    # vacuity guard: the terminal autosave really is the RESTORED best,
+    # different from the previous epoch's end-of-epoch weights
+    assert diffs > 0
+
+
 def test_num_devices_mesh_matches_single_device(tmp_path, rng):
     """CLI --num_devices 8 (data-parallel mesh over the 8 virtual CPU
     devices) must produce the same trained_network.jsn as --num_devices 1;

@@ -19,7 +19,7 @@ def _fresh(tmp_path, monkeypatch, accept, tail_accept=lambda rows: False,
     monkeypatch.setattr(vp, "_device_kind", lambda: "fake_tpu")
     calls = []
 
-    def fake_probe(hp, pp, bp, ch, dt, carry=False):
+    def fake_probe(hp, pp, bp, ch, dt, carry=False, T=0):
         calls.append(ch)
         return accept(ch)
 
@@ -44,11 +44,12 @@ def _fresh(tmp_path, monkeypatch, accept, tail_accept=lambda rows: False,
 def test_ensure_validated_descends_and_persists(tmp_path, monkeypatch):
     calls, _, _w = _fresh(tmp_path, monkeypatch, lambda ch: ch <= 8)
     # H=512 f32: a point with NO manual anchor — the round-2 pick_chunk
-    # could only guess here (VERDICT weak #7)
-    ch = vp.ensure_validated(16, 512, 128, 8, jnp.float32, verbose=False)
+    # could only guess here (VERDICT weak #7). Validated AT T=512: k3
+    # verdicts are per chunk-grid size.
+    ch = vp.ensure_validated(512, 512, 128, 8, jnp.float32, verbose=False)
     assert ch == 8 and calls == [16, 8]
 
-    # pick_chunk now auto-selects the validated chunk for this shape
+    # pick_chunk now auto-selects the validated chunk for this (shape, T)
     assert lc.pick_chunk(512, 512, 128, 8, jnp.float32) == 8
 
     # persisted on disk: a fresh in-memory table still sees the verdicts
@@ -57,9 +58,41 @@ def test_ensure_validated_descends_and_persists(tmp_path, monkeypatch):
 
     # re-validating compiles nothing (verdicts cached)
     calls.clear()
-    assert vp.ensure_validated(16, 512, 128, 8, jnp.float32,
+    assert vp.ensure_validated(512, 512, 128, 8, jnp.float32,
                                verbose=False) == 8
     assert calls == []
+
+
+def test_verdicts_do_not_cross_time_lengths(tmp_path, monkeypatch):
+    """The k3 contract: a chunk verdict is evidence ONLY at the grid size
+    it compiled at. Round 5's device sweep measured the f32 backward
+    kernel's scoped-VMEM stack GROWING with the chunk count (c16 at
+    (h128,p128,b56): fits at NC<=16, overflows 17.68M at NC=32 and
+    16.98M at NC=47 — non-monotonic past the knee), so a True probed at a
+    short T must not bless a long-T program (the k2 failure that killed
+    the TIMIT f32 epoch run at device compile, tpu_r5_epoch_cold.log)."""
+    calls, _, _w = _fresh(tmp_path, monkeypatch,
+                          lambda ch: True)  # probe accepts everything
+    assert vp.ensure_validated(32, 128, 128, 56, jnp.float32,
+                               verbose=False) == 16
+    # the T=32 verdict must NOT apply at T=752: unprobed -> None, and
+    # pick_chunk falls back to the conservative analytic model (4 for f32)
+    assert vp.lookup_chunk(752, 128, 128, 56, jnp.float32) is None
+    assert lc.pick_chunk(752, 128, 128, 56, jnp.float32) == 4
+    # probing at the real T records its own point (fresh compiles)
+    calls.clear()
+    assert vp.ensure_validated(752, 128, 128, 56, jnp.float32,
+                               verbose=False) == 16
+    assert calls == [16]
+    assert vp.lookup_chunk(752, 128, 128, 56, jnp.float32) == 16
+    # and the probe compiled AT the caller's T, not a fixed short one
+    seen_T = []
+    monkeypatch.setattr(
+        vp, "_probe_compile",
+        lambda hp, pp, bp, ch, dt, carry=False, T=0:
+            seen_T.append(T) or True)
+    vp.ensure_validated(1504, 128, 128, 56, jnp.float32, verbose=False)
+    assert seen_T == [1504]
 
 
 def test_ensure_validated_total_overflow_returns_zero(tmp_path, monkeypatch):
@@ -83,23 +116,26 @@ def test_pick_chunk_analytic_unchanged_without_verdicts(tmp_path, monkeypatch):
     # precisely to recover the difference on real hardware)
     assert lc.pick_chunk(512, 256, 128, 64, jnp.bfloat16) == 8
     assert lc.pick_chunk(512, 256, 128, 56, jnp.float32) == 1
-    # a device verdict overrides the model upward
-    vp._load()[vp._key(256, 128, 64, 16, jnp.bfloat16)] = True
+    # a device verdict (at this T's grid size) overrides the model upward
+    vp._load()[vp._key(256, 128, 64, 16, jnp.bfloat16,
+                       nc=512 // 16)] = True
     assert lc.pick_chunk(512, 256, 128, 64, jnp.bfloat16) == 16
 
 
 def test_known_unfit_reflects_recorded_total_overflow(tmp_path, monkeypatch):
     _fresh(tmp_path, monkeypatch, lambda ch: False)
     # unprobed point: not known-unfit (analytic model keeps deciding)
-    assert not vp.known_unfit(2048, 2048, 64, jnp.float32)
+    assert not vp.known_unfit(16, 2048, 2048, 64, jnp.float32)
     vp.ensure_validated(16, 2048, 2048, 64, jnp.float32, verbose=False)
-    assert vp.known_unfit(2048, 2048, 64, jnp.float32)
+    assert vp.known_unfit(16, 2048, 2048, 64, jnp.float32)
+    # the verdict is per-T: another T stays unprobed
+    assert not vp.known_unfit(512, 2048, 2048, 64, jnp.float32)
 
 
 def test_known_unfit_false_when_some_chunk_fits(tmp_path, monkeypatch):
     _fresh(tmp_path, monkeypatch, lambda ch: ch <= 4)
     vp.ensure_validated(16, 512, 128, 8, jnp.float32, verbose=False)
-    assert not vp.known_unfit(512, 128, 8, jnp.float32)
+    assert not vp.known_unfit(16, 512, 128, 8, jnp.float32)
 
 
 def test_auto_backend_honors_negative_device_verdict(tmp_path, monkeypatch):
@@ -127,9 +163,9 @@ def test_auto_backend_honors_negative_device_verdict(tmp_path, monkeypatch):
     pt = jnp.asarray(pattypes_from_lengths([9, 4, 7], T, B))
     y_scan = lstm_forward(params, x, pt, 1.0, False, backend="scan")
 
-    # the auto path's key for this layer: hp=128, pp=128, bp=8 (f32)
+    # the auto path's key for this layer: hp=128, pp=128, bp=8, tp=16 (f32)
     vp.ensure_validated(16, 128, 128, 8, jnp.float32, verbose=False)
-    assert vp.known_unfit(128, 128, 8, jnp.float32)
+    assert vp.known_unfit(16, 128, 128, 8, jnp.float32)
     # pretend we're on a TPU: without the verdict check, auto would pick
     # the real (non-interpret) pallas kernel, which cannot lower on CPU
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
@@ -157,8 +193,11 @@ def test_shipped_defaults_match_current_key_format(monkeypatch):
     monkeypatch.setattr(vp, "_device_kind", lambda: "TPU_v5_lite")
     monkeypatch.setattr(vp, "_MEM", None)
     monkeypatch.setenv("LSTM_RNN_TPU_PROBE_CACHE", "/nonexistent/probe.json")
-    assert vp.lookup_chunk(512, 256, 128, 64, jnp.bfloat16) == 16
-    assert vp.lookup_chunk(512, 256, 128, 56, jnp.float32) == 4
+    # bench bf16 point (T=512 -> nc=32): device-measured c16
+    assert vp.lookup_chunk(512, 128, 128, 64, jnp.bfloat16) == 16
+    # the TIMIT f32 corpus point (T=752): c16 overflows at nc=47 (the k2
+    # regression), c8 validated
+    assert vp.lookup_chunk(752, 128, 128, 56, jnp.float32) == 8
 
 
 def test_trainer_probe_failure_seeds_unpadded_keys(tmp_path, monkeypatch):
@@ -195,8 +234,9 @@ def test_trainer_probe_failure_seeds_unpadded_keys(tmp_path, monkeypatch):
     with um.patch.object(jax, "default_backend", lambda: "tpu"):
         tr = Trainer(net, ds, device_cache=False)
     assert tr.padded is False
-    assert vp.known_unfit(256, 128, 8, jnp.float32)  # padded-plan key
-    assert vp.known_unfit(256, 384, 8, jnp.float32)  # exact-path key
+    # the toy corpus's padded-time inventory is [16]
+    assert vp.known_unfit(16, 256, 128, 8, jnp.float32)  # padded-plan key
+    assert vp.known_unfit(16, 256, 384, 8, jnp.float32)  # exact-path key
 
 
 def test_tail_probe_descends_persists_and_overrides_rows(tmp_path,
@@ -451,7 +491,7 @@ def test_mask_unfit_verdict_routes_streaming_to_scan(tmp_path, monkeypatch):
     monkeypatch.setattr(vp, "_MEM", None)
     monkeypatch.setattr(vp, "_device_kind", lambda: "fake_tpu")
     monkeypatch.setattr(vp, "_mask_probe_compile",
-                        lambda hp, pp, bp, ch, dt: False)
+                        lambda hp, pp, bp, ch, dt, T=0: False)
 
     T, B, P, h = 9, 3, 5, 10
     g = np.random.default_rng(0)
@@ -473,7 +513,7 @@ def test_mask_unfit_verdict_routes_streaming_to_scan(tmp_path, monkeypatch):
     ch = pick_chunk(tp, 128, 128, 8, jnp.float32, with_mask=True)
     assert vp.ensure_mask_validated(tp, 128, 128, 8, jnp.float32,
                                     verbose=False) == 0
-    assert vp.mask_known_unfit(128, 128, 8, ch, jnp.float32)
+    assert vp.mask_known_unfit(tp, 128, 128, 8, ch, jnp.float32)
 
     # pretend we're on a TPU: without the verdict check, auto would pick
     # the real (non-interpret) masked kernel, which cannot lower on CPU
@@ -505,7 +545,7 @@ def test_carry_family_keys_are_separate(tmp_path, monkeypatch):
     monkeypatch.setattr(vp, "_device_kind", lambda: "fake_tpu")
     seen = []
 
-    def fake_probe(hp, pp, bp, ch, dt, carry=False):
+    def fake_probe(hp, pp, bp, ch, dt, carry=False, T=0):
         seen.append((ch, carry))
         return not carry and ch <= 8  # plain fits at 8; carry never fits
 
@@ -518,8 +558,8 @@ def test_carry_family_keys_are_separate(tmp_path, monkeypatch):
     assert vp.ensure_validated(16, 256, 128, 16, jnp.float32,
                                carry=True) == 0
     assert (1, True) in seen
-    assert vp.known_unfit(256, 128, 16, jnp.float32, carry=True)
-    assert not vp.known_unfit(256, 128, 16, jnp.float32)  # plain unaffected
+    assert vp.known_unfit(16, 256, 128, 16, jnp.float32, carry=True)
+    assert not vp.known_unfit(16, 256, 128, 16, jnp.float32)  # plain ok
     # pick_chunk(carry=True) sees no carry verdict -> analytic model with
     # the extra carry blocks (strictly larger estimate)
     assert fused_vmem_bytes(256, 128, 16, jnp.float32, 4, carry=True) > \
