@@ -70,11 +70,15 @@ def bench_streaming():
     out = {"chunk": chunk, "t": t, "b": b}
 
     # -- whole-sequence inference, reps chained through the input --------
-    # n is a DEVICE scalar (bench.py's discipline): a static trip count
-    # would compile a DIFFERENT program for the warmup and the timed call,
-    # putting a full XLA compile inside the timed region — exactly the
-    # artifact that sank this stage's first two attempts (925M fps with
-    # independent reps; 128k fps with static-n recompiles).
+    # Discipline (third attempt, each prior artifact diagnosed):
+    #  * n is a DEVICE scalar — a static trip count compiled a DIFFERENT
+    #    program for warmup vs timed call, putting a full XLA compile
+    #    inside the timed region (128k fps artifact);
+    #  * sync by SCALAR VALUE FETCH (float(...)), never
+    #    block_until_ready — on this tunnel runtime readiness does not
+    #    wait for remote compute, which produced 925M/1.46B "fps"
+    #    (bench.py's float(err) and the CLAUDE.md sync note exist for
+    #    exactly this reason).
     reps = 20
 
     def whole_chain(params, x, pt, n):
@@ -86,9 +90,9 @@ def bench_streaming():
         return jax.lax.fori_loop(0, n, body, (x, jnp.float32(0)))[1]
 
     whole_j = jax.jit(whole_chain)
-    whole_j(params, x, pt, jnp.int32(2)).block_until_ready()  # compile
+    float(whole_j(params, x, pt, jnp.int32(2)))  # compile + full sync
     t0 = time.perf_counter()
-    whole_j(params, x, pt, jnp.int32(reps)).block_until_ready()
+    float(whole_j(params, x, pt, jnp.int32(reps)))
     out["whole_seq_fps"] = round(t * b * reps / (time.perf_counter() - t0), 1)
 
     # -- chunked fused streaming: state carries across chunks AND reps ---
@@ -111,17 +115,25 @@ def bench_streaming():
         return jax.lax.fori_loop(0, n, rep, (state0, jnp.float32(0)))[1]
 
     stream_j = jax.jit(stream_chain)
-    stream_j(params, xs, pts, jnp.int32(2)).block_until_ready()
+    float(stream_j(params, xs, pts, jnp.int32(2)))
     t0 = time.perf_counter()
-    stream_j(params, xs, pts, jnp.int32(reps)).block_until_ready()
+    float(stream_j(params, xs, pts, jnp.int32(reps)))
     out["stream_fused_fps"] = round(
         t * b * reps / (time.perf_counter() - t0), 1)
 
     # -- per-dispatch streaming (online latency regime) -------------------
+    # one jitted call per chunk, state threaded on the host; the final
+    # scalar fetch (inside the timed region) forces the whole chain —
+    # every chunk's compute is a data dependency of the last state
+    def _sync(tree):  # scalar value fetch over every leaf: true barrier
+        return float(jax.tree_util.tree_reduce(
+            lambda a, leaf: a + jnp.sum(leaf.astype(jnp.float32)),
+            tree, jnp.float32(0)))
+
     step_j = jax.jit(net.apply_streaming)
     st = net.init_stream_state(b)
     y0, st = step_j(params, xs[0], pts[0], st)
-    jax.block_until_ready(st)
+    _sync(st)  # compile + full sync
     dreps = 5
     t0 = time.perf_counter()
     last = None
@@ -129,8 +141,8 @@ def bench_streaming():
         st2 = net.init_stream_state(b)
         for k in range(nch):
             yk, st2 = step_j(params, xs[k], pts[k], st2)
-            last = yk
-    jax.block_until_ready(last)
+            last = st2
+    _sync(last)
     dt = time.perf_counter() - t0
     out["stream_dispatch_fps"] = round(t * b * dreps / dt, 1)
     out["dispatch_latency_ms"] = round(dt / (dreps * nch) * 1000, 2)
@@ -138,9 +150,9 @@ def bench_streaming():
     # -- scan-cell streaming for contrast (chained identically) ----------
     net.backend = "scan"
     scan_j = jax.jit(stream_chain)
-    scan_j(params, xs, pts, jnp.int32(1)).block_until_ready()
+    float(scan_j(params, xs, pts, jnp.int32(1)))
     t0 = time.perf_counter()
-    scan_j(params, xs, pts, jnp.int32(5)).block_until_ready()
+    float(scan_j(params, xs, pts, jnp.int32(5)))
     out["stream_scan_fps"] = round(t * b * 5 / (time.perf_counter() - t0), 1)
     return out
 
