@@ -267,3 +267,38 @@ def test_output_time_lag_exceeds_sequence_length(tmp_path):
         fr_n = next(iter(ds_n.fractions()))
         np.testing.assert_array_equal(fr.targets, fr_n.targets)
         np.testing.assert_array_equal(fr.inputs, fr_n.inputs)
+
+
+def test_padded_time_inventory(tmp_path):
+    """The Trainer's eager VMEM probes compile at REAL fraction Ts
+    (verdicts are keyed by chunk-grid size — ops/vmem_probe.py k3), so
+    the inventory must enumerate exactly the padded lengths fractions can
+    dispatch at: bucketized when buckets exist, the chunk-rounded
+    sequence lengths otherwise."""
+    from lstm_rnn_tpu.data.dataset import DataSet
+
+    nc = str(tmp_path / "inv.nc")
+    _write_classification_nc(nc, [5, 17, 30, 33, 100])
+
+    # no buckets: every distinct length, rounded to the 16-frame granule
+    ds = DataSet([nc], parallel_sequences=2, prefetch=False)
+    assert ds.padded_time_inventory() == [16, 32, 48, 112]
+
+    # single bucket: one shape at the corpus max
+    ds1 = DataSet([nc], parallel_sequences=2, prefetch=False,
+                  bucket_lengths="single")
+    assert ds1.padded_time_inventory() == [112]
+
+    # power-of-two inventory: lengths land on their buckets (16, 24, 32,
+    # 48, 64, 96, 128 ... -> rounded to the granule)
+    dsb = DataSet([nc], parallel_sequences=2, prefetch=False,
+                  bucket_lengths=True)
+    got = dsb.padded_time_inventory()
+    assert got == sorted({-(-dsb._padded_length(l) // 16) * 16
+                          for l in (5, 17, 30, 33, 100)})
+    # every fraction's actual padded T is in the inventory, whatever the
+    # epoch's shuffle groups together
+    for ds_ in (ds, ds1, dsb):
+        inv = set(ds_.padded_time_inventory())
+        for fr in ds_.fractions():
+            assert -(-fr.inputs.shape[0] // 16) * 16 in inv
