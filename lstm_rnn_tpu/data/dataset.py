@@ -376,14 +376,17 @@ class DataSet:
                 return b
         return max_len
 
-    def padded_time_inventory(self, granule: int = 16) -> List[int]:
+    def padded_time_inventory(self, granule: int = 0) -> List[int]:
         """Sorted distinct time lengths fractions of this set can pad to
         (every fraction's T is _padded_length of its longest sequence,
-        then rounded to the fused kernel's chunk granule). The Trainer's
-        eager VMEM probes compile at REAL fraction Ts — the kernels'
-        scoped-VMEM footprint depends on the chunk-grid size, so a
-        verdict probed at one T is no evidence for another
-        (ops/vmem_probe.py KERNEL_VERSION k3)."""
+        then rounded to the fused kernel's chunk granule — DEFAULT_CHUNK
+        unless overridden). The Trainer's eager VMEM probes compile at
+        REAL fraction Ts — the kernels' scoped-VMEM footprint depends on
+        the chunk-grid size, so a verdict probed at one T is no evidence
+        for another (ops/vmem_probe.py KERNEL_VERSION k3)."""
+        if not granule:
+            from lstm_rnn_tpu.ops.lstm_cell import DEFAULT_CHUNK
+            granule = DEFAULT_CHUNK
         lengths = {s.length for s in self.sequences}
         return sorted({-(-self._padded_length(l) // granule) * granule
                        for l in lengths})

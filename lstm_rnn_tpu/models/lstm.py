@@ -438,14 +438,10 @@ def _resolve_fused(backend: str, hdim: int, pdim: int, bsz: int,
 
     t: the caller's (unpadded) time length — device verdicts are keyed by
     chunk-grid size, so the unfit lookup needs the real T."""
-    from lstm_rnn_tpu.ops.lstm_cell import (DEFAULT_CHUNK, _storage,
-                                            fused_fits, round_up)
+    from lstm_rnn_tpu.ops.lstm_cell import fused_fits, fused_padded_dims
     from lstm_rnn_tpu.ops.vmem_probe import known_unfit
-    hp = round_up(hdim, 128)
-    pp = round_up(pdim, 128)
-    sz = _storage(compute_dtype).itemsize
-    bp = round_up(bsz, 16 if sz == 2 else 8)
-    tp = round_up(max(1, t), DEFAULT_CHUNK)
+    hp, pp, bp, tp = fused_padded_dims(hdim, pdim, bsz, max(1, t),
+                                       compute_dtype)
     on_tpu = jax.default_backend() == "tpu"
     if backend == "auto" and not on_tpu:
         return False, False  # mirror lstm_forward: auto -> scan off-TPU

@@ -149,23 +149,32 @@ def _probe_compile(hp: int, pp: int, bp: int, ch: int, compute_dtype,
     D = 1 if carry else 2
     sdt = lc._storage(compute_dtype)
 
-    if carry:
-        def loss(x, w_in, w_rec, peep, bias, lengths, h0, c0, dh):
-            h, (hf, cf) = lc.lstm_scan_fused_carry(
-                x, w_in, w_rec, peep, bias, lengths, h0, c0, 1.0, True,
-                False, jnp.dtype(compute_dtype))
-            return (jnp.sum(h.astype(jnp.float32) * dh)
-                    + jnp.sum(hf) + jnp.sum(cf))
+    # the production program runs BOTH backward variants — interior
+    # layers with dx (preceding-layer error) and the first layer with
+    # need_dx=False — and Mosaic's scoped-VMEM scheduling is variant-
+    # dependent, so a verdict must mean "both compile" (the k2 crash was
+    # a need_dx=False first-layer kernel blessed by a dx=True probe at
+    # the wrong grid size)
+    def make_grad(need_dx):
+        if carry:
+            def loss(x, w_in, w_rec, peep, bias, lengths, h0, c0, dh):
+                h, (hf, cf) = lc.lstm_scan_fused_carry(
+                    x, w_in, w_rec, peep, bias, lengths, h0, c0, 1.0,
+                    True, False, jnp.dtype(compute_dtype), need_dx)
+                return (jnp.sum(h.astype(jnp.float32) * dh)
+                        + jnp.sum(hf) + jnp.sum(cf))
 
-        g = jax.grad(loss, argnums=(0, 1, 2, 3, 4, 6, 7))
-    else:
+            nums = (0, 1, 2, 3, 4, 6, 7) if need_dx else (1, 2, 3, 4, 6, 7)
+            return jax.grad(loss, argnums=nums)
+
         def loss(x, w_in, w_rec, peep, bias, lengths, dh):
             h = lc.lstm_scan_fused(x, w_in, w_rec, peep, bias, lengths,
                                    1.0, True, False,
-                                   jnp.dtype(compute_dtype))
+                                   jnp.dtype(compute_dtype), need_dx)
             return jnp.sum(h.astype(jnp.float32) * dh)
 
-        g = jax.grad(loss, argnums=(0, 1, 2, 3, 4))
+        nums = (0, 1, 2, 3, 4) if need_dx else (1, 2, 3, 4)
+        return jax.grad(loss, argnums=nums)
     shapes = (
         jax.ShapeDtypeStruct((T, bp, pp), jnp.float32),
         jax.ShapeDtypeStruct((D, pp, 4 * hp), jnp.float32),
@@ -182,7 +191,8 @@ def _probe_compile(hp: int, pp: int, bp: int, ch: int, compute_dtype,
     old = lc._chunk_override
     lc._chunk_override = ch
     try:
-        return _compiles(g, shapes)
+        return (_compiles(make_grad(True), shapes)
+                and _compiles(make_grad(False), shapes))
     finally:
         lc._chunk_override = old
 

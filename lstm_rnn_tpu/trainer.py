@@ -168,13 +168,17 @@ class Trainer:
                 bp = round_up(
                     max(1, getattr(train_set, "parallel_sequences", 8)),
                     bgran)
-                # per-device wavefront block length for the corpus max T
-                # (_pad_time(granule=16) over seq devices) — verdicts are
-                # keyed by chunk-grid size (vmem_probe k3), so the probe
-                # compiles at the real block T; other block lengths fall
-                # back to the analytic chunk at dispatch
+                # per-device wavefront block length for the corpus' LARGEST
+                # fraction T (the bucketized padded length, exactly what
+                # fractions assemble at, then _pad_time(granule=16) over
+                # seq devices) — verdicts are keyed by chunk-grid size
+                # (vmem_probe k3), so the probe compiles at the real block
+                # T; other block lengths fall back to the analytic chunk
+                # at dispatch
                 n_seq = data_axis_size(seq_mesh, "seq")
                 max_t = max(getattr(train_set, "max_seq_length", 16), 16)
+                if hasattr(train_set, "_padded_length"):
+                    max_t = max(train_set._padded_length(max_t), 16)
                 t_dev = max(16, -(-max_t // (n_seq * 16)) * 16)
                 prev = net.specs[0].size
                 for s2 in net.specs[1:-1]:
@@ -266,6 +270,19 @@ class Trainer:
                                             round_up(prev, 128), bp,
                                             net.compute_dtype)
                                 prev = s2.size
+                            # backstop: verdicts are per-T (k3), and only
+                            # probe_ts were seeded — a fraction at any
+                            # OTHER T would pass known_unfit unprobed and
+                            # could die at Mosaic device compile
+                            # mid-epoch. A device rejection at the
+                            # heaviest Ts is width-driven evidence; route
+                            # the whole net's auto path to lax.scan.
+                            if net.backend == "auto":
+                                print("vmem_probe: device rejected the "
+                                      "fused kernels at the heaviest "
+                                      "fraction shapes; lstm_backend auto "
+                                      "-> scan for this net")
+                                net.backend = "scan"
                         break
         self.padded = padded_pipeline
         self._pad_mask = None
