@@ -186,7 +186,10 @@ def test_shipped_defaults_match_current_key_format(monkeypatch):
                         "vmem_probe_defaults.json")
     table = json.load(open(path))
     assert table, "defaults file must not be empty"
-    assert all(f"|{vp.KERNEL_VERSION}|" in k for k in table), (
+    # chunk/carry keys: "|k3|"; mask keys: "|k3m1|mask|"
+    assert all(f"|{vp.KERNEL_VERSION}|" in k
+               or f"|{vp.KERNEL_VERSION}{vp.MASK_VERSION}|" in k
+               for k in table), (
         "every shipped verdict must carry the current KERNEL_VERSION")
     # the flagship shape points must resolve through _key on the device
     # kind they were probed on
