@@ -189,6 +189,44 @@ def test_terminal_autosave_stores_restored_best_weights(tmp_path, rng):
     assert diffs > 0
 
 
+def test_autosave_worker_failure_aborts_loudly(tmp_path, rng, monkeypatch):
+    """A failed checkpoint write on the autosave worker thread must abort
+    the run at the next join — not silently train on with no autosaves
+    landing (round-5 review finding: the default thread excepthook only
+    prints to stderr)."""
+    import pytest
+
+    from lstm_rnn_tpu import cli as cli_mod
+    from lstm_rnn_tpu import io_currennt as ioc
+    from lstm_rnn_tpu.network import Network
+    from lstm_rnn_tpu.trainer import Trainer
+
+    from .test_data import _write_classification_nc
+
+    nc, net_path = _toy_setup(tmp_path, rng)
+    del nc
+    net = Network(json.loads(open(net_path).read())["layers"])
+    net.init_params(1)
+    ds_nc = str(tmp_path / "t2.nc")
+    _write_classification_nc(ds_nc, [4, 4], in_size=3, num_labels=4, seed=2)
+    from lstm_rnn_tpu.data.dataset import DataSet
+    ds = DataSet([ds_nc], parallel_sequences=2, prefetch=False)
+    tr = Trainer(net, ds, device_cache=False)
+    tr.finish_epoch(tr.dispatch_epoch())
+    from lstm_rnn_tpu.config import parse_config
+    cfg = parse_config(["--network", net_path, "--train", "true",
+                        "--train_file", ds_nc, "--autosave", "true"])
+    monkeypatch.chdir(tmp_path)
+
+    def boom(*a, **k):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(ioc, "save_network_json", boom)
+    saver = cli_mod._save_autosave(cfg, net, tr, "rows")
+    with pytest.raises(OSError, match="disk full"):
+        cli_mod._join_saver(saver)
+
+
 def test_num_devices_mesh_matches_single_device(tmp_path, rng):
     """CLI --num_devices 8 (data-parallel mesh over the 8 virtual CPU
     devices) must produce the same trained_network.jsn as --num_devices 1;
@@ -779,6 +817,16 @@ def test_forward_mode_stream_chunk_matches(tmp_path, rng):
     assert r.returncode == 0, r.stdout + r.stderr
     assert "Streaming forward" in r.stdout
     _assert_csv_close(tmp_path / "whole.csv", tmp_path / "stream.csv")
+
+    # a batch of fractions with an UNEVEN trailing one (4 sequences at
+    # --parallel_sequences 3): streaming pads every fraction to ONE batch
+    # width (round-5 fix — a smaller trailing fraction must neither
+    # dispatch the masked kernel at an unprobed bp nor change outputs)
+    r = _cli(*fwd, "--ff_output_file", "stream_uneven.csv",
+             "--stream_chunk", "3", "--parallel_sequences", "3",
+             cwd=tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    _assert_csv_close(tmp_path / "whole.csv", tmp_path / "stream_uneven.csv")
 
     # bidirectional nets cannot stream — rejected before any fraction
     bnet = {"layers": [
