@@ -186,11 +186,13 @@ def test_shipped_defaults_match_current_key_format(monkeypatch):
                         "vmem_probe_defaults.json")
     table = json.load(open(path))
     assert table, "defaults file must not be empty"
-    # chunk/carry keys: "|k3|"; mask keys: "|k3m1|mask|"
+    # chunk/carry keys: "|k3|"; mask keys: "|k3m1|mask|"; tail-family
+    # keys (tail/tailproj/tailwide): "|t1|"
     assert all(f"|{vp.KERNEL_VERSION}|" in k
                or f"|{vp.KERNEL_VERSION}{vp.MASK_VERSION}|" in k
+               or f"|{vp.TAIL_VERSION}|" in k
                for k in table), (
-        "every shipped verdict must carry the current KERNEL_VERSION")
+        "every shipped verdict must carry its family's current version")
     # the flagship shape points must resolve through _key on the device
     # kind they were probed on
     monkeypatch.setattr(vp, "_device_kind", lambda: "TPU_v5_lite")
