@@ -199,11 +199,11 @@ def _auto_model_devices(net: Network, parallel_sequences: int,
         return 1
     import jax
     from lstm_rnn_tpu import io_currennt as ioc
-    from lstm_rnn_tpu.ops.lstm_cell import (_storage, fused_fits, round_up)
+    from lstm_rnn_tpu.ops.lstm_cell import (batch_granule, fused_fits,
+                                            round_up)
     if jax.default_backend() != "tpu" or net.backend == "scan":
         return 1
-    bgran = 16 if _storage(net.compute_dtype).itemsize == 2 else 8
-    bp = round_up(max(1, parallel_sequences), bgran)
+    bp = round_up(max(1, parallel_sequences), batch_granule(net.compute_dtype))
     lstm_layers = []  # (h, pp) per LSTM layer
     for spec, (kind, _idx, prev_w, _hp) in zip(net.specs[1:-1],
                                                net._pad_plan()):
@@ -616,8 +616,12 @@ def forward_mode(cfg: Config) -> int:
                     # serves at — same padding rules as the kernel's
                     hp, pp, bp, tp = fused_padded_dims(
                         s.size, prev, btgt, chunk, net.compute_dtype)
+                    # serving dispatches carry_t = the raw --stream_chunk;
+                    # probe that exact variant (carry_t == tp when the
+                    # chunk is a 16-multiple — the suffix-free key)
                     ok = ensure_mask_validated(tp, hp, pp, bp,
-                                               net.compute_dtype)
+                                               net.compute_dtype,
+                                               carry_t=chunk)
                     if not ok:
                         print(f"Streaming: layer '{s.name}' rejected by "
                               "the masked-kernel device probe; chunks run "

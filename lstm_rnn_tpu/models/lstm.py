@@ -196,12 +196,11 @@ def lstm_forward(params, x, pattypes, bias_mult: float, bidirectional: bool,
     if pre_padded:
         # padded view: W_in [D, Pp, 4Hp] (gates flattened, rows padded to a
         # 128 multiple), b [D, 4Hp]; the kernel computes the projection
-        from lstm_rnn_tpu.ops.lstm_cell import (DEFAULT_CHUNK, _storage,
+        from lstm_rnn_tpu.ops.lstm_cell import (DEFAULT_CHUNK, batch_granule,
                                                 lstm_scan_fused, round_up)
         hp = w_rec.shape[1]  # already padded
         pp = w_in.shape[1]
-        bgran = 16 if _storage(compute_dtype).itemsize == 2 else 8
-        bp = round_up(bsz, bgran)
+        bp = round_up(bsz, batch_granule(compute_dtype))
         tp = round_up(t, DEFAULT_CHUNK)
         xx = x.astype(compute_dtype)
         xx = _pad_axis(_pad_axis(_pad_axis(xx, 2, pp), 1, bp), 0, tp)
@@ -368,7 +367,11 @@ def lstm_forward_streaming(params, x, pattypes, bias_mult: float, carry,
             hp, pp, bp, tp = fused_padded_dims(
                 hdim, x.shape[-1], x.shape[1], x.shape[0], compute_dtype)
             ch = pick_chunk(tp, hp, pp, bp, compute_dtype, with_mask=True)
-            if mask_known_unfit(tp, hp, pp, bp, ch, compute_dtype):
+            # _streaming_fused dispatches carry_t = the RAW chunk length
+            # (x.shape[0]); when that differs from the 16-padded tp the
+            # probed variant must match (vmem_probe _mask_key carry_t)
+            if mask_known_unfit(tp, hp, pp, bp, ch, compute_dtype,
+                                carry_t=x.shape[0]):
                 if backend == "pallas":
                     raise ValueError(
                         f"lstm_backend=pallas: the masked streaming "

@@ -523,10 +523,17 @@ def fused_padded_dims(hdim: int, pdim: int, bsz: int, t: int,
     matching the points serving actually dispatches."""
     hp = round_up(hdim, 128)
     pp = round_up(pdim, 128)
-    bgran = 16 if _storage(compute_dtype).itemsize == 2 else 8
-    bp = round_up(bsz, bgran)
+    bp = round_up(bsz, batch_granule(compute_dtype))
     tp = round_up(t, DEFAULT_CHUNK) if time_pad else t
     return hp, pp, bp, tp
+
+
+def batch_granule(compute_dtype) -> int:
+    """Sublane granule for fraction/batch rows in the fused kernels: 16
+    for 2-byte storage (bf16), 8 for f32 — part of fused_padded_dims'
+    padding contract, exported so eager probe sites (trainer/cli) derive
+    bp from the SAME rule instead of re-rolling it."""
+    return 16 if _storage(compute_dtype).itemsize == 2 else 8
 
 
 # Budgets for the analytic model, anchored at DEVICE-VALIDATED points (the

@@ -446,11 +446,17 @@ MASK_VERSION = "m1"
 
 
 def _mask_key(hp: int, pp: int, bp: int, ch: int, compute_dtype,
-              nc: int = 0) -> str:
+              nc: int = 0, carry_t: int = 0) -> str:
     from lstm_rnn_tpu.ops.lstm_cell import _storage, _use3
     mode = "x3" if _use3(compute_dtype) else ""
+    # carry_t: the RAW serving chunk length when it differs from the
+    # 16-padded T — a different static argument to the kernel, hence a
+    # different Mosaic program needing its own verdict. Suffix only when
+    # set, so the (common) carry_t == T case keeps the shipped keys.
+    ct = f"|ct{carry_t}" if carry_t else ""
     return (f"{_device_kind()}|{KERNEL_VERSION}{MASK_VERSION}|mask|h{hp}|"
-            f"p{pp}|b{bp}|c{ch}|n{nc}|{_storage(compute_dtype).name}{mode}")
+            f"p{pp}|b{bp}|c{ch}|n{nc}|{_storage(compute_dtype).name}"
+            f"{mode}{ct}")
 
 
 def _mask_compiles(fn, shapes) -> bool:
@@ -478,11 +484,14 @@ def _mask_compiles(fn, shapes) -> bool:
 
 
 def _mask_probe_compile(hp: int, pp: int, bp: int, ch: int,
-                        compute_dtype, T: int = 0) -> bool:
+                        compute_dtype, T: int = 0,
+                        carry_t: int = 0) -> bool:
     """AOT-build the masked carry-kernel inference forward at chunk=ch
     and the caller's real padded T — the exact program
     Network.apply_streaming dispatches (D=1, explicit (h0, c0), [B, T]
-    step mask). Nothing is executed."""
+    step mask, carry captured at carry_t: the RAW serving chunk length,
+    which differs from T when --stream_chunk is not a multiple of 16).
+    Nothing is executed."""
     import jax
     import jax.numpy as jnp
 
@@ -490,12 +499,14 @@ def _mask_probe_compile(hp: int, pp: int, bp: int, ch: int,
 
     if not T:
         T = 2 * ch  # two chunks: exercises the mask block's index map
+    if not carry_t:
+        carry_t = T
     h4 = 4 * hp
 
     def fwd(x, w_in, w_rec, peep, bias, lengths, h0, c0, m):
         return lc.lstm_scan_fused_carry(
             x, w_in, w_rec, peep, bias, lengths, h0, c0, 1.0, True, False,
-            jnp.dtype(compute_dtype), True, T, 0, m)
+            jnp.dtype(compute_dtype), True, carry_t, 0, m)
 
     shapes = (
         jax.ShapeDtypeStruct((T, bp, pp), jnp.float32),
@@ -517,38 +528,48 @@ def _mask_probe_compile(hp: int, pp: int, bp: int, ch: int,
 
 
 def mask_known_unfit(T: int, hp: int, pp: int, bp: int, ch: int,
-                     compute_dtype) -> bool:
+                     compute_dtype, carry_t: int = 0) -> bool:
     """True when the mask probe RECORDED a rejection (layout or overflow)
-    for the masked streaming forward at exactly this (shape, chunk, T)
-    point. False when unprobed — lstm_forward_streaming's fused route
-    then proceeds, and ensure_mask_validated is the eager gate that
+    for the masked streaming forward at exactly this (shape, chunk, T,
+    carry_t) point. False when unprobed — lstm_forward_streaming's fused
+    route then proceeds, and ensure_mask_validated is the eager gate that
     probes before first dispatch. Table read only — never compiles."""
+    if carry_t == T:
+        carry_t = 0
     return _load().get(_mask_key(hp, pp, bp, ch, compute_dtype,
-                                 nc=T // ch)) is False
+                                 nc=T // ch, carry_t=carry_t)) is False
 
 
 def ensure_mask_validated(T: int, hp: int, pp: int, bp: int, compute_dtype,
-                          verbose: bool = True) -> int:
+                          verbose: bool = True, carry_t: int = 0) -> int:
     """Validate the masked carry-kernel forward at THE chunk streaming
     serving will pick for this shape — compiled at the serving T itself.
     No downward walk: serving must run the chunk the probe blessed, so a
     rejection routes it to the scan backend (mask_known_unfit) rather
     than silently serving an unprobed smaller chunk. Records the verdict;
     returns the validated chunk, or 0 on rejection. Call EAGERLY (CLI
-    streaming setup) — never inside a trace."""
+    streaming setup) — never inside a trace.
+
+    carry_t: the RAW serving chunk length when --stream_chunk is not a
+    16-multiple — a different static kernel argument than carry_t == T,
+    so the probe must compile (and key) that exact variant."""
     from lstm_rnn_tpu.ops.lstm_cell import pick_chunk
+    if carry_t == T:
+        carry_t = 0
     with _LOCK:
         ch = pick_chunk(T, hp, pp, bp, compute_dtype, with_mask=True)
         table = _load()
-        key = _mask_key(hp, pp, bp, ch, compute_dtype, nc=T // ch)
+        key = _mask_key(hp, pp, bp, ch, compute_dtype, nc=T // ch,
+                        carry_t=carry_t)
         verdict = table.get(key)
         if verdict is None:
             if verbose:
+                ct = f", carry_t={carry_t}" if carry_t else ""
                 print(f"vmem_probe: compiling masked streaming forward "
-                      f"(h={hp}, p={pp}, b={bp}, chunk={ch}, T={T}) ...",
-                      flush=True)
+                      f"(h={hp}, p={pp}, b={bp}, chunk={ch}, T={T}{ct}) "
+                      "...", flush=True)
             verdict = _mask_probe_compile(hp, pp, bp, ch, compute_dtype,
-                                          T=T)
+                                          T=T, carry_t=carry_t)
             table[key] = verdict
             _save()
         return ch if verdict else 0

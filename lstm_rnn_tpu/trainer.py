@@ -160,14 +160,10 @@ class Trainer:
                 # edge is not evidence it fits). Keys mirror
                 # _fused_wavefront's rounding; probed once per machine.
                 from lstm_rnn_tpu import io_currennt as ioc_sp
-                from lstm_rnn_tpu.ops.lstm_cell import _storage, round_up
+                from lstm_rnn_tpu.ops.lstm_cell import fused_padded_dims
                 from lstm_rnn_tpu.ops.vmem_probe import ensure_validated
                 from lstm_rnn_tpu.parallel.mesh import data_axis_size
-                bgran = (16 if _storage(net.compute_dtype).itemsize == 2
-                         else 8)
-                bp = round_up(
-                    max(1, getattr(train_set, "parallel_sequences", 8)),
-                    bgran)
+                bsz_sp = max(1, getattr(train_set, "parallel_sequences", 8))
                 # per-device wavefront block length for the corpus' LARGEST
                 # fraction T (the bucketized padded length, exactly what
                 # fractions assemble at, then _pad_time(granule=16) over
@@ -184,9 +180,13 @@ class Trainer:
                 for s2 in net.specs[1:-1]:
                     if s2.type in ioc_sp.LSTM_TYPES:
                         d2 = 2 if ioc_sp.LSTM_TYPES[s2.type] else 1
-                        ensure_validated(t_dev,
-                                         round_up(s2.size // d2, 128),
-                                         round_up(prev, 128), bp,
+                        # the padding contract, from its one home
+                        # (fused_padded_dims — t_dev is already a
+                        # 16-multiple, so tp == t_dev)
+                        hp_sp, pp_sp, bp_sp, tp_sp = fused_padded_dims(
+                            s2.size // d2, prev, bsz_sp, t_dev,
+                            net.compute_dtype)
+                        ensure_validated(tp_sp, hp_sp, pp_sp, bp_sp,
                                          net.compute_dtype, carry=True)
                     prev = s2.size
 
@@ -214,12 +214,12 @@ class Trainer:
                 # (ops/vmem_probe.py) — the analytic model is only the
                 # CPU/interpret fallback, since interpret-mode tests cannot
                 # catch device scoped-vmem overflows.
-                from lstm_rnn_tpu.ops.lstm_cell import (_storage, fused_fits,
-                                                        round_up)
+                from lstm_rnn_tpu.ops.lstm_cell import (batch_granule,
+                                                        fused_fits, round_up)
                 on_tpu = (jax.default_backend() == "tpu"
                           and net.backend in ("auto", "pallas"))
                 import math
-                bgran = 16 if _storage(net.compute_dtype).itemsize == 2 else 8
+                bgran = batch_granule(net.compute_dtype)
                 if mesh is not None:
                     from lstm_rnn_tpu.parallel.mesh import data_axis_size
                     nd = data_axis_size(mesh)
@@ -237,6 +237,28 @@ class Trainer:
                     inv = train_set.padded_time_inventory()
                     if inv:
                         probe_ts = inv[-4:]
+                # validation/test fractions dispatch the same fused
+                # kernels at THEIR heaviest (batch, T) points — probe
+                # those too (verdicts are per-T, k3): a validated point
+                # serves fused, a total rejection routes just that T to
+                # scan via known_unfit at dispatch. Neither outcome
+                # demotes the padded view: the val/test pass is
+                # forward-only, so a train-grade fwd+bwd rejection at a
+                # longer val T must not cost training the fused path.
+                aux_pts = []
+                for ds_aux in (validation_set, test_set):
+                    if (ds_aux is None
+                            or not hasattr(ds_aux, "padded_time_inventory")):
+                        continue
+                    inv_aux = ds_aux.padded_time_inventory()
+                    b_aux = round_up(
+                        max(1, getattr(ds_aux, "parallel_sequences", 8)),
+                        bgran)
+                    for t_aux in inv_aux[-2:]:
+                        pt = (b_aux, t_aux)
+                        if (pt not in aux_pts
+                                and not (b_aux == bp and t_aux in probe_ts)):
+                            aux_pts.append(pt)
                 for spec, (kind, _idx, prev_w, hp) in zip(
                         net.specs[1:-1], net._pad_plan()):
                     if kind != "lstm":
@@ -247,6 +269,9 @@ class Trainer:
                         ok = all(ensure_validated(t, hp, pp, bp,
                                                   net.compute_dtype) > 0
                                  for t in probe_ts)
+                        for b_aux, t_aux in aux_pts:
+                            ensure_validated(t_aux, hp, pp, b_aux,
+                                             net.compute_dtype)
                     else:
                         ok = fused_fits(hp, pp, bp, net.compute_dtype)
                     if not ok:
@@ -268,6 +293,11 @@ class Trainer:
                                         ensure_validated(
                                             t, round_up(h2, 128),
                                             round_up(prev, 128), bp,
+                                            net.compute_dtype)
+                                    for b_aux, t_aux in aux_pts:
+                                        ensure_validated(
+                                            t_aux, round_up(h2, 128),
+                                            round_up(prev, 128), b_aux,
                                             net.compute_dtype)
                                 prev = s2.size
                             # backstop: verdicts are per-T (k3), and only

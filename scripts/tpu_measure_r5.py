@@ -20,6 +20,16 @@ stages):
 
 Usage: nohup python scripts/tpu_measure_r5.py > /root/repo/tpu_r5.log 2>&1 &
 Never run a second TPU process while this one lives.
+
+SUPERSEDED FOR TIMING: the bench_streaming stage (2) syncs with
+block_until_ready, which on this tunnel returns BEFORE the device
+finishes (CLAUDE.md "the ONLY honest sync is a scalar VALUE fetch") —
+its throughput numbers are invalid (measured artifacts up to 37x over
+v5e peak). The other stages are sound: 3/4/6 time through
+bench.run_bench's scalar fetch and 1/5 record verdicts/profiles, not
+rates. For streaming rates rerun scripts/tpu_measure_r5c.py
+(bench_streaming_chained: reps chained through data dependencies,
+synced by float(scalar)).
 """
 
 from __future__ import annotations

@@ -496,7 +496,7 @@ def test_mask_unfit_verdict_routes_streaming_to_scan(tmp_path, monkeypatch):
     monkeypatch.setattr(vp, "_MEM", None)
     monkeypatch.setattr(vp, "_device_kind", lambda: "fake_tpu")
     monkeypatch.setattr(vp, "_mask_probe_compile",
-                        lambda hp, pp, bp, ch, dt, T=0: False)
+                        lambda hp, pp, bp, ch, dt, T=0, carry_t=0: False)
 
     T, B, P, h = 9, 3, 5, 10
     g = np.random.default_rng(0)
@@ -516,9 +516,13 @@ def test_mask_unfit_verdict_routes_streaming_to_scan(tmp_path, monkeypatch):
     from lstm_rnn_tpu.ops.lstm_cell import DEFAULT_CHUNK, pick_chunk
     tp = -(-T // DEFAULT_CHUNK) * DEFAULT_CHUNK
     ch = pick_chunk(tp, 128, 128, 8, jnp.float32, with_mask=True)
+    # carry_t = the RAW chunk length (9 != tp=16): the eager gate must
+    # record the verdict at the same carry_t-variant key the dispatch
+    # gate reads (lstm_forward_streaming passes carry_t=x.shape[0])
     assert vp.ensure_mask_validated(tp, 128, 128, 8, jnp.float32,
-                                    verbose=False) == 0
-    assert vp.mask_known_unfit(tp, 128, 128, 8, ch, jnp.float32)
+                                    verbose=False, carry_t=T) == 0
+    assert vp.mask_known_unfit(tp, 128, 128, 8, ch, jnp.float32,
+                               carry_t=T)
 
     # pretend we're on a TPU: without the verdict check, auto would pick
     # the real (non-interpret) masked kernel, which cannot lower on CPU
@@ -533,6 +537,44 @@ def test_mask_unfit_verdict_routes_streaming_to_scan(tmp_path, monkeypatch):
     import pytest
     with pytest.raises(ValueError, match="REJECTED by the device probe"):
         lstm_forward_streaming(params, x, pt, 1.0, carry, backend="pallas")
+
+
+def test_mask_carry_t_variant_has_own_key(tmp_path, monkeypatch):
+    """A --stream_chunk that is not a 16-multiple dispatches the masked
+    kernel with carry_t = the RAW chunk length — a different static
+    program than the carry_t == T variant. Verdicts must not leak
+    between the two, and carry_t == T must collapse to the suffix-free
+    key so the shipped k3m1 defaults keep matching."""
+    import jax.numpy as jnp
+
+    from lstm_rnn_tpu.ops.lstm_cell import pick_chunk
+
+    monkeypatch.setenv("LSTM_RNN_TPU_PROBE_CACHE", str(tmp_path / "p.json"))
+    monkeypatch.setattr(vp, "_MEM", None)
+    monkeypatch.setattr(vp, "_device_kind", lambda: "fake_tpu")
+    seen = []
+
+    def fake(hp, pp, bp, ch, dt, T=0, carry_t=0):
+        seen.append(carry_t)
+        return carry_t != 9  # reject only the raw-9 variant
+
+    monkeypatch.setattr(vp, "_mask_probe_compile", fake)
+    ch = pick_chunk(16, 128, 128, 8, jnp.float32, with_mask=True)
+    # carry_t == T normalizes to the suffix-free key (probe sees 0)
+    assert vp.ensure_mask_validated(16, 128, 128, 8, jnp.float32,
+                                    verbose=False, carry_t=16) == ch
+    assert seen == [0]
+    # the raw-9 variant is its own point: unprobed (False), then its own
+    # probe records the rejection — without poisoning the T-variant
+    assert not vp.mask_known_unfit(16, 128, 128, 8, ch, jnp.float32,
+                                   carry_t=9)
+    assert vp.ensure_mask_validated(16, 128, 128, 8, jnp.float32,
+                                    verbose=False, carry_t=9) == 0
+    assert vp.mask_known_unfit(16, 128, 128, 8, ch, jnp.float32,
+                               carry_t=9)
+    assert not vp.mask_known_unfit(16, 128, 128, 8, ch, jnp.float32,
+                                   carry_t=16)
+    assert seen == [0, 9]
 
 
 def test_carry_family_keys_are_separate(tmp_path, monkeypatch):
