@@ -244,6 +244,59 @@ def test_trainer_probe_failure_seeds_unpadded_keys(tmp_path, monkeypatch):
     assert vp.known_unfit(16, 256, 384, 8, jnp.float32)  # exact-path key
 
 
+def test_trainer_probes_val_test_time_points(tmp_path, monkeypatch):
+    """Trainer init must device-validate the validation/test sets'
+    heaviest (batch, T) points too — their fractions dispatch the same
+    fused kernels, and k3 verdicts are per-T — while a val-only
+    rejection must NOT demote the padded view (the val pass is
+    forward-only; only train-point rejections carry fwd+bwd weight)."""
+    import unittest.mock as um
+
+    import jax
+
+    from lstm_rnn_tpu.data.dataset import DataSet
+    from lstm_rnn_tpu.network import Network
+    from lstm_rnn_tpu.trainer import Trainer
+
+    from .test_data import _write_classification_nc
+
+    _fresh(tmp_path, monkeypatch, lambda ch: True)
+    probed = []
+
+    def fake_probe(hp, pp, bp, ch, dt, carry=False, T=0):
+        probed.append((T, bp, ch))
+        return T < 48 or ch < 16  # reject c16 at the val-only T=48
+
+    monkeypatch.setattr(vp, "_probe_compile", fake_probe)
+
+    nc_tr = str(tmp_path / "tr.nc")
+    nc_va = str(tmp_path / "va.nc")
+    _write_classification_nc(nc_tr, [4, 4], in_size=3, num_labels=4, seed=1)
+    _write_classification_nc(nc_va, [40, 40], in_size=3, num_labels=4,
+                             seed=2)
+    layers = [
+        {"name": "input", "type": "input", "size": 3},
+        {"name": "l1", "type": "blstm", "size": 300, "bias": 1.0},
+        {"name": "output", "type": "softmax", "size": 4, "bias": 1.0},
+        {"name": "postoutput", "type": "multiclass_classification",
+         "size": 4},
+    ]
+    net = Network(layers)
+    net.init_params(3)
+    tr_ds = DataSet([nc_tr], parallel_sequences=2, prefetch=False)
+    va_ds = DataSet([nc_va], parallel_sequences=2, prefetch=False)
+    with um.patch.object(jax, "default_backend", lambda: "tpu"):
+        tr = Trainer(net, tr_ds, va_ds, device_cache=False)
+    # the train point (T=16) validated; the val rejection did not demote
+    assert tr.padded is True
+    assert vp.lookup_chunk(16, 256, 128, 8, jnp.float32) == 16
+    # the val set's heaviest T (40 -> padded 48) was probed at its own
+    # keys: c16 rejected, c8 validated — dispatch at T=48 now rides the
+    # device verdict instead of the analytic model
+    assert any(t == 48 for (t, _b, _c) in probed)
+    assert vp.lookup_chunk(48, 256, 128, 8, jnp.float32) == 8
+
+
 def test_tail_probe_descends_persists_and_overrides_rows(tmp_path,
                                                          monkeypatch):
     """ensure_tail_validated walks row candidates largest-first, persists
