@@ -100,6 +100,58 @@ def test_streaming_state_resets_on_sequence_end(rng):
             np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_streaming_scan_backend_gradients_match_whole_sequence(rng):
+    """Truncated-BPTT over streamed chunks (library-level, scan backend):
+    differentiating the chunked forward with the carry flowing between
+    chunks must equal the whole-sequence gradient — including a mid-run
+    sequence end whose NONE gap resets the carried state. The FUSED
+    streaming path stays inference-only (its per-step-mask backward
+    raises by design); this pins the documented scan-backend alternative
+    (README "Streaming inference")."""
+    from lstm_rnn_tpu.models.lstm import lstm_forward, lstm_forward_streaming
+
+    T, B, P, h = 12, 2, 3, 4
+    params = {
+        "W_in": jnp.asarray(rng.uniform(-1, 1, (1, P, 4, h)), jnp.float32),
+        "W_rec": jnp.asarray(rng.uniform(-1, 1, (1, h, 4, h)), jnp.float32),
+        "b": jnp.asarray(rng.uniform(-1, 1, (1, 4, h)), jnp.float32),
+        "peep": jnp.asarray(rng.uniform(-1, 1, (1, 3, h)), jnp.float32),
+    }
+    x = jnp.asarray(rng.uniform(-1, 1, (T, B, P)), jnp.float32)
+    # stream 0 runs the full 12 frames; stream 1's sequence ends at frame
+    # 5 and a new one starts at frame 8 (mid-chunk boundary for [5, 4, 3])
+    pt_np = np.array(pattypes_from_lengths([T, 5], T, B))
+    # frames 8-11 of stream 1: a fresh 4-frame sequence (FIRST, NORMAL,
+    # NORMAL, LAST) after the NONE gap at frames 5-7
+    pt_np[8:, 1] = [1, 2, 2, 3]
+    pt = jnp.asarray(pt_np)
+
+    def whole(p):
+        y = lstm_forward(p, x, pt, 1.0, False, backend="scan")
+        return jnp.sum(y ** 2)
+
+    def chunked(p):
+        state = (jnp.zeros((1, B, h)), jnp.zeros((1, B, h)))
+        total = 0.0
+        off = 0
+        for n in [5, 4, 3]:
+            y, state = lstm_forward_streaming(
+                p, x[off:off + n], pt[off:off + n], 1.0, state,
+                backend="scan")
+            total = total + jnp.sum(y ** 2)
+            off += n
+        return total
+
+    np.testing.assert_allclose(float(whole(params)), float(chunked(params)),
+                               rtol=1e-6)
+    g_whole = jax.grad(whole)(params)
+    g_chunk = jax.grad(chunked)(params)
+    for k in g_whole:
+        np.testing.assert_allclose(np.asarray(g_chunk[k]),
+                                   np.asarray(g_whole[k]), rtol=2e-5,
+                                   atol=1e-6)
+
+
 def test_streaming_float64_params(rng):
     """init_stream_state's carry dtype must follow the param dtype: under
     jax_enable_x64 with f64 params the scan carry is f64, and a hardcoded
