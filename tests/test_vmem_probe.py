@@ -203,6 +203,21 @@ def test_shipped_defaults_match_current_key_format(monkeypatch):
     # the TIMIT f32 corpus point (T=752): c16 overflows at nc=47 (the k2
     # regression), c8 validated
     assert vp.lookup_chunk(752, 128, 128, 56, jnp.float32) == 8
+    # carry family (SP block scans): the corpus split 2 ways (T=384)
+    assert vp.lookup_chunk(384, 128, 128, 64, jnp.bfloat16, carry=True) == 16
+    # tail families: flagship proj rows are DTYPE-specific on device
+    # (bf16 r1024; f32 r1024 overflowed, r512 validated), the LVCSR proj
+    # point records the full False ladder (forcing the wide route with
+    # no first-use probes), and the wide (SB, rows) point is validated
+    assert vp.lookup_tail_rows(2048, 512, 256, jnp.bfloat16,
+                               proj=True) == 1024
+    assert vp.lookup_tail_rows(2048, 512, 256, jnp.float32,
+                               proj=True) == 512
+    assert vp.tail_known_unfit(512, 10240, jnp.bfloat16, proj=True)
+    assert vp.lookup_wide_blocks(512, jnp.bfloat16) == (1024, 256)
+    # masked streaming: the raw carry_t=50 variant has its own verdict
+    assert vp._load().get(vp._mask_key(128, 128, 64, 16, jnp.bfloat16,
+                                       nc=4, carry_t=50)) is True
 
 
 def test_trainer_probe_failure_seeds_unpadded_keys(tmp_path, monkeypatch):
