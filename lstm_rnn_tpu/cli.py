@@ -133,11 +133,12 @@ def _save_autosave(cfg: Config, net: Network, trainer: Trainer,
     h: the finished epoch's dispatch handle (pipelined callers): once the
     next epoch is dispatched, trainer.params/velocity/cur_epoch already
     belong to IT, so the epoch-end weights/deltas/number are read from the
-    handle's donation-safe snapshots instead. The state export and the
-    device fetches stay on the CALLING thread — under multi-host they run
-    jitted computations on global arrays on every process, and collectives
-    from a worker thread could interleave with the main dispatch stream —
-    only the pure-host dump moves to the thread.
+    handle's donation-safe snapshots instead. Single-process, the state
+    export and device fetches run on the worker thread too (scalars
+    captured by value first); under multi-host they stay on the CALLING
+    thread — jitted exports run on global arrays on every process, and
+    collectives from a worker thread could interleave with the main
+    dispatch stream — so only the pure-host dump moves to the thread.
 
     The TERMINAL epoch's autosave stores the RESTORED best weights, not
     the stop epoch's end-of-epoch snapshot: the reference restores inside
@@ -151,25 +152,58 @@ def _save_autosave(cfg: Config, net: Network, trainer: Trainer,
         "configuration": cfg.serialized_options,
         "info_rows": info_rows.replace("\n", ";;;"),
     }
-    extra.update(trainer.export_state(
-        cur_epoch=None if h is None else h["epoch"],
-        velocity=None if h is None else h["snap_v"]))
     epoch = trainer.cur_epoch if h is None else h["epoch"]
     prefix = cfg.autosave_prefix
     name = (prefix + "_" if prefix else "") + f"epoch{epoch:03d}.autosave"
     snap = None if (h is None or trainer.finished) else h["snap"]
-    net.params = trainer.exact_params(snap)
-    if not _is_coordinator():
-        return None
-    params_np = net.params  # captured now: the loop reassigns net.params
-    layers = net.layers_json()
+    vel = (trainer.velocity if (h is None or h["snap_v"] is None)
+           else h["snap_v"])
     holder = []  # worker exception, re-raised by _join_saver
 
-    def dump():
-        try:
-            ioc.save_network_json(name, layers, params_np, extra=extra)
-        except BaseException as e:  # noqa: BLE001 — re-raised at join
-            holder.append(e)
+    import jax
+    if jax.process_count() > 1:
+        # multi-host: the export's jitted unpad runs on global arrays on
+        # EVERY process and must stay on the calling thread (a worker
+        # dispatch could interleave with the main stream's collectives);
+        # only the pure-host dump threads off, on the coordinator
+        extra.update(trainer.export_state_meta(
+            cur_epoch=None if h is None else h["epoch"]))
+        extra.update(trainer.export_state_arrays(trainer.best_params, vel))
+        net.params = trainer.exact_params(snap)
+        if not _is_coordinator():
+            return None
+        params_np = net.params  # captured: the loop reassigns net.params
+
+        def dump():
+            try:
+                ioc.save_network_json(name, net.layers_json(), params_np,
+                                      extra=extra)
+            except BaseException as e:  # noqa: BLE001 — re-raised at join
+                holder.append(e)
+    else:
+        # single process: the device fetches move to the worker too —
+        # measured on the TPU tunnel (tpu_r5_epoch_autosave.log), the
+        # main-thread export cost ~3.6 s/epoch against 0.15 s stacked
+        # epochs, dwarfing the dump it was supposed to overlap. Capture
+        # epoch-N state NOW: scalars by VALUE (epoch N+1's finish
+        # overwrites the attributes), trees by REFERENCE (finish replaces
+        # the attributes with fresh trees; the captured ones are
+        # donation-safe snapshots or never-donated copies).
+        meta = trainer.export_state_meta(
+            cur_epoch=None if h is None else h["epoch"])
+        best_ref = trainer.best_params
+        params_ref = trainer.params if snap is None else snap
+        layers = net.layers_json()
+
+        def dump():
+            try:
+                extra.update(meta)
+                extra.update(trainer.export_state_arrays(best_ref, vel))
+                ioc.save_network_json(name, layers,
+                                      trainer.exact_params(params_ref),
+                                      extra=extra)
+            except BaseException as e:  # noqa: BLE001 — re-raised at join
+                holder.append(e)
 
     t = threading.Thread(target=dump, name="autosave-dump")
     t.holder = holder

@@ -1302,6 +1302,14 @@ class Trainer:
         passes the finished epoch's number and its dispatch handle's
         velocity snapshot (dispatch_epoch "snap_v") instead."""
         vel = self.velocity if velocity is None else velocity
+        out = self.export_state_meta(cur_epoch)
+        out.update(self.export_state_arrays(self.best_params, vel))
+        return out
+
+    def export_state_meta(self, cur_epoch: int = None) -> Dict[str, Any]:
+        """The host-scalar half of export_state — cheap; pipelined autosave
+        captures it on the CALLING thread (epoch N+1's finish overwrites
+        these attributes while the dump worker runs)."""
         return {
             "optimizer_finished": self.finished,
             "optimizer_cur_epoch": (self.cur_epoch if cur_epoch is None
@@ -1314,10 +1322,21 @@ class Trainer:
             "optimizer_cur_training_class_error": self.cur_training_class_error,
             "optimizer_cur_validation_class_error": self.cur_validation_class_error,
             "optimizer_cur_test_class_error": self.cur_test_class_error,
+        }
+
+    def export_state_arrays(self, best_params, velocity) -> Dict[str, Any]:
+        """The device-fetch half of export_state: best weights + momentum
+        deltas in the reference layer-array layout. Single-process callers
+        may run this on a worker thread (the unpad dispatches + host
+        transfers cost ~seconds over a remote tunnel at flagship scale);
+        multi-host MUST call it on the main thread — jitted unpad on
+        global arrays runs on every process and a worker-thread dispatch
+        could interleave with the main stream's collectives."""
+        return {
             "optimizer_best_weights":
-                self._params_to_layer_arrays(self.exact_params(self.best_params)),
+                self._params_to_layer_arrays(self.exact_params(best_params)),
             "steepest_descent_optimizer_weight_deltas":
-                self._params_to_layer_arrays(self.exact_params(vel)),
+                self._params_to_layer_arrays(self.exact_params(velocity)),
         }
 
     def import_state(self, doc: Dict[str, Any]) -> None:
