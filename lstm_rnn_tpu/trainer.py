@@ -106,6 +106,8 @@ class Trainer:
         self._dev_cache: Dict[Any, list] = {}
         # per-DataSet epoch-resident stacked corpora (_try_stacked_epoch)
         self._stacked: Dict[Any, dict] = {}
+        # memoized jitted unpad for exact_params (see its docstring)
+        self._unpad_jit = None
         if device_cache_bytes is None:
             device_cache_bytes = self._auto_cache_bytes()
         self._dev_cache_budget = device_cache_bytes
@@ -1280,15 +1282,19 @@ class Trainer:
 
     def exact_params(self, tree=None):
         """Current (or given) parameter tree in the exact CURRENNT layout,
-        stripping the padded training view if active."""
+        stripping the padded training view if active.
+
+        The unpad runs as ONE jitted program (memoized — a fresh jax.jit
+        wrapper per call would recompile every time) and the fetch as one
+        device_get: eager slicing dispatched hundreds of individual ops,
+        each a ~25 ms round trip on the remote tunnel, which made every
+        autosave export seconds long (tpu_r5_epoch_autosave2.log)."""
         tree = self.params if tree is None else tree
         if self.padded:
-            if jax.process_count() > 1:
-                # global arrays: slice/reshape must run under jit
-                tree = jax.jit(self.net.unpad_params)(tree)
-            else:
-                tree = self.net.unpad_params(tree)
-        return jax.tree_util.tree_map(np.asarray, tree)
+            if self._unpad_jit is None:
+                self._unpad_jit = jax.jit(self.net.unpad_params)
+            tree = self._unpad_jit(tree)
+        return jax.device_get(tree)
 
     def export_state(self, cur_epoch: int = None,
                      velocity=None) -> Dict[str, Any]:
