@@ -547,7 +547,8 @@ class Network:
         (softmax_ce_proj_fused): the logits never exist in HBM and dW/db
         accumulate inside the backward kernel."""
         from lstm_rnn_tpu.ops.lstm_cell import _storage, round_up
-        from lstm_rnn_tpu.ops.softmax_ce import (proj_tail_fits,
+        from lstm_rnn_tpu.ops.softmax_ce import (prefer_proj_tail,
+                                                 proj_tail_fits,
                                                  softmax_ce_fused,
                                                  softmax_ce_proj_fused,
                                                  softmax_ce_wide_fused,
@@ -567,7 +568,9 @@ class Network:
         if p_dim % 128 == 0:
             w = params[s.name]["W"]
             bb = params[s.name]["b"]
-            if proj_tail_fits(t * b, p_dim, sp, self.compute_dtype):
+            if (proj_tail_fits(t * b, p_dim, sp, self.compute_dtype)
+                    and prefer_proj_tail(t * b, p_dim, sp, s_dim,
+                                         self.compute_dtype)):
                 w_pad = jnp.pad(w, ((0, 0), (0, sp - s_dim)))
                 b_pad = jnp.pad(bb, (0, sp - s_dim))
                 return softmax_ce_proj_fused(

@@ -288,6 +288,35 @@ def _proj_rows(N: int, P: int, Sp: int, compute_dtype,
     return _pick_rows(N, rows)
 
 
+def prefer_proj_tail(N: int, P: int, Sp: int, S: int,
+                     compute_dtype=jnp.float32) -> bool:
+    """Given that the proj tail FITS, should it be routed over the wide
+    tail? Per-step streaming overheads: proj restreams the [P, Sp] W
+    once per row block (N/rows reads), wide restreams the [N, P] h once
+    per column block (Sp/SB reads) — both equal N*P*Sp*iz divided by
+    their block size, so the LARGER block wins. Route proj iff its row
+    block >= the wide plan's column block (ties prefer proj: no extra
+    XLA matmuls and the logits never exist in HBM); when no wide plan
+    exists at this (P, dtype), proj wins by default.
+
+    This gate exists because fitting is not winning: device probing
+    recorded that the proj tail COMPILES at LVCSR scale in bf16 with a
+    32-row block (tpu_tail2.log) — routing it there would restream the
+    5 MB W a thousand times per step, far slower than the measured
+    2.30M frames/s wide path. Deliberately ignores
+    LSTM_RNN_TPU_DISABLE_WIDE_TAIL: under that A/B env the caller's
+    wide branch raises, so a False here falls through to the
+    documented materialized-logits fallback."""
+    try:
+        _spw, sb, _rows = wide_plan(N, P, S, compute_dtype)
+    except ValueError:
+        return True
+    # N-independent on purpose (same principle as proj_tail_fits):
+    # divisibility shrinking of the row block for a particular fraction
+    # shape must not flap the ROUTE — compare the nominal blocks
+    return _proj_rows(1 << 20, P, Sp, compute_dtype) >= sb
+
+
 def proj_tail_fits(N: int, P: int, Sp: int, compute_dtype=jnp.float32) -> bool:
     """True when the projection-fused tail can run at SOME useful row block.
 

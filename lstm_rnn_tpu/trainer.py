@@ -400,6 +400,16 @@ class Trainer:
             if p_dim % 128 == 0:
                 proj_ok = ensure_tail_validated(p_dim, sp, net.compute_dtype,
                                                 proj=True) > 0
+                if proj_ok:
+                    # fitting is not winning: a wide-scale proj verdict
+                    # with a tiny row block routes WIDE at trace time
+                    # (softmax_ce.prefer_proj_tail) — validate the wide
+                    # point eagerly in that case
+                    from lstm_rnn_tpu.ops.softmax_ce import prefer_proj_tail
+                    if not prefer_proj_tail(1 << 20, p_dim, sp,
+                                            net.specs[-2].size,
+                                            net.compute_dtype):
+                        proj_ok = False
                 if not proj_ok:
                     # LVCSR-scale route: validate the wide tail's (SB,
                     # rows) point for this fan-in before the step compiles

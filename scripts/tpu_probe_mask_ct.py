@@ -28,10 +28,13 @@ def main():
     from lstm_rnn_tpu.ops.lstm_cell import fused_padded_dims
 
     print(f"[mask_ct] devices: {jax.devices()}", flush=True)
+    # Streaming serves UNIDIRECTIONAL stacks: the flagship serving net is
+    # 5xLSTM(250) -> h=250 pads to hp=256 (NOT the blstm training 125->128
+    # the first batch probed); layer 1 sees p=117->128, layers 2+ p=250->256
     for dt_name, cdt in [("bf16", jnp.bfloat16), ("f32", jnp.float32)]:
-        for hp, pp in [(128, 128), (128, 256)]:
+        for hdim, pdim in [(250, 117), (250, 250), (125, 117), (125, 125)]:
             for chunk, bsz in [(50, 64), (64, 64)]:
-                h, p, b, tp = fused_padded_dims(hp, pp, bsz, chunk, cdt)
+                h, p, b, tp = fused_padded_dims(hdim, pdim, bsz, chunk, cdt)
                 ch = vp.ensure_mask_validated(tp, h, p, b, cdt,
                                               carry_t=chunk)
                 print(f"[mask_ct] {dt_name} (h{h},p{p},b{b}) "

@@ -29,6 +29,16 @@ def main():
     from lstm_rnn_tpu.ops.softmax_ce import wide_plan
 
     print(f"[tail] devices: {jax.devices()}", flush=True)
+    # The REAL recipe shapes, derived from the builder's pad plan (the
+    # first shipped batch hardcoded P=512 — but BLSTM(250) pads per
+    # DIRECTION: 2*round_up(125,128) = 256, the point the Trainer
+    # actually probes; the P512 entries are dead keys)
+    from lstm_rnn_tpu.models.flagship import build_timit_network
+    from lstm_rnn_tpu.ops.lstm_cell import round_up
+    net = build_timit_network()
+    P = net._pad_plan()[-1][2]   # softmax padded fan-in (256)
+    Sp = round_up(net.specs[-2].size, 128)   # 183 -> 256
+    print(f"[tail] flagship P={P} Sp={Sp}", flush=True)
     # (dtype, x3) modes: the plain tail's footprint is mode-independent
     # (its key carries no x3 suffix) so x3 only re-probes proj/wide
     modes = [(jnp.bfloat16, False), (jnp.float32, False),
@@ -37,22 +47,22 @@ def main():
         lc.F32_MATMUL_3X = x3
         tag = f"{jnp.dtype(cdt).name}{'x3' if x3 else ''}"
         try:
-            # TIMIT flagship: BLSTM(250)x2 padded fan-in 512, softmax 183
-            # padded 256 (trainer.py tail-probe block computes the same)
-            rows = vp.ensure_tail_validated(512, 256, cdt, proj=True)
-            print(f"[tail] {tag} proj P512 Sp256 -> rows={rows}", flush=True)
-            if not x3:
-                rows = vp.ensure_tail_validated(0, 256, cdt, proj=False)
-                print(f"[tail] {tag} plain Sp256 -> rows={rows}", flush=True)
-            # LVCSR: proj refusal at Sp=10240 (records the False ladder the
-            # router reads), then the wide route
-            rows = vp.ensure_tail_validated(512, 10240, cdt, proj=True)
-            print(f"[tail] {tag} proj P512 Sp10240 -> rows={rows}",
+            rows = vp.ensure_tail_validated(P, Sp, cdt, proj=True)
+            print(f"[tail] {tag} proj P{P} Sp{Sp} -> rows={rows}",
                   flush=True)
-            blocks = vp.ensure_wide_validated(512, cdt)
-            print(f"[tail] {tag} wide P512 -> {blocks}", flush=True)
             if not x3:
-                spw = wide_plan(1 << 20, 512, 10112, cdt)[0]
+                rows = vp.ensure_tail_validated(0, Sp, cdt, proj=False)
+                print(f"[tail] {tag} plain Sp{Sp} -> rows={rows}",
+                      flush=True)
+            # LVCSR (same stack, softmax 10112 -> 10240): proj refusal
+            # ladder (the router reads it), then the wide route
+            rows = vp.ensure_tail_validated(P, 10240, cdt, proj=True)
+            print(f"[tail] {tag} proj P{P} Sp10240 -> rows={rows}",
+                  flush=True)
+            blocks = vp.ensure_wide_validated(P, cdt)
+            print(f"[tail] {tag} wide P{P} -> {blocks}", flush=True)
+            if not x3:
+                spw = wide_plan(1 << 20, P, 10112, cdt)[0]
                 rows = vp.ensure_tail_validated(0, spw, cdt, proj=False)
                 print(f"[tail] {tag} wide-fwd plain Sp{spw} -> rows={rows}",
                       flush=True)

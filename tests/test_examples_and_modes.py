@@ -141,13 +141,21 @@ def test_make_example_data_never_clobbers_existing(tmp_path):
     assert real.read_bytes() != b"REAL DATA, DO NOT TOUCH"
 
 
-def test_lvcsr_flagship_routes_wide_tail():
+def test_lvcsr_flagship_routes_wide_tail(monkeypatch):
     """The fork's LVCSR target (examples/lvcsr_physical_states, ~10k
     physical HMM states — reference README.md:12, htk2nc.cpp:215-243):
-    the proj-fused tail is rejected at this width and the Sp-blocked wide
-    tail takes over with VMEM-fitting blocks."""
+    the proj-fused tail is rejected at this width (analytically) and the
+    Sp-blocked wide tail takes over with VMEM-fitting blocks. On the
+    probed device kind the proj tail actually FITS at a 32-row block
+    (shipped t1 verdict, tpu_tail2.log) — but fitting is not winning:
+    restreaming the [P, Sp] W a thousand times per step loses to wide's
+    measured 2.30M frames/s, so prefer_proj_tail (block-size rule:
+    proj rows vs wide SB) still routes wide there, while the flagship
+    (rows 1024 >= SB 1024) keeps the proj route."""
     from lstm_rnn_tpu.models.flagship import build_lvcsr_network
-    from lstm_rnn_tpu.ops.softmax_ce import proj_tail_fits, wide_plan
+    from lstm_rnn_tpu.ops import vmem_probe as vp
+    from lstm_rnn_tpu.ops.softmax_ce import (prefer_proj_tail,
+                                             proj_tail_fits, wide_plan)
 
     net = build_lvcsr_network(seed=1)
     assert net.specs[-2].size == 10112
@@ -158,3 +166,12 @@ def test_lvcsr_flagship_routes_wide_tail():
     assert not proj_tail_fits(32000, P, 10240, jnp.bfloat16)
     spw, sb, rows = wide_plan(32000, P, 10112, jnp.bfloat16)
     assert spw >= 10112 and spw % sb == 0 and 32000 % rows == 0
+
+    # with the shipped device verdicts in play (TPU_v5_lite keys):
+    monkeypatch.setenv("LSTM_RNN_TPU_PROBE_CACHE", "/nonexistent/p.json")
+    monkeypatch.setattr(vp, "_MEM", None)
+    monkeypatch.setattr(vp, "_device_kind", lambda: "TPU_v5_lite")
+    assert proj_tail_fits(32000, P, 10240, jnp.bfloat16)  # r32 verdict
+    assert not prefer_proj_tail(32000, P, 10240, 10112, jnp.bfloat16)
+    assert prefer_proj_tail(32000, P, 256, 183, jnp.bfloat16)
+    monkeypatch.setattr(vp, "_MEM", None)  # drop the patched table
