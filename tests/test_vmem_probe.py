@@ -215,9 +215,24 @@ def test_shipped_defaults_match_current_key_format(monkeypatch):
                                proj=True) == 512
     assert vp.tail_known_unfit(512, 10240, jnp.bfloat16, proj=True)
     assert vp.lookup_wide_blocks(512, jnp.bfloat16) == (1024, 256)
-    # masked streaming: the raw carry_t=50 variant has its own verdict
+    # the REAL recipe fan-in is P=256 (BLSTM(250) pads per direction):
+    # flagship proj r1024 in every mode; LVCSR proj FITS at r32 in bf16
+    # (prefer_proj_tail routes wide anyway — fitting is not winning) and
+    # is unfit in f32; wide validated at (1024, 256)
+    assert vp.lookup_tail_rows(2048, 256, 256, jnp.bfloat16,
+                               proj=True) == 1024
+    assert vp.lookup_tail_rows(2048, 256, 256, jnp.float32,
+                               proj=True) == 1024
+    assert vp.lookup_tail_rows(2048, 256, 10240, jnp.bfloat16,
+                               proj=True) == 32
+    assert vp.tail_known_unfit(256, 10240, jnp.float32, proj=True)
+    assert vp.lookup_wide_blocks(256, jnp.bfloat16) == (1024, 256)
+    # masked streaming: the raw carry_t=50 variant has its own verdict,
+    # and the unidirectional serving width (h=250 -> 256) is covered
     assert vp._load().get(vp._mask_key(128, 128, 64, 16, jnp.bfloat16,
                                        nc=4, carry_t=50)) is True
+    assert vp._load().get(vp._mask_key(256, 256, 64, 8, jnp.bfloat16,
+                                       nc=8, carry_t=50)) is True
 
 
 def test_trainer_probe_failure_seeds_unpadded_keys(tmp_path, monkeypatch):
