@@ -183,7 +183,13 @@ def main(argv=None):
         # bounds the claim-wedge mode where the native plugin init hangs
         # INSIDE jax.devices() with the relay port still accepting.
         import signal
-        budget = int(os.environ.get("BENCH_MAX_WAIT", "420"))
+        # default sized ABOVE the measured cold-grant wall: after a
+        # machine restart the loopback-relay plugin sat ~13 min in
+        # native init (futex wait — SIGALRM cannot preempt native code;
+        # an expired alarm fires the moment Python resumes, turning a
+        # SUCCESSFUL late init into a spurious failure line), then
+        # worked perfectly (tpu_bench_try.log, round 5)
+        budget = int(os.environ.get("BENCH_MAX_WAIT", "900"))
         # the budget is an ABSOLUTE deadline carried across ensure_backend's
         # re-exec retries (execv preserves the environment): each retry arms
         # only the remaining time, so the total wall stays ~BENCH_MAX_WAIT
