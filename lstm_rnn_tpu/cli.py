@@ -161,11 +161,15 @@ def _save_autosave(cfg: Config, net: Network, trainer: Trainer,
     holder = []  # worker exception, re-raised by _join_saver
 
     import jax
-    if jax.process_count() > 1:
+    if jax.process_count() > 1 or h is None:
         # multi-host: the export's jitted unpad runs on global arrays on
         # EVERY process and must stay on the calling thread (a worker
         # dispatch could interleave with the main stream's collectives);
-        # only the pure-host dump threads off, on the coordinator
+        # only the pure-host dump threads off, on the coordinator.
+        # h is None (non-pipelined caller): same synchronous contract —
+        # without a handle there are no donation-safe snapshots, so a
+        # caller that dispatched another epoch before joining would have
+        # the worker read donated trainer.params/velocity buffers
         extra.update(trainer.export_state_meta(
             cur_epoch=None if h is None else h["epoch"]))
         extra.update(trainer.export_state_arrays(trainer.best_params, vel))
@@ -181,16 +185,16 @@ def _save_autosave(cfg: Config, net: Network, trainer: Trainer,
             except BaseException as e:  # noqa: BLE001 — re-raised at join
                 holder.append(e)
     else:
-        # single process: the device fetches move to the worker too —
-        # measured on the TPU tunnel (tpu_r5_epoch_autosave.log), the
-        # main-thread export cost ~3.6 s/epoch against 0.15 s stacked
-        # epochs, dwarfing the dump it was supposed to overlap. Capture
-        # epoch-N state NOW: scalars by VALUE (epoch N+1's finish
-        # overwrites the attributes), trees by REFERENCE (finish replaces
-        # the attributes with fresh trees; the captured ones are
-        # donation-safe snapshots or never-donated copies).
-        meta = trainer.export_state_meta(
-            cur_epoch=None if h is None else h["epoch"])
+        # single process, pipelined (h given): the device fetches move to
+        # the worker too — measured on the TPU tunnel
+        # (tpu_r5_epoch_autosave.log), the main-thread export cost
+        # ~3.6 s/epoch against 0.15 s stacked epochs, dwarfing the dump
+        # it was supposed to overlap. Capture epoch-N state NOW: scalars
+        # by VALUE (epoch N+1's finish overwrites the attributes), trees
+        # by REFERENCE (finish replaces the attributes with fresh trees;
+        # the captured ones are donation-safe snapshots or never-donated
+        # copies).
+        meta = trainer.export_state_meta(cur_epoch=h["epoch"])
         best_ref = trainer.best_params
         params_ref = trainer.params if snap is None else snap
         layers = net.layers_json()

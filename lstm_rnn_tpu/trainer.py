@@ -106,8 +106,12 @@ class Trainer:
         self._dev_cache: Dict[Any, list] = {}
         # per-DataSet epoch-resident stacked corpora (_try_stacked_epoch)
         self._stacked: Dict[Any, dict] = {}
-        # memoized jitted unpad for exact_params (see its docstring)
-        self._unpad_jit = None
+        # jitted unpad for exact_params (see its docstring), created ONCE
+        # here: wrapper creation is free (compiles lazily on first call)
+        # and a lazy check-then-set would race the autosave worker thread
+        # against the main thread's --autosave_best export, compiling the
+        # program twice and discarding one wrapper's cache
+        self._unpad_jit = jax.jit(net.unpad_params)
         if device_cache_bytes is None:
             device_cache_bytes = self._auto_cache_bytes()
         self._dev_cache_budget = device_cache_bytes
@@ -1301,8 +1305,6 @@ class Trainer:
         autosave export seconds long (tpu_r5_epoch_autosave2.log)."""
         tree = self.params if tree is None else tree
         if self.padded:
-            if self._unpad_jit is None:
-                self._unpad_jit = jax.jit(self.net.unpad_params)
             tree = self._unpad_jit(tree)
         return jax.device_get(tree)
 

@@ -174,4 +174,3 @@ def test_lvcsr_flagship_routes_wide_tail(monkeypatch):
     assert proj_tail_fits(32000, P, 10240, jnp.bfloat16)  # r32 verdict
     assert not prefer_proj_tail(32000, P, 10240, 10112, jnp.bfloat16)
     assert prefer_proj_tail(32000, P, 256, 183, jnp.bfloat16)
-    monkeypatch.setattr(vp, "_MEM", None)  # drop the patched table
